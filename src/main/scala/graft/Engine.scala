@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference engine (rampage644/impala-cut) builds its own distributed
+  * runtime — coordinator, fragments, exchanges, LLVM codegen
+  * (`be/src/runtime/coordinator.cc`, `be/src/codegen/llvm-codegen.cc`).
+  * On Spark that whole layer is the platform: our "engine" is a configured
+  * `SparkSession` plus a function pack (see [[graft.functions.GraftFunctions]])
+  * registered both through [[GraftExtensions]] (for sessions we create) and
+  * idempotently at query-build time (for sessions the test driver creates).
+  *
+  * Scale notes (the configs below are chosen for a real cluster, merely
+  * exercised at local[32]):
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+  *    the Spark equivalent of the reference planner's cost-based
+  *    broadcast-vs-partitioned decision (`fe/.../planner/Planner.java:431-489`)
+  *    but decided with *runtime* statistics.
+  *  - shuffle.partitions is a default only; AQE coalesces it down per stage.
+  *  - parquet vectorized reader + pushdown stay on (defaults) — the analogue
+  *    of the reference's scanner codegen (`be/src/exec/hdfs-parquet-scanner.cc`).
+  */
+object Engine {
+
+  def builder(master: String = "local[32]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def session(master: String = "local[32]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-corpus table access.
+  *
+  * The reference resolves tables through a metastore-backed catalog
+  * (`fe/.../catalog/HdfsTable.java`); here the driver hands us a directory of
+  * parquet tables per scale factor (TESTDATA.md), so "catalog" = parquet
+  * paths + optional temp views for the SQL surface. Scans go through Spark's
+  * vectorized parquet source — the equivalent of the reference's
+  * `HdfsScanNode` + parquet scanner (`be/src/exec/hdfs-parquet-scanner.cc`)
+  * with pushdown/pruning handled by Catalyst.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val pipeline: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ pipeline
+
+  /** Dimension tables small enough to broadcast at any scale factor. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.registered(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Registers every table as a temp view so `spark.sql` works (the SQL
+    * statement surface of SURVEY §2.11). Idempotent. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  private object GraftFunctions {
+    private val done = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    def registered(spark: SparkSession): Unit =
+      if (done.add(spark)) graft.functions.GraftFunctions.register(spark)
+  }
+}

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites: one local session, graft extensions on. */
+object SparkSpec {
+  lazy val spark: SparkSession = Engine.session("local[4]")
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  def spark: SparkSession = SparkSpec.spark
+  def sfDir: String = SparkSpec.sfDir
+}

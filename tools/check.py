@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (NOT part of the library).
+
+Runs graft.Verify at a given SF dir, then replays every oracle_sql.json entry
+in DuckDB over the same parquet tables and compares: columns sorted by name,
+rows sorted, values compared exactly (floats bit-compared, with a reported
+max-abs-diff fallback so near-misses are visible).
+
+Usage: python3 tools/check.py [sfDir] [outDir] [--skip-run] [--only q1,q2]
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def run_verify(sf_dir, out_dir):
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += [
+        "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.Verify", sf_dir, out_dir,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line or "Exception" in line:
+            print("  !!", line)
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+
+def norm(v):
+    if v is None:
+        return (0, None)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (1, "nan")
+        return (1, v)
+    if isinstance(v, (int,)):
+        return (1, float(v)) if not isinstance(v, bool) else (1, v)
+    return (1, str(v))
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    if sorted(spark_cols) != sorted(duck_cols):
+        return f"SCHEMA cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted(tuple(norm(r[i]) for i in order) for r in spark_rows)
+    d = sorted(tuple(norm(r[i]) for i in dorder) for r in duck_rows)
+    if len(s) != len(d):
+        return f"ROWS spark={len(s)} duck={len(d)}"
+    worst = 0.0
+    for sr, dr in zip(s, d):
+        for sv, dv in zip(sr, dr):
+            if sv == dv:
+                continue
+            if isinstance(sv[1], float) and isinstance(dv[1], float):
+                diff = abs(sv[1] - dv[1])
+                rel = diff / max(abs(sv[1]), abs(dv[1]), 1e-300)
+                worst = max(worst, rel)
+                if rel > 1e-12:
+                    return f"VALUE {sv} != {dv} (rel={rel:.2e})"
+            else:
+                return f"VALUE {sv} != {dv}"
+    if worst > 0:
+        return f"FLOAT-ULP worst rel diff {worst:.2e} (driver hash would FAIL)"
+    return None
+
+
+def main():
+    import duckdb
+    import pyarrow.parquet as pq
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+    if "--skip-run" not in sys.argv:
+        print(f"[check] running graft.Verify {sf_dir} -> {out_dir}")
+        run_verify(sf_dir, out_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_noracle = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        if only and name not in only:
+            continue
+        tbl = pq.read_table(path)
+        spark_cols = tbl.column_names
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  [rows-only] {name}: {len(spark_rows)} rows")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            n_bad += 1
+            print(f"  [FAIL] {name}: oracle SQL error: {e}")
+            continue
+        err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if err:
+            n_bad += 1
+            print(f"  [FAIL] {name}: {err}")
+        else:
+            n_ok += 1
+            print(f"  [ok] {name} ({len(spark_rows)} rows)")
+    print(f"[check] ok={n_ok} fail={n_bad} rows-only={n_noracle}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
