@@ -16,8 +16,18 @@ object SparkEntry {
     operators.TpchQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.TpchQueries.all
+    operators.TpchQueries.all ++
+      operators.JoinQueries.all ++
+      operators.SortSetQueries.all ++
+      operators.AggQueries.all ++
+      operators.ExprQueries.all ++
+      operators.WindowQueries.all
 
   def oracleSql: Map[String, String] =
-    operators.TpchQueries.oracle
+    operators.TpchQueries.oracle ++
+      operators.JoinQueries.oracle ++
+      operators.SortSetQueries.oracle ++
+      operators.AggQueries.oracle ++
+      operators.ExprQueries.oracle ++
+      operators.WindowQueries.oracle
 }

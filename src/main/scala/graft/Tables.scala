@@ -23,7 +23,20 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.registered(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos (legacy conf) and
+    * convert to a µs TimestampType column — the engine-wide convention
+    * (Impala's TIMESTAMP is ns-resolution, `be/src/runtime/timestamp-value.h`;
+    * we standardize on Spark µs and truncate). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
 
   /** Registers every table as a temp view so `spark.sql` works (the SQL

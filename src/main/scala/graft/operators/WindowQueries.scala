@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Analytic window functions + event-time bucketing.
+  *
+  * The reference has NO analytic functions (no OVER clause in
+  * `fe/src/main/cup/sql-parser.y` — this Impala cut predates them) and no
+  * streaming; these are capability extensions that any training-data /
+  * event pipeline needs, expressed through Spark's native `WindowExec` and
+  * event-time functions.
+  *
+  * Scale notes: window partitioning shuffles once on the partition key;
+  * ranking within (user_id, ...) partitions is embarrassingly parallel.
+  * Event-time bucketing (date_trunc) is a pure projection — aggregation on
+  * top is an ordinary 2-phase hash agg on (bucket, type) keys.
+  */
+object WindowQueries {
+
+  /** row_number / rank / dense_rank per group, deterministic ordering. */
+  val rankQ: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    l.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+             col("l_extendedprice"),
+             row_number().over(w).as("rn"),
+             rank().over(w).as("rnk"),
+             dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+  val rankSql: String =
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+      |) WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin
+
+  /** Running (cumulative) sum + lag/lead over per-user event streams. */
+  val running: QueryFn = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 8)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("event_type"),
+             sum(dec2(col("value"))).over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+               .cast(DoubleType).as("running_value"),
+             lag(col("event_type"), 1).over(w).as("prev_type"),
+             lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val runningSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+      |    (PARTITION BY user_id ORDER BY event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+      |FROM events WHERE user_id < 8 ORDER BY user_id, event_id""".stripMargin
+
+  /** Event-time tumbling-window aggregation (batch form of the streaming
+    * query in graft.streaming; same plan shape). `events.ts` carries
+    * nanosecond precision which Spark truncates to µs — bucketing by hour
+    * keeps both engines exactly aligned. */
+  val eventsWindow: QueryFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+  val eventsWindowSql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+      |  COUNT(1) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Sessionization via window-function gap detection: a new session starts
+    * after a >30 min silence; classic event-pipeline pattern. */
+  val sessionize: QueryFn = (s, dir) => {
+    val e = t(s, dir, "events").filter(col("user_id") < 20)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Gap compare in exact microseconds: Spark truncates the parquet ns
+    // timestamps to µs, and unix_timestamp() would truncate further to whole
+    // seconds, which can flip the comparison right at the session boundary.
+    val withGap = e.select(
+      col("user_id"), col("event_id"), col("ts"),
+      (unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L).cast("int").as("new_session"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withGap
+      .select(col("user_id"), col("event_id"),
+              coalesce(sum(col("new_session")).over(wCum), lit(0)).as("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  val sessionizeSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts, 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800000000 AS INTEGER) AS new_session
+      |  FROM events WHERE user_id < 20),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    COALESCE(SUM(new_session) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS session_id
+      |  FROM gaps)
+      |SELECT user_id, session_id, COUNT(1) AS n_events
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "q_window_rank" -> rankQ,
+    "q_window_running" -> running,
+    "q_events_window" -> eventsWindow,
+    "q_events_sessionize" -> sessionize)
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" -> rankSql,
+    "q_window_running" -> runningSql,
+    "q_events_window" -> eventsWindowSql,
+    "q_events_sessionize" -> sessionizeSql)
+}
