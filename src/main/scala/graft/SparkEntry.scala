@@ -21,7 +21,11 @@ object SparkEntry {
       operators.SortSetQueries.all ++
       operators.AggQueries.all ++
       operators.ExprQueries.all ++
-      operators.WindowQueries.all
+      operators.WindowQueries.all ++
+      pipeline.TextQueries.all ++
+      pipeline.DedupQueries.all ++
+      pipeline.SimilarityQueries.all ++
+      pipeline.Multimodal.all
 
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracle ++
@@ -29,5 +33,9 @@ object SparkEntry {
       operators.SortSetQueries.oracle ++
       operators.AggQueries.oracle ++
       operators.ExprQueries.oracle ++
-      operators.WindowQueries.oracle
+      operators.WindowQueries.oracle ++
+      pipeline.TextQueries.oracle ++
+      pipeline.DedupQueries.oracle ++
+      pipeline.SimilarityQueries.oracle ++
+      pipeline.Multimodal.oracle
 }

@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.operators.{t, QueryFn}
+
+/** Text-analysis operators for training-data curation over the `documents`
+  * table: token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting.
+  *
+  * These have no analogue in the reference engine (it is a pure SQL engine);
+  * they are the data-pipeline capabilities a 100 TB curation workload needs,
+  * expressed entirely as codegen'd column expressions — per-row CPU that
+  * fuses into the scan stage, no shuffle at all (embarrassingly parallel at
+  * any scale).
+  */
+object TextQueries {
+
+  /** Whitespace tokens of the (trimmed) document text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** English-ish stopword list used by quality + lang-id scoring. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "is", "to")
+
+  /** Token counting: whitespace tokens + a BPE-ish subword proxy (4 chars ≈
+    * 1 token, the common rule-of-thumb estimator) + non-space char count. */
+  val tokenCount: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val nChars = length(regexp_replace(col("text"), "\\s+", ""))
+    d.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        nChars.as("n_nonspace_chars"),
+        ceil(nChars.cast(DoubleType) / 4.0).cast("long").as("bpe_est_tokens"),
+        (nChars.cast(DoubleType) / size(toks)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
+      |  CAST(CEIL(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est_tokens,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, type-token ratio (vocabulary
+    * diversity), digit ratio; combined into one [0,1] score. */
+  val quality: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val stopHits = size(filter(toks, tk => tk.isInCollection(EnStopwords)))
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val digitRatio =
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+        length(col("text"))
+    val stopRatio = stopHits.cast(DoubleType) / nTok
+    // No rounding: both engines evaluate these ratio expressions in the same
+    // IEEE operation order, so raw doubles are bit-identical — while ROUND
+    // at a half-boundary diverges (Spark rounds the double's shortest
+    // decimal repr, DuckDB its exact binary value).
+    d.select(
+        col("doc_id"),
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        digitRatio.as("digit_ratio"),
+        ((ttr * 0.5) + (lit(1.0) - digitRatio) * 0.3 + stopRatio * 0.2)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+  val qualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS digit_ratio
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(toks,
+      |      tk -> tk IN ('the','a','an','of','and','in','is','to'))) AS DOUBLE)
+      |      / len(toks) AS stopword_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+      |    digit_ratio
+      |  FROM q)
+      |SELECT doc_id,
+      |  stopword_ratio,
+      |  type_token_ratio,
+      |  digit_ratio,
+      |  type_token_ratio * 0.5 + (1.0 - digit_ratio) * 0.3
+      |    + stopword_ratio * 0.2 AS quality_score
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram/stopword heuristic: per-language function-word hit
+    * counts; highest count wins (threshold 1, else 'und'). The corpus is
+    * synthetic word-soup so most rows land 'en'/'und' — the point is the
+    * mechanism: pure projection, no shuffle. */
+  val langId: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = tokens(lower(col("text")))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, tk => tk.isInCollection(words)))
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    val es = hits(Seq("el", "los", "las", "y", "es"))
+    val best = greatest(en, de, fr, es)
+    d.select(
+        col("doc_id"), col("lang").as("lang_claimed"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+        when(best === 0, "und")
+          .when(en === best, "en").when(de === best, "de")
+          .when(fr === best, "fr").otherwise("es").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+  val langIdSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        tk -> tk IN ('the','a','of','and','is'))) AS en_hits,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        tk -> tk IN ('der','die','das','und','ist'))) AS de_hits,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        tk -> tk IN ('le','la','les','et','est'))) AS fr_hits,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        tk -> tk IN ('el','los','las','y','es'))) AS es_hits
+      |  FROM documents)
+      |SELECT doc_id, lang AS lang_claimed, en_hits, de_hits, fr_hits, es_hits,
+      |  CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+      |       WHEN en_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+      |       WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+      |       WHEN fr_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+      |       ELSE 'es' END AS lang_pred
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase text
+    * (the content hash exact-dedup keys on) + a 16-bit shard bucket derived
+    * from it — the partition key a 100 TB dedup would shuffle on. */
+  val fingerprint: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val fp = md5(normalized.cast("binary"))
+    d.select(
+        col("doc_id"), fp.as("fingerprint"),
+        substring(fp, 1, 4).as("shard_bucket"))
+      .orderBy(col("doc_id"))
+  }
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "q_text_token_count" -> tokenCount,
+    "q_text_quality" -> quality,
+    "q_text_langid" -> langId,
+    "q_doc_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "q_text_token_count" -> tokenCountSql,
+    "q_text_quality" -> qualitySql,
+    "q_text_langid" -> langIdSql,
+    "q_doc_fingerprint" -> fingerprintSql)
+}

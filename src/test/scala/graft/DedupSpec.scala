@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docsWithPlants = {
+    import spark.implicits._
+    val base = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // Plant: 9001 = exact copy of doc 0; 9002 = near-copy of doc 1 (one
+    // word changed); 9003 = unrelated.
+    val d0 = base.filter($"doc_id" === 0).head().getAs[String]("text")
+    val d1 = base.filter($"doc_id" === 1).head().getAs[String]("text")
+    val near = d1.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 3) "REPLACED" else w }.mkString(" ")
+    val plants = Seq(
+      (9001L, d0, "en", "plant", d0.length.toLong),
+      (9002L, near, "en", "plant", near.length.toLong),
+      (9003L, "completely different content with nothing shared at all zzz",
+       "en", "plant", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.union(plants)
+  }
+
+  test("planted exact duplicate collapses to one fingerprint group") {
+    val groups = docsWithPlants
+      .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      .agg(collect_set(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("ids"))
+      .collect()
+    assert(groups.exists(r => {
+      val ids = r.getSeq[Long](0).toSet
+      ids.contains(0L) && ids.contains(9001L)
+    }), "exact dup (0, 9001) not grouped")
+  }
+
+  test("minhash LSH finds the planted exact and near duplicates") {
+    val pairs = pipeline.DedupQueries.minhashPairs(docsWithPlants)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9001L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 9002L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 9003L || p._2 == 9003L),
+      "unrelated planted doc must not pair")
+  }
+
+  test("simhash of identical token streams is identical, near has small hamming") {
+    import spark.implicits._
+    val fp = docsWithPlants
+      .select(col("doc_id"),
+        SimHash(transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)))
+          .as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(9001L), "identical docs must have equal simhash")
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(9002L))
+    assert(hammingNear <= 12, s"near-dup hamming too large: $hammingNear")
+  }
+
+  test("minhash candidates cover all true jaccard>=0.5 pairs on real corpus") {
+    // LSH with 8 bands x 4 rows has collision prob 1-(1-j^4)^8 ≈ 0.96 at
+    // j=0.7, ≈0.70 at j=0.5. The corpus' near-dup pairs are j≈0.99 — all
+    // must be found.
+    val brute = pipeline.DedupQueries.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pipeline.DedupQueries.minhashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(lsh), s"missed pairs: ${brute.diff(lsh)}")
+  }
+}

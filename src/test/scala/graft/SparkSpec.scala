@@ -10,6 +10,6 @@ object SparkSpec {
 }
 
 trait SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SparkSpec.spark
+  lazy val spark: SparkSession = SparkSpec.spark
   def sfDir: String = SparkSpec.sfDir
 }
