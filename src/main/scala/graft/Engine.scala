@@ -34,6 +34,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Impala's expression semantics are permissive, not ANSI: x/0 → NULL,
+      // overflow wraps, bad casts → NULL (be/src/exprs/arithmetic-expr.cc,
+      // cast-expr.cc). Spark 4 defaults to ANSI; switch it off for dialect
+      // parity in sessions we own.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -57,10 +57,78 @@ object GraftFunctions {
     "dayname" -> ((args: Seq[Expression]) =>
       DateFormatClass(args.head, Literal("EEEE"))),
 
-    // --- aggregates (BuiltinsDb.java:241-251): ndv = HLL estimate ---
+    // --- decimal fns (be/src/exprs/decimal-functions.cc,
+    //     impala_functions.py:467-488) ---
+    // precision/scale are plan-time constants of the argument's type.
+    "precision" -> ((args: Seq[Expression]) => args.head.dataType match {
+      case d: DecimalType => Literal(d.precision)
+      case _ => Literal(38)
+    }),
+    "scale" -> ((args: Seq[Expression]) => args.head.dataType match {
+      case d: DecimalType => Literal(d.scale)
+      case _ => Literal(0)
+    }),
+    // truncate(x[, s]): toward zero — floor for positives, ceil for
+    // negatives (Impala truncates, it never rounds).
+    "truncate" -> ((args: Seq[Expression]) => {
+      val x = args.head
+      val s = if (args.length > 1) args(1) else Literal(0)
+      If(GreaterThanOrEqual(x, Literal(0)), RoundFloor(x, s), RoundCeil(x, s))
+    }),
+
+    // --- timestamp interval family (impala_functions.py:239-355:
+    //     years/months/weeks/days/hours/minutes/seconds/
+    //     milliseconds/microseconds _add/_sub) ---
+    "years_add" -> tsAdd("YEAR"), "years_sub" -> tsSub("YEAR"),
+    "months_add" -> tsAdd("MONTH"), "months_sub" -> tsSub("MONTH"),
+    "weeks_add" -> tsAdd("WEEK"), "weeks_sub" -> tsSub("WEEK"),
+    "days_add" -> tsAdd("DAY"), "days_sub" -> tsSub("DAY"),
+    "hours_add" -> tsAdd("HOUR"), "hours_sub" -> tsSub("HOUR"),
+    "minutes_add" -> tsAdd("MINUTE"), "minutes_sub" -> tsSub("MINUTE"),
+    "seconds_add" -> tsAdd("SECOND"), "seconds_sub" -> tsSub("SECOND"),
+    "milliseconds_add" -> tsAdd("MILLISECOND"),
+    "milliseconds_sub" -> tsSub("MILLISECOND"),
+    "microseconds_add" -> tsAdd("MICROSECOND"),
+    "microseconds_sub" -> tsSub("MICROSECOND"),
+    "adddate" -> tsAdd("DAY"), "subdate" -> tsSub("DAY"),
+
+    // trunc(ts, unit) with Impala unit spellings → date_trunc
+    // (timestamp-functions.cc: SY/YYYY/YEAR/SM/MM/MONTH/DD/DAY/HH/MI).
+    "trunc" -> ((args: Seq[Expression]) => {
+      val unit = args(1) match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          u.toString.toUpperCase match {
+            case "SY" | "YYYY" | "YY" | "YEAR" => "YEAR"
+            case "SM" | "MM" | "MONTH" | "MON" => "MONTH"
+            case "WW" | "WEEK" => "WEEK"
+            case "DDD" | "DD" | "DJ" | "DAY" => "DAY"
+            case "HH" | "HH12" | "HH24" => "HOUR"
+            case "MI" => "MINUTE"
+            case other => other
+          }
+        case _ => throw new IllegalArgumentException(
+          "trunc(ts, unit) requires a literal unit")
+      }
+      TruncTimestamp(Literal(unit), args.head)
+    }),
+
+    // --- aggregates (BuiltinsDb.java:241-272): ndv = HLL estimate;
+    //     distinctpc/pcsa = Flajolet-Martin; group_concat exact ---
     "ndv" -> ((args: Seq[Expression]) =>
-      HyperLogLogPlusPlus(args.head).toAggregateExpression())
+      HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    "distinctpc" -> ((args: Seq[Expression]) =>
+      DistinctPc(args.head).toAggregateExpression()),
+    "distinctpcsa" -> ((args: Seq[Expression]) =>
+      DistinctPcsa(args.head).toAggregateExpression()),
+    "group_concat" -> ((args: Seq[Expression]) =>
+      GroupConcat(args.head,
+        if (args.length > 1) args(1) else Literal(", ")).toAggregateExpression())
   )
+
+  private def tsAdd(unit: String): FunctionBuilder =
+    (args: Seq[Expression]) => TimestampAdd(unit, args(1), args(0))
+  private def tsSub(unit: String): FunctionBuilder =
+    (args: Seq[Expression]) => TimestampAdd(unit, UnaryMinus(args(1)), args(0))
 
   /** Idempotent per-session registration (for externally built sessions). */
   def register(spark: SparkSession): Unit = {

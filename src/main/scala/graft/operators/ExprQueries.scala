@@ -268,7 +268,46 @@ object ExprQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Timestamp interval family through the SQL surface (our registered
+    * years_add/months_sub/... builders → Catalyst TimestampAdd). */
+  val dateArith: QueryFn = (s, dir) => {
+    graft.Tables.registerViews(s, dir)
+    s.sql("""SELECT o_orderkey,
+            |  years_add(o_orderdate, 1) AS ya,
+            |  months_sub(o_orderdate, 2) AS ms,
+            |  weeks_add(o_orderdate, 3) AS wa,
+            |  days_add(o_orderdate, 45) AS da,
+            |  hours_add(o_orderdate, 6) AS ha,
+            |  seconds_sub(o_orderdate, 90) AS ss,
+            |  trunc(o_orderdate, 'YYYY') AS ty
+            |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin)
+  }
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 1 YEAR AS ya,
+      |  o_orderdate - INTERVAL 2 MONTH AS ms,
+      |  o_orderdate + INTERVAL 21 DAY AS wa,
+      |  o_orderdate + INTERVAL 45 DAY AS da,
+      |  o_orderdate + INTERVAL 6 HOUR AS ha,
+      |  o_orderdate - INTERVAL 90 SECOND AS ss,
+      |  CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS ty
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
+
+  /** Probabilistic distinct estimators (rows-only; accuracy bounds pinned
+    * in FunctionsSpec, exact counts ride along for sanity). */
+  val distinctPc: QueryFn = (s, dir) => {
+    graft.Tables.registerViews(s, dir)
+    s.sql("""SELECT l_returnflag,
+            |  distinctpc(l_partkey) AS pc,
+            |  distinctpcsa(l_partkey) AS pcsa,
+            |  ndv(l_partkey) AS ndv_est,
+            |  count(DISTINCT l_partkey) AS exact
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Map[String, QueryFn] = Map(
+    "q_date_arith" -> dateArith,
+    "q_distinctpc" -> distinctPc,
     "q_expr_math" -> math,
     "q_expr_string" -> string,
     "q_expr_datetime" -> datetime,
@@ -279,6 +318,7 @@ object ExprQueries {
     "q_fnv_hash" -> fnv)
 
   val oracle: Map[String, String] = Map(
+    "q_date_arith" -> dateArithSql,
     "q_expr_math" -> mathSql,
     "q_expr_string" -> stringSql,
     "q_expr_datetime" -> datetimeSql,

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Dialect function-pack behavior, driven through the SQL surface (the way
+  * an Impala user would call them) against an externally built session. */
+class FunctionsSpec extends SparkSpec {
+
+  private def sql1(q: String): Row = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(q).head()
+  }
+
+  test("distinctpc / distinctpcsa estimate within FM error bounds") {
+    Tables.registerViews(spark, sfDir)
+    val r = spark.sql(
+      """SELECT distinctpc(l_partkey) AS pc, distinctpcsa(l_partkey) AS pcsa,
+        |       count(DISTINCT l_partkey) AS exact
+        |FROM lineitem""".stripMargin).head()
+    val (pc, pcsa, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // FM with 64 bitmaps: stddev ≈ 0.78/sqrt(64) ≈ 10%; allow 3σ.
+    assert(math.abs(pc - exact).toDouble / exact < 0.35, s"pc=$pc exact=$exact")
+    assert(math.abs(pcsa - exact).toDouble / exact < 0.35, s"pcsa=$pcsa exact=$exact")
+  }
+
+  test("distinctpc estimates are deterministic across runs and partitioning") {
+    Tables.registerViews(spark, sfDir)
+    val q = "SELECT distinctpcsa(l_suppkey) FROM lineitem"
+    val a = spark.sql(q).head().getLong(0)
+    val b = spark.sql(q).head().getLong(0)
+    assert(a == b)
+  }
+
+  test("group_concat concatenates with separator, null-safe") {
+    val r = sql1(
+      "SELECT group_concat(n_name, '|') FROM nation WHERE n_regionkey = 0")
+    val parts = r.getString(0).split("\\|").sorted.toSeq
+    val expected = Tables.table(spark, sfDir, "nation")
+      .filter(col("n_regionkey") === 0).select("n_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == expected)
+    // default separator
+    val r2 = sql1("SELECT group_concat(n_name) FROM nation WHERE n_regionkey = 0")
+    assert(r2.getString(0).split(", ").length == expected.length)
+  }
+
+  test("timestamp interval family matches direct interval arithmetic") {
+    val r = sql1(
+      """SELECT years_add(TIMESTAMP '2000-02-29 10:00:00', 1) AS ya,
+        |       months_sub(TIMESTAMP '2000-03-31 00:00:00', 1) AS ms,
+        |       days_add(TIMESTAMP '2000-12-31 23:00:00', 1) AS da,
+        |       hours_add(TIMESTAMP '2000-01-01 23:30:00', 2) AS ha,
+        |       milliseconds_add(TIMESTAMP '2000-01-01 00:00:00', 1500) AS msa
+        |""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2001-02-28 10:00:00.0")
+    assert(r.getTimestamp(1).toString == "2000-02-29 00:00:00.0")
+    assert(r.getTimestamp(2).toString == "2001-01-01 23:00:00.0")
+    assert(r.getTimestamp(3).toString == "2000-01-02 01:30:00.0")
+    assert(r.getTimestamp(4).toString == "2000-01-01 00:00:01.5")
+  }
+
+  test("trunc accepts Impala unit spellings") {
+    val r = sql1(
+      """SELECT trunc(TIMESTAMP '2000-05-17 13:45:23', 'YYYY') AS y,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'MM') AS m,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'DD') AS d,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'HH') AS h""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2000-01-01 00:00:00.0")
+    assert(r.getTimestamp(1).toString == "2000-05-01 00:00:00.0")
+    assert(r.getTimestamp(2).toString == "2000-05-17 00:00:00.0")
+    assert(r.getTimestamp(3).toString == "2000-05-17 13:00:00.0")
+  }
+
+  test("decimal precision/scale/truncate semantics") {
+    val r = sql1(
+      """SELECT precision(CAST(1.5 AS DECIMAL(10,3))) AS p,
+        |       scale(CAST(1.5 AS DECIMAL(10,3))) AS s,
+        |       truncate(CAST(3.789 AS DECIMAL(10,3)), 1) AS t_pos,
+        |       truncate(CAST(-3.789 AS DECIMAL(10,3)), 1) AS t_neg,
+        |       truncate(CAST(9.99 AS DECIMAL(10,2)), 0) AS t_zero""".stripMargin)
+    assert(r.getInt(0) == 10)
+    assert(r.getInt(1) == 3)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("3.7")) == 0)
+    // toward zero, not floor: -3.789 → -3.7
+    assert(r.getDecimal(3).compareTo(new java.math.BigDecimal("-3.7")) == 0)
+    assert(r.getDecimal(4).compareTo(new java.math.BigDecimal("9")) == 0)
+  }
+
+  test("conditional aliases: isnull both arities, zeroifnull, nullifzero, quotient") {
+    val r = sql1(
+      """SELECT isnull(NULL, 'fallback') AS i2,
+        |       isnull(NULL) AS i1,
+        |       zeroifnull(CAST(NULL AS INT)) AS z,
+        |       nullifzero(0.0) AS nz,
+        |       quotient(17, 5) AS q,
+        |       strleft('impala', 3) AS sl,
+        |       strright('impala', 3) AS sr,
+        |       is_inf(CAST('Infinity' AS DOUBLE)) AS inf""".stripMargin)
+    assert(r.getString(0) == "fallback")
+    assert(r.getBoolean(1))
+    assert(r.getInt(2) == 0)
+    assert(r.isNullAt(3))
+    assert(r.getLong(4) == 3L)
+    assert(r.getString(5) == "imp")
+    assert(r.getString(6) == "ala")
+    assert(r.getBoolean(7))
+  }
+}
