@@ -24,10 +24,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
+  /** JVM-unique warehouse for managed tables (CTAS/DDL tests): keeps runs
+    * isolated — a killed JVM can't poison the next one's table locations. */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -39,6 +45,11 @@ object Engine {
       // cast-expr.cc). Spark 4 defaults to ANSI; switch it off for dialect
       // parity in sessions we own.
       .config("spark.sql.ansi.enabled", "false")
+      // CBO consumes ANALYZE TABLE stats for join reordering — the Spark
+      // analogue of the reference's COMPUTE STATS → greedy cost-based join
+      // order (fe/.../planner/Planner.java:972-1135, ComputeStatsStmt.java).
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

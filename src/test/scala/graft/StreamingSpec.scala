@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed aggregation over a memory stream produces hourly buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.windowedAggregates(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 4.0),
+      Event(4, ts("2024-01-01 11:20:00"), 3, "click", 8.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 4.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 8.0)))
+  }
+
+  test("watermark drops events later than the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.windowedAggregates(
+        input.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    // Batch 1 advances the watermark to 11:50; batch 2's 09:00 event is
+    // older than the horizon and must be dropped, not aggregated.
+    input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+                  Event(2, ts("2024-01-01 12:00:00"), 2, "click", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(3, ts("2024-01-01 09:00:00"), 3, "click", 99.0))
+    query.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 14:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val emitted = spark.table("wm_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(3))).toMap
+    assert(emitted.contains("2024-01-01 10:00:00.0"))
+    assert(emitted("2024-01-01 10:00:00.0") == 1.0,
+      "late 09:00 event must not leak into emitted state")
+  }
+
+  test("stateful sessionization groups per-user event bursts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // User 1: two bursts 2h apart → first burst closes when the second
+    // arrives. User 2: one burst → closes via event-time timeout once the
+    // watermark passes its end + gap. User 3's far-future event drives the
+    // watermark forward so the timeout fires.
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 2, "view", 5.0))
+    query.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 12:00:00"), 1, "click", 4.0))
+    query.processAllAvailable()
+    input.addData(Event(5, ts("2024-01-01 18:00:00"), 3, "view", 0.5))
+    query.processAllAvailable()
+    query.stop()
+    val sessions = spark.table("sess_out").as[EventsStreaming.SessionSummary]
+      .collect()
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.exists(s => s.n_events == 2 && s.total_value == 3.0),
+      s"first burst of user 1 not closed correctly: ${sessions.toSeq}")
+    val u2 = sessions.filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 5.0,
+      s"user 2 session must close via event-time timeout: ${sessions.toSeq}")
+    assert(!sessions.exists(_.user_id == 3), "user 3 session is still open")
+  }
+}
