@@ -59,4 +59,20 @@ object Engine {
     functions.GraftFunctions.register(spark)
     spark
   }
+
+  /** Catalog bootstrap: expose every corpus table as a view and register
+    * the dialect functions — after this, `spark.sql` speaks the engine's
+    * full surface (the reference equivalent: catalog cache + BuiltinsDb). */
+  def openCatalog(spark: SparkSession, dir: String): SparkSession = {
+    Tables.registerViews(spark, dir)
+    spark
+  }
+
+  /** The engine facade (SURVEY §3: "our engine surface is a facade
+    * `Engine.sql(q): DataFrame`"). */
+  def sql(spark: SparkSession, dir: String, query: String)
+      : org.apache.spark.sql.DataFrame = {
+    openCatalog(spark, dir)
+    spark.sql(query)
+  }
 }

@@ -17,6 +17,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
+      operators.TpchMoreQueries.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
       operators.AggQueries.all ++
@@ -29,6 +30,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracle ++
+      operators.TpchMoreQueries.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++
       operators.AggQueries.oracle ++
