@@ -115,13 +115,33 @@ object WindowQueries {
       |SELECT user_id, session_id, COUNT(1) AS n_events
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Semi-structured extraction: events.props carries JSON — parse with
+    * get_json_object (codegen'd path scan) and aggregate on the extracted
+    * field. The standard log-pipeline shape: JSON stays unparsed until the
+    * projection, so the scan reads one string column. */
+  val eventsJson: QueryFn = (s, dir) => {
+    val e = t(s, dir, "events")
+    e.select(col("event_id"), col("event_type"),
+             get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod"))
+  }
+  val eventsJsonSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+      |  COUNT(1) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q_events_json" -> eventsJson,
     "q_window_rank" -> rankQ,
     "q_window_running" -> running,
     "q_events_window" -> eventsWindow,
     "q_events_sessionize" -> sessionize)
 
   val oracle: Map[String, String] = Map(
+    "q_events_json" -> eventsJsonSql,
     "q_window_rank" -> rankSql,
     "q_window_running" -> runningSql,
     "q_events_window" -> eventsWindowSql,
