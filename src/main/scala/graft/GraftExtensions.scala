@@ -14,11 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * codegen (no UDF boundary).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.injections.foreach { case (name, builder) =>
       e.injectFunction(
         (new FunctionIdentifier(name),
          new ExpressionInfo("graft", name),
          builder))
     }
+    // Custom whole-operator plans (SURVEY build-guidance path (c)).
+    e.injectPlannerStrategy(_ => plans.TopKPerGroupStrategy)
+  }
 }

@@ -130,11 +130,18 @@ object GraftFunctions {
   private def tsSub(unit: String): FunctionBuilder =
     (args: Seq[Expression]) => TimestampAdd(unit, UnaryMinus(args(1)), args(0))
 
-  /** Idempotent per-session registration (for externally built sessions). */
+  /** Idempotent per-session registration (for externally built sessions):
+    * dialect functions + the custom planner strategies that
+    * [[graft.GraftExtensions]] would otherwise inject at build time. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     injections.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        strategies :+ graft.plans.TopKPerGroupStrategy
     }
   }
 

@@ -140,7 +140,33 @@ object SortSetQueries {
       |SELECT o_custkey AS k FROM orders
       |ORDER BY k""".stripMargin
 
+  /** Top-k per group through the custom TopKPerGroup physical operator
+    * (graft.plans): bounded per-group heaps in a partial/final pair instead
+    * of WindowExec's full per-group sort — the shuffle carries k·|groups|
+    * rows instead of the whole table. Oracle: the equivalent ROW_NUMBER
+    * formulation (results identical; the plan is what differs). */
+  val topkPerGroup: QueryFn = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    graft.plans.TopKPerGroup.topK(
+        li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                  col("l_extendedprice")),
+        Seq(col("l_returnflag")),
+        struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        k = 5)
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+               col("l_orderkey").desc, col("l_linenumber").desc)
+  }
+  val topkPerGroupSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |          ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 5
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q_topk_per_group" -> topkPerGroup,
     "q_topn" -> topn,
     "q_sort_offset" -> sortOffset,
     "q_order_nulls" -> orderNulls,
@@ -152,6 +178,7 @@ object SortSetQueries {
     "q_except" -> except)
 
   val oracle: Map[String, String] = Map(
+    "q_topk_per_group" -> topkPerGroupSql,
     "q_topn" -> topnSql,
     "q_sort_offset" -> sortOffsetSql,
     "q_order_nulls" -> orderNullsSql,

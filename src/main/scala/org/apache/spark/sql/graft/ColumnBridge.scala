@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts a Column to a plain Catalyst expression tree
+    * (UnresolvedAttribute/UnresolvedFunction/...), unlike [[expression]]
+    * whose lazy ColumnNodeExpression wrapper is only unwrapped on Spark's
+    * own Dataset API paths — custom logical nodes need the real tree so the
+    * analyzer's generic resolution rules apply. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
