@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Differential fuzzing harness (NOT part of the library): generates seeded
+random SQL over the test corpus in a dialect both Spark and DuckDB execute,
+runs both engines, and reports discrepancies — the graft analogue of the
+reference's random-query discrepancy searcher (tests/comparison/).
+
+The grammar deliberately stays inside the cross-engine-deterministic subset
+the oracle conventions define (tools/check.py + README): decimal-cast
+aggregate sums, no raw-double rounding at thresholds, deterministic ORDER BY.
+
+Usage: python3 tools/fuzz.py [--n 100] [--seed 7] [--sf /root/testdata/sf0.01]
+"""
+import argparse
+import json
+import os
+import random
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from check import ADD_OPENS, TABLES, compare  # noqa: E402
+
+# (table, [(col, kind)]) — kinds: key, int, double(money), string(low-card),
+# ts
+SCHEMAS = {
+    "lineitem": [("l_orderkey", "key"), ("l_partkey", "key"),
+                 ("l_suppkey", "key"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_returnflag", "cat"),
+                 ("l_linestatus", "cat"), ("l_shipdate", "ts")],
+    "orders": [("o_orderkey", "key"), ("o_custkey", "key"),
+               ("o_orderstatus", "cat"), ("o_totalprice", "double"),
+               ("o_orderdate", "ts"), ("o_orderpriority", "cat")],
+    "customer": [("c_custkey", "key"), ("c_name", "str"),
+                 ("c_nationkey", "key"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "cat")],
+    "part": [("p_partkey", "key"), ("p_name", "str"), ("p_brand", "cat"),
+             ("p_type", "cat"), ("p_size", "int"),
+             ("p_retailprice", "double")],
+    "supplier": [("s_suppkey", "key"), ("s_name", "str"),
+                 ("s_nationkey", "key"), ("s_acctbal", "double")],
+    "nation": [("n_nationkey", "key"), ("n_name", "str"),
+               ("n_regionkey", "key")],
+}
+CATS = {
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'O'", "'F'"],
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'"],
+    "c_mktsegment": ["'BUILDING'", "'MACHINERY'", "'AUTOMOBILE'"],
+    "p_brand": ["'Brand#1'", "'Brand#7'", "'Brand#13'"],
+    "p_type": ["'PROMO'", "'SMALL'", "'LARGE'"],
+}
+JOINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+
+def cols(table, kinds):
+    return [c for c, k in SCHEMAS[table] if k in kinds]
+
+
+def gen_predicate(rng, table):
+    c, k = rng.choice(SCHEMAS[table])
+    if k == "key":
+        return f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+    if k == "int":
+        return f"{c} {rng.choice(['<', '>', '<=', '>='])} {rng.randint(1, 40)}"
+    if k == "double":
+        return f"{c} {rng.choice(['<', '>'])} {rng.randint(1, 5000)}"
+    if k == "cat":
+        return f"{c} IN ({', '.join(rng.sample(CATS[c], rng.randint(1, 2))) })"
+    if k == "str":
+        return f"{c} LIKE '%{rng.randint(1, 9)}%'"
+    if k == "ts":
+        return (f"{c} < TIMESTAMP '199{rng.randint(5, 9)}-"
+                f"{rng.randint(1, 12):02d}-01 00:00:00'")
+    return "1=1"
+
+
+def gen_agg_query(rng, table, where):
+    gpool = cols(table, {"cat", "key"})
+    groups = rng.sample(gpool, min(rng.randint(1, 2), len(gpool)))
+    aggs = ["COUNT(1) AS cnt"]
+    mpool = cols(table, {"double", "int"}) or cols(table, {"key"})
+    for i, m in enumerate(rng.sample(mpool, min(rng.randint(1, 2), len(mpool)))):
+        f = rng.choice(["sum", "min", "max"])
+        if f == "sum":
+            aggs.append(
+                f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) AS DOUBLE) AS a{i}")
+        else:
+            aggs.append(f"{f.upper()}({m}) AS a{i}")
+    g = ", ".join(groups)
+    return (f"SELECT {g}, {', '.join(aggs)} FROM {table} WHERE {where} "
+            f"GROUP BY {g} ORDER BY {g}")
+
+
+def gen_join_query(rng, where_t):
+    t1, t2, cond = rng.choice(JOINS)
+    w = gen_predicate(rng, t1)
+    p1 = cols(t1, {"key", "int", "cat"})
+    p2 = cols(t2, {"key", "cat", "str"})
+    proj_cols = rng.sample(p1, min(2, len(p1))) + rng.sample(p2, 1)
+    order = ", ".join(proj_cols)
+    return (f"SELECT {', '.join(proj_cols)} FROM {t1} JOIN {t2} ON {cond} "
+            f"WHERE {w} ORDER BY {order} LIMIT 500")
+
+
+def gen_scalar_query(rng, table):
+    c_num = rng.choice(cols(table, {"int", "key"}))
+    c_str = rng.choice(cols(table, {"str", "cat"}))
+    key = cols(table, {"key"})[0]
+    exprs = [
+        f"{c_num} + {rng.randint(1, 9)} AS e1",
+        f"ABS({c_num} - {rng.randint(1, 50)}) AS e2",
+        f"LENGTH({c_str}) AS e3",
+        f"UPPER({c_str}) AS e4",
+        f"CASE WHEN {c_num} % 2 = 0 THEN 'even' ELSE 'odd' END AS e5",
+        f"COALESCE(NULLIF({c_num}, {rng.randint(0, 5)}), -1) AS e6",
+    ]
+    rng.shuffle(exprs)
+    return (f"SELECT {key}, {', '.join(exprs[:4])} FROM {table} "
+            f"ORDER BY {key} LIMIT 1000")
+
+
+def generate(rng, i):
+    kind = rng.choice(["agg", "agg", "join", "scalar"])
+    table = rng.choice(list(SCHEMAS))
+    if kind == "agg":
+        return gen_agg_query(rng, table, gen_predicate(rng, table))
+    if kind == "join":
+        return gen_join_query(rng, table)
+    return gen_scalar_query(rng, table)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/graft_fuzz")
+    args = ap.parse_args()
+
+    rng = random.Random(args.seed)
+    queries = {f"f{i:04d}": generate(rng, i) for i in range(args.n)}
+    os.makedirs(args.out, exist_ok=True)
+    qfile = os.path.join(args.out, "queries.tsv")
+    with open(qfile, "w") as f:
+        for name, q in sorted(queries.items()):
+            f.write(f"{name}\t{q}\n")
+
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Xmx8g", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.SqlRunner", args.sf, qfile, args.out]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        sys.exit(1)
+    spark_errors = {}
+    with open(os.path.join(args.out, "errors.txt")) as f:
+        for line in f:
+            if "\t" in line:
+                n, m = line.rstrip("\n").split("\t", 1)
+                spark_errors[n] = m
+
+    import duckdb
+    import pyarrow.parquet as pq
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.sf}/{t}.parquet')")
+    n_ok = n_bad = n_err = 0
+    for name, q in sorted(queries.items()):
+        try:
+            res = con.execute(q)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            duck_err = None
+        except Exception as e:
+            duck_err = str(e)
+        if name in spark_errors or duck_err:
+            # both failing (unsupported construct) is agreement; one-sided
+            # failure is a finding
+            if bool(name in spark_errors) != bool(duck_err):
+                n_bad += 1
+                print(f"[DIVERGE-ERR] {name}: spark="
+                      f"{spark_errors.get(name)} duck={duck_err}\n  {q}")
+            else:
+                n_err += 1
+            continue
+        tbl = pq.read_table(os.path.join(args.out, name))
+        spark_cols = tbl.column_names
+        spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
+        err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if err:
+            n_bad += 1
+            print(f"[DIVERGE] {name}: {err}\n  {q}")
+        else:
+            n_ok += 1
+    print(f"[fuzz] seed={args.seed} n={args.n} ok={n_ok} "
+          f"diverged={n_bad} both-err={n_err}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
