@@ -62,6 +62,26 @@ class FormatsSpec extends SparkSpec {
            nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("malformed csv rows: permissive mode nulls them, FAILFAST raises") {
+    // Reference analogue: tests/data_errors/ (alltypeserror tables) — the
+    // engine must survive dirty input and surface it, not crash the job.
+    val dir = tmp("graft_badcsv")
+    Files.write(java.nio.file.Paths.get(dir, "data.csv"),
+      java.util.Arrays.asList(
+        "1,alpha,10", "2,beta,not_an_int", "3,gamma,30", "junk-row"))
+    val schema = "id INT, name STRING, v INT"
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").csv(dir)
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("v").isNull).count() == 2,
+      "bad cells/rows must become NULLs in permissive mode")
+
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
+
   test("parquet filter + column pushdown reaches the scan") {
     val li = Tables.table(spark, sfDir, "lineitem")
       .filter(col("l_quantity") < 5.0)
