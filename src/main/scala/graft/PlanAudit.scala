@@ -29,7 +29,8 @@ object PlanAudit {
           f"${c("ShuffledHashJoin")}%3d ${c("BroadcastNestedLoopJoin")}%3d " +
           f"${c("Exchange")}%4d ${c("WholeStageCodegen")}%7d $pushed%11d")
       } catch {
-        case e: Throwable => println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          println(f"$name%-24s ERROR ${Option(e.getMessage).getOrElse(e.toString).take(80)}")
       }
     }
     spark.stop()

@@ -40,9 +40,15 @@ object Tables {
   }
 
   /** Registers every table as a temp view so `spark.sql` works (the SQL
-    * statement surface of SURVEY §2.11). Idempotent. */
+    * statement surface of SURVEY §2.11). Idempotent and cached per
+    * (session, dir) — several query builders call this per invocation, and
+    * re-reading ten parquet schemas per statement is pure fixed overhead. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDirs.add((spark, dir)))
+      all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  private val registeredDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())
 
   private object GraftFunctions {
     private val done = java.util.Collections.newSetFromMap(

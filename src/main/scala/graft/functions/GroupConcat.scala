@@ -34,6 +34,22 @@ case class GroupConcat(
   override def left: Expression = child
   override def right: Expression = sepExpr
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!sepExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "group_concat separator must be a constant")
+    else if (sepExpr.dataType != StringType && sepExpr.dataType != NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"group_concat separator must be a string, got ${sepExpr.dataType}")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Constant separator (sepExpr is checked foldable); NULL separator makes
+    * the whole result NULL (Impala's NULL-propagating behavior). */
+  private lazy val separator: Option[String] =
+    Option(sepExpr.eval(InternalRow.empty)).map(_.asInstanceOf[UTF8String].toString)
+
   override def createAggregationBuffer(): ArrayBuffer[UTF8String] =
     ArrayBuffer.empty[UTF8String]
 
@@ -46,14 +62,13 @@ case class GroupConcat(
   override def merge(b1: ArrayBuffer[UTF8String], b2: ArrayBuffer[UTF8String]): ArrayBuffer[UTF8String] =
     b1 ++= b2
 
-  override def eval(buf: ArrayBuffer[UTF8String]): Any = {
-    if (buf.isEmpty) null
-    else {
-      val sep = Option(sepExpr.eval(InternalRow.empty))
-        .map(_.asInstanceOf[UTF8String].toString).getOrElse(", ")
-      UTF8String.fromString(buf.map(_.toString).mkString(sep))
+  override def eval(buf: ArrayBuffer[UTF8String]): Any =
+    separator match {
+      case None => null // NULL separator propagates
+      case Some(sep) =>
+        if (buf.isEmpty) null
+        else UTF8String.fromString(buf.map(_.toString).mkString(sep))
     }
-  }
 
   override def serialize(buf: ArrayBuffer[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

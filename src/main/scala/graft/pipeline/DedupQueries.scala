@@ -28,8 +28,7 @@ import graft.pipeline.TextQueries.tokens
   */
 object DedupQueries {
 
-  private def normalized: Column =
-    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private def normalized: Column = TextQueries.normalizedText(col("text"))
 
   /** Distinct 3-token shingles of the document text, carried as xxhash64
     * values: `sh_hashes` (minhash input) and `sh_sorted` (sorted, for

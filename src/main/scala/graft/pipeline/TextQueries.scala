@@ -20,6 +20,13 @@ object TextQueries {
   /** Whitespace tokens of the (trimmed) document text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Whitespace-normalized lowercase text — THE content-identity key: both
+    * exact dedup (DedupQueries) and fingerprinting hash this exact
+    * expression, so dedup groups and fingerprint shard buckets stay
+    * consistent by construction. */
+  def normalizedText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
   /** English-ish stopword list used by quality + lang-id scoring. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "in", "is", "to")
@@ -142,8 +149,7 @@ object TextQueries {
     * from it — the partition key a 100 TB dedup would shuffle on. */
   val fingerprint: QueryFn = (s, dir) => {
     val d = t(s, dir, "documents")
-    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val fp = md5(normalized.cast("binary"))
+    val fp = md5(normalizedText(col("text")).cast("binary"))
     d.select(
         col("doc_id"), fp.as("fingerprint"),
         substring(fp, 1, 4).as("shard_bucket"))

@@ -82,10 +82,14 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         if (descLocal) Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrd)
         else Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrd.reverse)
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
+      // NULL order keys sort after every non-null value (SQL default for the
+      // equivalent ROW_NUMBER ... DESC / ASC formulations in both Spark and
+      // DuckDB): they only fill heap slots no non-null row claims.
+      val nullRows = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
       iter.foreach { row =>
         val v = boundOrder.eval(row)
+        val key = keyProj(row)
         if (v != null) {
-          val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
             heap = scala.collection.mutable.PriorityQueue.empty(heapOrd.reverse)
@@ -96,10 +100,23 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
             heap.dequeue()
             heap.enqueue((v, rowProj(row).copy()))
           }
+        } else {
+          var buf = nullRows.get(key)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+            nullRows.put(key.copy(), buf)
+          }
+          if (buf.size < kLocal) buf += rowProj(row).copy()
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach(h => h.foreach(out += _._2))
+      heaps.forEach { (key, heap) =>
+        out ++= heap.iterator.map(_._2)
+        val missing = kLocal - heap.size
+        val nulls = nullRows.remove(key) // consume OR discard: never leak
+        if (missing > 0 && nulls != null) out ++= nulls.take(missing)
+      }
+      nullRows.forEach((_, buf) => out ++= buf.take(kLocal))
       out.iterator
     }
   }

@@ -84,7 +84,11 @@ object EventsStreaming {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+          // A late-arriving burst can put end+gap behind the current
+          // watermark; setTimeoutTimestamp rejects past timestamps, so clamp
+          // just ahead of the watermark (fires in the next batch).
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(s.end + gapSeconds * 1000, wm + 1))
         }
         closed.reverseIterator
       }

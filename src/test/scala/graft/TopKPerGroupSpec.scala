@@ -47,11 +47,16 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), "must not full-sort groups")
   }
 
-  test("null order values are dropped, null group keys form their own group") {
+  test("null order values sort last; null group keys form their own group") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (Some("a"), None),
                  (None, Some(5)), (None, Some(6))).toDF("g", "v")
+    // k=1: the non-null row always beats the null-ordered row.
     val top1 = TopKPerGroup.topK(df, Seq(col("g")), col("v"), 1)
     assert(canonical(top1) == Seq("a|1", "null|6"))
+    // k=2: null-ordered rows fill the remaining slots (SQL NULLS LAST),
+    // matching the ROW_NUMBER oracle formulation.
+    val top2 = TopKPerGroup.topK(df, Seq(col("g")), col("v"), 2)
+    assert(canonical(top2) == Seq("a|1", "a|null", "null|5", "null|6"))
   }
 }
