@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
       operators.TpchMoreQueries.all ++
+      operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
       operators.AggQueries.all ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracle ++
       operators.TpchMoreQueries.oracle ++
+      operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++
       operators.AggQueries.oracle ++
