@@ -27,6 +27,7 @@ object SparkEntry {
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
       pipeline.SimilarityQueries.all ++
+      pipeline.IvfAnn.all ++
       pipeline.Multimodal.all
 
   def oracleSql: Map[String, String] =

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.{t, QueryFn}
+
+/** IVF (inverted-file) approximate nearest neighbor — the second ANN scale
+  * path next to [[SimilarityQueries.annLsh]]: partition the corpus into
+  * Voronoi cells around learned centroids, search only the `nprobe` cells
+  * nearest to each query.
+  *
+  * Everything is deterministic DataFrame composition:
+  *  - seed centroids = the `nlist` lowest-vec_id vectors (reproducible);
+  *  - one Lloyd refinement step: assign all vectors to their nearest seed,
+  *    recompute centroids as per-cell elementwise means
+  *    (posexplode → avg per (cell, dim) → reassemble sorted arrays);
+  *  - index = nearest-centroid cell id per vector (one k×n scoring pass —
+  *    k is small, the centroid table broadcasts);
+  *  - query = probe `nprobe` nearest cells, exact cosine within them.
+  *
+  * At 100 TB: the index pass is one broadcast join + projection; the search
+  * shuffles only (query, cell) candidates — cost scales with nprobe/nlist
+  * of the corpus, the knob IVF exists for.
+  */
+object IvfAnn {
+
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = VectorOps.dot(a, b)
+    dot / (sqrt(VectorOps.dot(a, a)) * sqrt(VectorOps.dot(b, b)))
+  }
+
+  /** (vector frame, nlist) → (cell centroids as (cell_id, centroid)). */
+  def trainCentroids(emb: DataFrame, nlist: Int): DataFrame = {
+    val seeds = emb.orderBy(col("vec_id")).limit(nlist)
+      .select(monotonically_increasing_id().as("cell_id"),
+              col("embedding").as("centroid"))
+    // Lloyd step 1: assign every vector to its nearest seed.
+    val assigned = assignCells(emb, seeds)
+    // Recompute centroids as elementwise means per cell.
+    assigned
+      .select(col("cell_id"), posexplode(col("embedding")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("cell_id"),
+        transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
+  }
+
+  /** Nearest-centroid cell id for every vector (broadcast k×n scoring). */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
+
+  /** Top-k within the nprobe nearest cells per query. */
+  def search(emb: DataFrame, queryIds: Seq[Long], k: Int,
+             nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = trainCentroids(emb, nlist).cache()
+    val index = assignCells(emb, centroids)
+
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        cosine(col("q_emb"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probed.join(index, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Same query/k shape as q_ann_brute / q_ann_lsh; rows-only (approximate
+    * by design), invariants pinned in IvfAnnSpec. */
+  val annIvf: QueryFn = (s, dir) =>
+    search(t(s, dir, "embeddings"), queryIds = (0L until 10L),
+      k = 5, nlist = 16, nprobe = 4)
+
+  val all: Map[String, QueryFn] = Map("q_ann_ivf" -> annIvf)
+  val oracle: Map[String, String] = Map.empty
+}

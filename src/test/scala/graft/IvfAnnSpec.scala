@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.IvfAnn
+
+class IvfAnnSpec extends SparkSpec {
+
+  test("centroid training produces nlist refined centroids of the right shape") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cents = IvfAnn.trainCentroids(emb, nlist = 8).collect()
+    assert(cents.length == 8)
+    assert(cents.forall(_.getSeq[Float](1).length == 64))
+  }
+
+  test("every vector lands in exactly one cell") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cents = IvfAnn.trainCentroids(emb, nlist = 8)
+    val idx = IvfAnn.assignCells(emb, cents)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    assert(idx.select("cell_id").distinct().count() <= 8)
+  }
+
+  test("IVF search returns descending cosine per query and decent recall") {
+    val ivf = IvfAnn.annIvf(spark, sfDir).collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, s"query $q not descending")
+    }
+    // Recall@5 vs brute force: nprobe=4 of nlist=16 scans ~1/4 of a
+    // near-uniform corpus; demand better than random-subset recall.
+    val brute = pipeline.SimilarityQueries.annBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"IVF recall@5 vs brute: $recall%.2f")
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
+  test("planted identical vector is always retrieved") {
+    import spark.implicits._
+    val base = Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 3).head().getSeq[Float](1).toArray
+    val extra = Seq((9000L, base, 0)).toDF("vec_id", "embedding", "label")
+    val emb = Tables.table(spark, sfDir, "embeddings").union(extra)
+    val out = IvfAnn.search(emb, Seq(3L), k = 3, nlist = 8, nprobe = 2)
+      .collect().map(_.getLong(2))
+    assert(out.contains(9000L),
+      s"identical vector shares the query's cell and must be found: ${out.toSeq}")
+  }
+}
