@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance tool: scale rehearsal beyond the shipped test data.
+  *
+  * Duplicates lineitem/documents N× into a temp dir (re-keying ids so joins
+  * and dedup behave as on genuinely larger data) and runs the heavy
+  * pipelines at that scale — a local stand-in for the 100 TB question
+  * "does the plan survive a 10× scale-up" (shuffle sizing, AQE behavior,
+  * no driver-side collapse). Run:
+  * `... graft.ScaleSmoke [sfDir] [factor]`
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val out = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    def amplify(name: String, keyCols: Seq[String]): Unit = {
+      val base = Tables.table(spark, sfDir, name)
+      val copies = spark.range(factor).select(col("id").as("__copy"))
+      var df = base.crossJoin(copies)
+      keyCols.foreach { k =>
+        df = df.withColumn(k, col(k) + col("__copy") * 1000000000L)
+      }
+      df.drop("__copy").write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    val t0 = System.nanoTime()
+    amplify("lineitem", Seq("l_orderkey"))
+    amplify("orders", Seq("o_orderkey"))
+    amplify("documents", Seq("doc_id"))
+    amplify("embeddings", Seq("vec_id"))
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach { n =>
+        Tables.table(spark, sfDir, n).write.mode("overwrite")
+          .parquet(s"$out/$n.parquet")
+      }
+    println(f"[scale] amplified x$factor in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    def time(name: String): Unit = {
+      val t = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, out)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[scale] $name%-24s ${(System.nanoTime() - t) / 1e9}%8.1f s")
+      } catch {
+        case e: Throwable =>
+          println(s"[scale] $name FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
+      }
+    }
+    Seq("q1_agg", "q3_topn", "q5_join_agg", "q18_large", "q_topk_per_group",
+        "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+        "q_dedup_embedding", "q_ann_ivf").foreach(time)
+    spark.stop()
+  }
+}

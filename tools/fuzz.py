@@ -128,13 +128,39 @@ def gen_scalar_query(rng, table):
             f"ORDER BY {key} LIMIT 1000")
 
 
+def gen_having_query(rng, table):
+    gpool = cols(table, {"cat", "key"})
+    g = rng.choice(gpool)
+    return (f"SELECT {g}, COUNT(1) AS cnt FROM {table} "
+            f"WHERE {gen_predicate(rng, table)} GROUP BY {g} "
+            f"HAVING COUNT(1) > {rng.randint(1, 20)} ORDER BY {g}")
+
+
+def gen_subquery_query(rng):
+    # scalar subquery threshold over a numeric column (decimal-exact avg)
+    t_o, t_i, col_o, col_i = rng.choice([
+        ("customer", "customer", "c_acctbal", "c_acctbal"),
+        ("orders", "orders", "o_totalprice", "o_totalprice"),
+        ("part", "part", "p_retailprice", "p_retailprice"),
+    ])
+    key = cols(t_o, {"key"})[0]
+    return (f"SELECT {key}, {col_o} FROM {t_o} "
+            f"WHERE {col_o} > (SELECT CAST(SUM(CAST({col_i} AS DECIMAL(14,2))) AS DOUBLE)"
+            f" / COUNT(*) FROM {t_i}) * {rng.choice(['1.5', '1.8', '2.0'])} "
+            f"ORDER BY {key}")
+
+
 def generate(rng, i):
-    kind = rng.choice(["agg", "agg", "join", "scalar"])
+    kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
     if kind == "join":
         return gen_join_query(rng, table)
+    if kind == "having":
+        return gen_having_query(rng, table)
+    if kind == "subquery":
+        return gen_subquery_query(rng)
     return gen_scalar_query(rng, table)
 
 
