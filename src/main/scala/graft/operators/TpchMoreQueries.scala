@@ -166,6 +166,59 @@ object TpchMoreQueries {
       |                  AND o_orderstatus = 'F')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Q13-shape: customer order-count distribution — left outer join with an
+    * ON-clause residual, double aggregation (per-customer then histogram). */
+  val q13Dist: QueryFn = (s, dir) => {
+    graft.Tables.registerViews(s, dir)
+    s.sql("""SELECT c_count, count(*) AS custdist
+            |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            |      FROM customer LEFT OUTER JOIN orders
+            |        ON c_custkey = o_custkey
+            |       AND o_orderpriority <> '1-URGENT'
+            |      GROUP BY c_custkey)
+            |GROUP BY c_count
+            |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+  val q13DistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |       AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15-shape: top supplier(s) by revenue — CTE + scalar-subquery max over
+    * the aggregate (exact: revenue is decimal-summed, so the max equality
+    * can't be flipped by float reduction order). */
+  val q15Top: QueryFn = (s, dir) => {
+    graft.Tables.registerViews(s, dir)
+    s.sql("""WITH revenue AS (
+            |  SELECT l_suppkey,
+            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+            |  FROM lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            |  GROUP BY l_suppkey)
+            |SELECT s_suppkey, s_name, total_revenue
+            |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            |ORDER BY s_suppkey""".stripMargin)
+  }
+  val q15TopSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Correlated scalar subquery in the SELECT list (pure Spark-superset
     * surface; Catalyst decorrelates to a left outer join + agg). */
   val subqueryScalar: QueryFn = (s, dir) => {
@@ -196,6 +249,8 @@ object TpchMoreQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   val all: Map[String, QueryFn] = Map(
+    "q13_dist" -> q13Dist,
+    "q15_top" -> q15Top,
     "q4_semi" -> q4Semi,
     "q14_promo" -> q14Promo,
     "q17_avg" -> q17Avg,
@@ -206,6 +261,8 @@ object TpchMoreQueries {
     "q_subquery_in" -> subqueryIn)
 
   val oracle: Map[String, String] = Map(
+    "q13_dist" -> q13DistSql,
+    "q15_top" -> q15TopSql,
     "q4_semi" -> q4SemiSql,
     "q14_promo" -> q14PromoSql,
     "q17_avg" -> q17AvgSql,
