@@ -40,10 +40,27 @@ object Bench {
     runNoop("q1_agg")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runNoop(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // The driver keeps only the LAST ~2000 chars of output; a full-precision
+    // map over every query overflows that window and truncates the line start
+    // (round 1: "parsed": null). Keep the line compact — 3-decimal seconds,
+    // headline queries only — and print it last. Full per-query timings go to
+    // stderr for local reading.
+    System.err.println(results.map { case (k, v) => f"[bench] $k%-26s $v%8.3f s" }
+      .mkString("\n"))
+    def f3(v: Double): String = f"$v%.3f"
+    val headline = Seq(
+      "q1_agg", "q3_topn", "q5_join_agg", "q6_filter", "q10_agg_topn",
+      "q13_dist", "q14_promo", "q15_top", "q17_avg", "q18_large",
+      "q19_disjunct", "q22_anti", "q_join_inner", "q_agg_having",
+      "q_topk_per_group", "q_window_rank", "q_events_sessionize",
+      "q_dedup_exact", "q_dedup_minhash_lsh", "q_ann_brute", "q_ann_ivf",
+      "q_text_quality", "q_doc_fingerprint")
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_${results.size}_queries","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -56,7 +56,7 @@ object Engine {
   def session(master: String = "local[32]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    functions.GraftFunctions.register(spark)
+    functions.GraftFunctions.register(spark, overrideBuiltins = true)
     spark
   }
 

@@ -34,9 +34,18 @@ object Tables {
     * we standardize on Spark µs and truncate). */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Convert only when ts actually arrived as int64 nanos (the driver's
+    // TIMESTAMP(NANOS) parquet). A re-written events table (e.g. ScaleSmoke
+    // output) already carries a µs TimestampType column — converting twice
+    // would corrupt it.
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
   }
 
   /** Registers every table as a temp view so `spark.sql` works (the SQL

@@ -130,13 +130,34 @@ object GraftFunctions {
   private def tsSub(unit: String): FunctionBuilder =
     (args: Seq[Expression]) => TimestampAdd(unit, UnaryMinus(args(1)), args(0))
 
+  /** Injection names that shadow a Spark built-in with different semantics
+    * (e.g. Impala `trunc(ts, unit)` → TIMESTAMP vs Spark `trunc(date, fmt)`
+    * → DATE; 2-ary `isnull`; full-name `dayname`). Computed against Spark's
+    * builtin registry so it tracks Spark versions. */
+  lazy val shadowsBuiltin: Set[String] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    injections.map(_._1)
+      .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n)))
+      .toSet
+  }
+
   /** Idempotent per-session registration (for externally built sessions):
     * dialect functions + the custom planner strategies that
-    * [[graft.GraftExtensions]] would otherwise inject at build time. */
-  def register(spark: SparkSession): Unit = {
+    * [[graft.GraftExtensions]] would otherwise inject at build time.
+    *
+    * In a shared session we do NOT replace Spark built-ins by default —
+    * changing `trunc`/`isnull` behavior for unrelated SQL in a session we
+    * don't own is a trap. Shadowed names stay reachable as `impala_<name>`;
+    * pass `overrideBuiltins = true` (Engine-owned dialect sessions) to get
+    * full Impala name parity. */
+  def register(spark: SparkSession, overrideBuiltins: Boolean = false): Unit = {
     val reg = spark.sessionState.functionRegistry
     injections.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (overrideBuiltins || !shadowsBuiltin(name))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (shadowsBuiltin(name))
+        reg.createOrReplaceTempFunction("impala_" + name, builder, "scala_udf")
     }
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(graft.plans.TopKPerGroupStrategy)) {

@@ -43,8 +43,8 @@ object ExprQueries {
   val mathSql: String =
     """SELECT p_partkey,
       |  ABS(p_size - 25) AS abs_v,
-      |  CEIL(p_retailprice) AS ceil_v,
-      |  FLOOR(p_retailprice) AS floor_v,
+      |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_v,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_v,
       |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS round_v,
       |  SQRT(p_size) AS sqrt_v,
       |  POW(p_size, 2) AS pow_v,
@@ -279,7 +279,7 @@ object ExprQueries {
             |  days_add(o_orderdate, 45) AS da,
             |  hours_add(o_orderdate, 6) AS ha,
             |  seconds_sub(o_orderdate, 90) AS ss,
-            |  trunc(o_orderdate, 'YYYY') AS ty
+            |  impala_trunc(o_orderdate, 'YYYY') AS ty
             |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin)
   }
   val dateArithSql: String =

@@ -108,9 +108,9 @@ object WindowQueries {
       |  FROM events WHERE user_id < 20),
       |sess AS (
       |  SELECT user_id, event_id,
-      |    COALESCE(SUM(new_session) OVER
+      |    CAST(COALESCE(SUM(new_session) OVER
       |      (PARTITION BY user_id ORDER BY ts, event_id
-      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS session_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS session_id
       |  FROM gaps)
       |SELECT user_id, session_id, COUNT(1) AS n_events
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin

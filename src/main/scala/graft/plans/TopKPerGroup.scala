@@ -82,9 +82,12 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         if (descLocal) Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrd)
         else Ordering.by[(Any, UnsafeRow), Any](_._1)(valueOrd.reverse)
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
-      // NULL order keys sort after every non-null value (SQL default for the
-      // equivalent ROW_NUMBER ... DESC / ASC formulations in both Spark and
-      // DuckDB): they only fill heap slots no non-null row claims.
+      // NULL order keys sort after every non-null value. This matches the
+      // ROW_NUMBER ... DESC default in Spark (NULLS LAST) and both ASC/DESC
+      // in DuckDB — but NOT Spark's ASC default (NULLS FIRST). Ascending
+      // callers who need Spark's ASC NULLS FIRST must add an explicit
+      // IS NOT NULL pre-filter or an asc_nulls_last comparison instead;
+      // the operator's contract is nulls-last in both directions.
       val nullRows = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
       iter.foreach { row =>
         val v = boundOrder.eval(row)

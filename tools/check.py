@@ -48,14 +48,20 @@ def run_verify(sf_dir, out_dir):
 
 
 def norm(v):
+    # Mirror the driver's EXACT hash compare: ints stay ints (int64 above
+    # 2^53 must not collapse lossily), floats stay floats, and an int on one
+    # side vs a float on the other is a TYPE mismatch — the driver hashes the
+    # two representations differently even when numerically equal.
     if v is None:
         return (0, None)
+    if isinstance(v, bool):
+        return (1, v)
     if isinstance(v, float):
         if math.isnan(v):
             return (1, "nan")
         return (1, v)
-    if isinstance(v, (int,)):
-        return (1, float(v)) if not isinstance(v, bool) else (1, v)
+    if isinstance(v, int):
+        return (2, v)
     return (1, str(v))
 
 
@@ -79,6 +85,11 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
                 worst = max(worst, rel)
                 if rel > 1e-12:
                     return f"VALUE {sv} != {dv} (rel={rel:.2e})"
+            elif isinstance(sv[1], (int, float)) and isinstance(dv[1], (int, float)) \
+                    and not isinstance(sv[1], bool) and not isinstance(dv[1], bool) \
+                    and sv[1] == dv[1]:
+                return (f"TYPE {type(sv[1]).__name__} vs {type(dv[1]).__name__} "
+                        f"for equal value {sv[1]} (driver hash would FAIL)")
             else:
                 return f"VALUE {sv} != {dv}"
     if worst > 0:
