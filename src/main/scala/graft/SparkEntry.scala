@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.TpchQueries.all ++
       operators.TpchMoreQueries.all ++
+      operators.TpchWave3Queries.all ++
       operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracle ++
       operators.TpchMoreQueries.oracle ++
+      operators.TpchWave3Queries.oracle ++
       operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++
