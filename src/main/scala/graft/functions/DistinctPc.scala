@@ -84,17 +84,20 @@ abstract class FlajoletMartinBase
     h
   }
 
+  /** Value → 64-bit hash. Fixed-width numerics go through the
+    * allocation-free byte-iterating FNV (native little-endian slot layout,
+    * like the reference's RawValue::GetHashValue) — the per-row ByteBuffer
+    * round-trip showed up as the aggregate's hot allocation site. */
   protected def valueHash(input: Any): Long = {
-    val bytes = input match {
-      case s: UTF8String => s.getBytes
-      case b: Array[Byte] => b
-      case i: java.lang.Integer =>
-        ByteBuffer.allocate(4).putInt(i).array()
-      case l: java.lang.Long =>
-        ByteBuffer.allocate(8).putLong(l).array()
-      case other => UTF8String.fromString(String.valueOf(other)).getBytes
+    val raw = input match {
+      case s: UTF8String => FnvHash.hashBytes(s.getBytes)
+      case b: Array[Byte] => FnvHash.hashBytes(b)
+      case i: java.lang.Integer => FnvHash.hashLong(i.toLong, 4)
+      case l: java.lang.Long => FnvHash.hashLong(l, 8)
+      case other =>
+        FnvHash.hashBytes(UTF8String.fromString(String.valueOf(other)).getBytes)
     }
-    fmix64(FnvHash.hashBytes(bytes))
+    fmix64(raw)
   }
 }
 

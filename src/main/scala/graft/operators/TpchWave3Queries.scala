@@ -237,30 +237,31 @@ object TpchWave3Queries {
 
   /** Q20-shape: suppliers whose recent shipments of a part family dominate
     * their all-time volume (the reference's `ps_availqty > 0.5 * sum(qty)`
-    * threshold, re-derived from lineitem). The recent-vs-total comparison
-    * is a fact-table self-join on (suppkey, partkey) — both sides shuffle
-    * on the same composite key, so it co-partitions without a broadcast. */
+    * threshold, re-derived from lineitem). The oracle phrases it as a
+    * recent-CTE ⋈ total-CTE self-join; here both sums come out of ONE
+    * grouped pass over lineitem (recent = conditional sum), halving the
+    * fact-table scan+shuffle — the rewrite that matters when lineitem is
+    * the 100 TB table. A supplier-part with no recent rows gets recent = 0,
+    * which fails `0 > tq*0.5` exactly like its absence from the join. */
   val q20Parts: QueryFn = (s, dir) => {
-    graft.Tables.registerViews(s, dir)
-    s.sql("""WITH recent AS (
-            |  SELECT l_suppkey AS r_suppkey, l_partkey AS r_partkey,
-            |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
-            |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-            |  GROUP BY 1, 2),
-            |total AS (
-            |  SELECT l_suppkey AS t_suppkey, l_partkey AS t_partkey,
-            |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
-            |  FROM lineitem GROUP BY 1, 2)
-            |SELECT s_suppkey, s_name, s_acctbal
-            |FROM supplier, nation
-            |WHERE s_nationkey = n_nationkey
-            |  AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
-            |  AND s_suppkey IN (
-            |    SELECT r_suppkey FROM recent
-            |    JOIN total ON r_suppkey = t_suppkey AND r_partkey = t_partkey
-            |    JOIN part ON p_partkey = r_partkey
-            |    WHERE p_name LIKE '%red%' AND q > tq * CAST(0.5 AS DECIMAL(2,1)))
-            |ORDER BY s_suppkey""".stripMargin)
+    val lq = dec2(col("l_quantity"))
+    val byPartSupp = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"), lq)
+                 .otherwise(lit(0).cast(DecimalType(12, 2)))).as("q"),
+           sum(lq).as("tq"))
+    val promo = byPartSupp
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))),
+            col("l_partkey") === col("p_partkey"))
+      .filter(col("q") > col("tq") * lit("0.5").cast(DecimalType(2, 1)))
+      .select(col("l_suppkey")).distinct()
+    val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(nations: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(promo, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
   }
   val q20PartsSql: String =
     """WITH recent AS (

@@ -69,26 +69,22 @@ object DedupQueries {
     * same language and ±20-token length window, verified exactly with a
     * linear merge-intersection over sorted shingle hashes (the per-pair
     * verification cost is what dominates all-pairs dedup — `array_intersect`
-    * allocates a hash set per pair and was ~25× slower).
+    * allocates a hash set per pair and was ~25× slower; a plain self-join
+    * additionally materializes both shingle arrays per candidate row, which
+    * is why the pair enumeration runs in [[AllPairs.jaccardPairs]]).
     *
-    * Blocking note: here the block key is `lang` (the corpus' length spread
-    * is only a few 20-token bands, so length-banding the join key multiplies
-    * candidates instead of pruning — measured, not assumed). At 100 TB one
-    * adds coarser blocking (source, length decile) or routes through
-    * [[minhashLsh]], whose candidate volume is threshold-controlled. */
+    * Blocking note: the block key is `lang` plus a ±20-token length window
+    * (binary-searched inside the kernel, so it prunes instead of multiplying
+    * join keys). At 100 TB one adds coarser blocking (source, length decile)
+    * or routes through [[minhashLsh]], whose candidate volume is
+    * threshold-controlled. */
   val ngramJaccard: QueryFn = (s, dir) => {
-    val sh = shingled(t(s, dir, "documents"))
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
-                      col("n_toks").as("nt_a"), col("sh_sorted").as("sh_a"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
-                      col("n_toks").as("nt_b"), col("sh_sorted").as("sh_b"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b") &&
-              abs(col("nt_a") - col("nt_b")) <= 20)
-      .select(col("doc_a"), col("doc_b"),
-              round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // Shingling (tokenize → distinct 3-grams → xxhash64 → sort) runs as a
+    // distributed codegen'd projection; only the pair enumeration goes
+    // through the broadcast-block kernel (see AllPairs scaladoc for why a
+    // self-join pays O(n²) row materialization).
+    AllPairs.jaccardPairs(s, shingled(t(s, dir, "documents")),
+                          lenWindow = 20, threshold = 0.2)
   }
   val ngramJaccardSql: String =
     """WITH sh AS (
@@ -186,23 +182,8 @@ object DedupQueries {
     * LSH-bucketed scale path is [[SimilarityQueries.annLsh]]). Cosine is
     * computed in index-order double arithmetic in both engines, rounded to
     * 6dp before the threshold so the filter can't flip on ULPs. */
-  val embeddingCosine: QueryFn = (s, dir) => {
-    import graft.functions.VectorOps.dot
-    val e = t(s, dir, "embeddings")
-    val withNorm = e.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val a = withNorm.select(col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = withNorm.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.crossJoin(b)
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6)
-          .as("cosine"))
-      .filter(col("cosine") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
+  val embeddingCosine: QueryFn = (s, dir) =>
+    AllPairs.embeddingPairs(s, t(s, dir, "embeddings"), threshold = 0.4)
   val embeddingCosineSql: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,
