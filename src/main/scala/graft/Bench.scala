@@ -43,14 +43,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
 
-    // The driver keeps only the LAST ~2000 chars of output; a full-precision
-    // map over every query overflows that window and truncates the line start
-    // (round 1: "parsed": null). Keep the line compact — 3-decimal seconds,
-    // headline queries only — and print it last. Full per-query timings go to
-    // stderr for local reading.
-    System.err.println(results.map { case (k, v) => f"[bench] $k%-26s $v%8.3f s" }
-      .mkString("\n"))
+    // The driver keeps only the LAST ~2000 chars of output, and sbt flushes
+    // stderr after stdout — so per-query timings must NOT go to the console at
+    // all (round 2: the stderr dump displaced the JSON line out of the tail
+    // window). Full timings go to a file; the compact JSON line is the only
+    // thing printed.
     def f3(v: Double): String = f"$v%.3f"
+    try {
+      val report = results.map { case (k, v) => f"$k%-26s $v%8.3f s" }.mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bench_timings.txt"),
+        (report + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val headline = Seq(
       "q1_agg", "q3_topn", "q5_join_agg", "q6_filter", "q10_agg_topn",
       "q13_dist", "q14_promo", "q15_top", "q17_avg", "q18_large",
@@ -61,6 +65,6 @@ object Bench {
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + f3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_${results.size}_queries","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -159,6 +159,11 @@ object GraftFunctions {
       if (shadowsBuiltin(name))
         reg.createOrReplaceTempFunction("impala_" + name, builder, "scala_udf")
     }
+    if (!overrideBuiltins && shadowsBuiltin.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        "graft: Impala-dialect names shadowing Spark built-ins kept at Spark " +
+        "semantics; use the impala_ prefix for Impala semantics: " +
+        shadowsBuiltin.toSeq.sorted.mkString(", "))
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(graft.plans.TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =

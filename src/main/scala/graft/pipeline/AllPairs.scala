@@ -35,9 +35,31 @@ import org.apache.spark.sql.functions.col
   */
 object AllPairs {
 
-  /** Spark `round(x, 6)` semantics for doubles. */
+  /** Hard ceiling on what these kernels may collect to the driver, matching
+    * the documented broadcast envelope (~256 MB of payload). Beyond this the
+    * exact all-pairs pass is the wrong tool at any execution strategy — the
+    * caller must block first (LSH / SimHash / IVF) and verify per block. */
+  val MaxCollectRows: Int = 1000000
+
+  /** Collect at most [[MaxCollectRows]]+1 rows (the `limit` bounds driver
+    * memory — no extra counting pass) and fail fast if the input exceeds the
+    * envelope instead of OOM-ing the driver. */
+  private def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T],
+                                kernel: String): Array[T] = {
+    val rows = ds.limit(MaxCollectRows + 1).collect()
+    require(rows.length <= MaxCollectRows,
+      s"AllPairs.$kernel: input exceeds the $MaxCollectRows-row broadcast " +
+      "envelope; block with MinHash-LSH/SimHash/IVF first and run the exact " +
+      "kernel per candidate block")
+    rows
+  }
+
+  /** Spark `round(x, 6)` semantics for doubles (NaN passes through — callers
+    * threshold-filter, and `NaN >= t` is false, matching the old join
+    * formulation where round(NaN, 6) stayed NaN and was dropped). */
   def round6(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
+    if (java.lang.Double.isNaN(v)) Double.NaN
+    else java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private def dotD(a: Array[Float], b: Array[Float]): Double = {
@@ -63,8 +85,9 @@ object AllPairs {
     * Input frame must carry (vec_id: long, embedding: array<float>). */
   def embeddingPairs(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
-    val rows = e.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val rows = boundedCollect(
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      "embeddingPairs").sortBy(_._1)
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2)
     val norms = vecs.map(v => math.sqrt(dotD(v, v)))
@@ -99,9 +122,10 @@ object AllPairs {
   def jaccardPairs(spark: SparkSession, shingled: DataFrame,
                    lenWindow: Int, threshold: Double): DataFrame = {
     import spark.implicits._
-    val rows = shingled
-      .select(col("doc_id"), col("lang"), col("n_toks"), col("sh_sorted"))
-      .as[(Long, String, Int, Array[Long])].collect()
+    val rows = boundedCollect(
+      shingled.select(col("doc_id"), col("lang"), col("n_toks"), col("sh_sorted"))
+        .as[(Long, String, Int, Array[Long])],
+      "jaccardPairs")
     // Per-lang block, sorted by (n_toks, doc_id): window = contiguous range.
     val blocks: Map[String, Array[(Long, Int, Array[Long])]] =
       rows.groupBy(_._2).map { case (lang, rs) =>
