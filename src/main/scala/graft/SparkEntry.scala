@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TpchQueries.all ++
       operators.TpchMoreQueries.all ++
       operators.TpchWave3Queries.all ++
+      operators.TpcdsQueries.all ++
       operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
@@ -35,6 +36,7 @@ object SparkEntry {
     operators.TpchQueries.oracle ++
       operators.TpchMoreQueries.oracle ++
       operators.TpchWave3Queries.oracle ++
+      operators.TpcdsQueries.oracle ++
       operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+
+/** TPC-DS-subset query shapes, adapted to the corpus tables.
+  *
+  * The reference ships 22 TPC-DS queries as one of its performance workloads
+  * (`testdata/workloads/tpcds/queries/tpcds-q*.test`; loader
+  * `testdata/bin/load-tpcds-data.sh`). The corpus has no store_sales star
+  * schema, so each query here re-creates the *defining plan shape* of its
+  * TPC-DS counterpart over the TPC-H-ish tables — the operator composition is
+  * what's being rebuilt, per SURVEY §2. Shapes covered, none of which appear
+  * in the TPC-H waves:
+  *
+  *  - q43/q59: day-of-week PIVOT via conditional aggregation, and a
+  *    period-over-period self-join of an aggregate with interval arithmetic
+  *    on the join key (`tpcds-q43.test`, `tpcds-q59.test`).
+  *  - q65: grouped revenue filtered against its group's average — an
+  *    aggregate joined to an aggregate-of-aggregate (`tpcds-q65.test`).
+  *  - q34/q73: COUNT(*) BETWEEN range over a grouped fact, detail-joined
+  *    back to the dimension (`tpcds-q34.test`, `tpcds-q73.test`).
+  *  - q8: semi-join on a *derived expression* key against a HAVING-filtered
+  *    subquery (`tpcds-q8.test` substr(zip) IN (...)).
+  *  - q98: share-of-parent via a window sum over an aggregate
+  *    (`tpcds-q98.test`).
+  *  - q89: deviation-from-window-average filter (`tpcds-q89.test`).
+  *
+  * Scale notes: every query aggregates the fact table FIRST (partial
+  * aggregation map-side), then joins the small derived/dim sides —
+  * broadcastable at any corpus scale since their cardinality is bounded by
+  * dimensions (nations, brands, weeks), not by fact rows. Window functions
+  * partition on low-cardinality keys over already-aggregated inputs, so the
+  * window stage sees dimension-sized data, never fact-sized.
+  *
+  * Oracle-exactness follows the package convention: aggregate doubles in
+  * DECIMAL, cast to DOUBLE at the end. Ratios/averages divide doubles that
+  * are bit-identical in both engines, so division is bit-identical too.
+  * Window aggregates keep DECIMAL *through* the window frame (a double
+  * window-sum would re-introduce order-dependent rounding).
+  */
+object TpcdsQueries {
+
+  /** Q43-shape: day-of-week pivot — one conditional decimal sum per weekday,
+    * grouped by nation. Spark dayofweek() is 1=Sunday..7=Saturday; the DuckDB
+    * oracle mirrors with DAYOFWEEK()+1 (0=Sunday there). */
+  val qds43Pivot: QueryFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val dow = dayofweek(col("o_orderdate"))
+    def day(k: Int, name: String) =
+      sum(when(dow === k, dec2(col("o_totalprice")))).cast(DoubleType).as(name)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(day(1, "sun_sales"), day(2, "mon_sales"), day(3, "tue_sales"),
+           day(4, "wed_sales"), day(5, "thu_sales"), day(6, "fri_sales"),
+           day(7, "sat_sales"))
+      .orderBy(col("n_name"))
+  }
+  val qds43PivotSql: String = {
+    def day(k: Int, name: String) =
+      s"CAST(SUM(CASE WHEN DAYOFWEEK(o_orderdate)+1 = $k THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS $name"
+    s"""SELECT n_name,
+       |  ${day(1, "sun_sales")}, ${day(2, "mon_sales")}, ${day(3, "tue_sales")},
+       |  ${day(4, "wed_sales")}, ${day(5, "thu_sales")}, ${day(6, "fri_sales")},
+       |  ${day(7, "sat_sales")}
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  /** Q59-shape: week-over-week — weekly revenue per nation self-joined on
+    * (nation, week - 7 days); ratio of the two bit-identical doubles. */
+  val qds59Wow: QueryFn = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val wss = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"), col("n_name"))
+      .agg(sumd(col("o_totalprice")).as("rev"))
+    val cur = wss.filter(year(col("wk")) === 1997)
+      .select(col("n_name"), col("wk"), col("rev").as("cur_rev"))
+    val prev = wss.select(col("n_name").as("p_name"), col("wk").as("p_wk"),
+                          col("rev").as("prev_rev"))
+    cur.join(prev, col("n_name") === col("p_name") &&
+               col("p_wk") === col("wk") - expr("INTERVAL 7 DAYS"))
+      .select(col("n_name"), col("wk"), col("cur_rev"), col("prev_rev"),
+              (col("cur_rev") / col("prev_rev")).as("wow_ratio"))
+      .orderBy(col("n_name"), col("wk"))
+  }
+  val qds59WowSql: String =
+    """WITH wss AS (
+      |  SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS wk, n_name,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT c.n_name, c.wk, c.rev AS cur_rev, p.rev AS prev_rev,
+      |  c.rev / p.rev AS wow_ratio
+      |FROM wss c JOIN wss p
+      |  ON c.n_name = p.n_name AND p.wk = c.wk - INTERVAL 7 DAY
+      |WHERE YEAR(c.wk) = 1997
+      |ORDER BY c.n_name, c.wk""".stripMargin
+
+  /** Q65-shape: (supplier, part) revenue at most half the supplier's average
+    * — an aggregate joined against an aggregate over itself. */
+  val qds65BelowAvg: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val p = t(s, dir, "part")
+    val sc = l.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sumd(col("l_extendedprice")).as("revenue"))
+    val sb = sc.groupBy(col("l_suppkey").as("b_suppkey"))
+      .agg((sum(col("revenue").cast(DecimalType(18, 2)))
+              .cast(DoubleType) / count(lit(1))).as("ave"))
+    sc.join(sb, col("l_suppkey") === col("b_suppkey"))
+      .filter(col("revenue") <= col("ave") * 0.5)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("s_name"), col("p_name"), col("revenue"), col("ave"))
+      .orderBy(col("revenue"), col("s_name"), col("p_name"))
+      .limit(100)
+  }
+  val qds65BelowAvgSql: String =
+    """WITH sc AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |  FROM lineitem GROUP BY 1, 2),
+      |sb AS (
+      |  SELECT l_suppkey AS b_suppkey,
+      |    CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS ave
+      |  FROM sc GROUP BY 1)
+      |SELECT s_name, p_name, revenue, ave
+      |FROM sc JOIN sb ON l_suppkey = b_suppkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE revenue <= ave * 0.5
+      |ORDER BY revenue, s_name, p_name LIMIT 100""".stripMargin
+
+  /** Q34/Q73-shape: orders whose line count falls in a range, joined back to
+    * customer detail. */
+  val qds34CountRange: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val dn = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(9, 13))
+    dn.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_mktsegment"), col("o_orderkey"), col("cnt"))
+      .orderBy(col("cnt").desc, col("c_name"), col("o_orderkey"))
+  }
+  val qds34CountRangeSql: String =
+    """SELECT c_name, c_mktsegment, o_orderkey, cnt
+      |FROM (SELECT l_orderkey, COUNT(1) AS cnt FROM lineitem
+      |      GROUP BY l_orderkey HAVING COUNT(1) BETWEEN 9 AND 13) dn
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY cnt DESC, c_name, o_orderkey""".stripMargin
+
+  /** Q8-shape: semi-join on a derived expression key (type-prefix) against a
+    * HAVING-filtered subquery; the 16%-of-total threshold is scale-invariant
+    * (a scalar subquery, broadcast as a 1-row aggregate). */
+  val qds8PrefixJoin: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val total = p.agg(count(lit(1)).as("n_parts"))
+    val popular = p.groupBy(substring(col("p_type"), 1, 5).as("pre"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(total)
+      .filter(col("c") >= col("n_parts") * 0.16)
+      .select(col("pre"))
+    val pp = p.join(popular, substring(col("p_type"), 1, 5) === col("pre"), "left_semi")
+    l.join(pp, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sumd(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+  val qds8PrefixJoinSql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE SUBSTR(p_type, 1, 5) IN (
+      |  SELECT SUBSTR(p_type, 1, 5) FROM part
+      |  GROUP BY 1 HAVING COUNT(1) >= (SELECT COUNT(1) FROM part) * 0.16)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Q98-shape: revenue share of the item's type class — a window sum over
+    * an aggregate, kept DECIMAL through the frame for order-independence. */
+  val qds98Share: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+              col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+    val p = t(s, dir, "part")
+    val agg = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("p_type"))
+    agg.select(col("p_type"), col("p_brand"),
+        col("rev_dec").cast(DoubleType).as("itemrevenue"),
+        (col("rev_dec").cast(DoubleType) * 100.0 /
+          sum(col("rev_dec")).over(w).cast(DoubleType)).as("revenueratio"))
+      .orderBy(col("p_type"), col("p_brand"))
+  }
+  val qds98ShareSql: String =
+    """WITH a AS (
+      |  SELECT p_type, p_brand,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT p_type, p_brand, CAST(rev_dec AS DOUBLE) AS itemrevenue,
+      |  CAST(rev_dec AS DOUBLE) * 100.0 /
+      |    CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE) AS revenueratio
+      |FROM a ORDER BY p_type, p_brand""".stripMargin
+
+  /** Q89-shape: monthly brand sales deviating >10% from the brand's monthly
+    * average (window average as decimal-window-sum / count-over). */
+  val qds89WindowDev: QueryFn = (s, dir) => {
+    val l = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1997)
+    val p = t(s, dir, "part")
+    val agg = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), month(col("l_shipdate")).as("moy"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("p_brand"))
+    val withAvg = agg.select(col("p_brand"), col("moy"),
+      col("rev_dec").cast(DoubleType).as("sum_sales"),
+      (sum(col("rev_dec")).over(w).cast(DoubleType) /
+        count(lit(1)).over(w)).as("avg_monthly"))
+    withAvg
+      .filter(abs(col("sum_sales") - col("avg_monthly")) >
+              col("avg_monthly") * 0.1)
+      .orderBy(col("p_brand"), col("moy"))
+  }
+  val qds89WindowDevSql: String =
+    """WITH a AS (
+      |  SELECT p_brand, CAST(MONTH(l_shipdate) AS INTEGER) AS moy,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE YEAR(l_shipdate) = 1997
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p_brand, moy, CAST(rev_dec AS DOUBLE) AS sum_sales,
+      |    CAST(SUM(rev_dec) OVER (PARTITION BY p_brand) AS DOUBLE) /
+      |      COUNT(1) OVER (PARTITION BY p_brand) AS avg_monthly
+      |  FROM a)
+      |SELECT p_brand, moy, sum_sales, avg_monthly
+      |FROM b
+      |WHERE ABS(sum_sales - avg_monthly) > avg_monthly * 0.1
+      |ORDER BY p_brand, moy""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "qds43_pivot" -> qds43Pivot,
+    "qds59_wow" -> qds59Wow,
+    "qds65_below_avg" -> qds65BelowAvg,
+    "qds34_count_range" -> qds34CountRange,
+    "qds8_prefix_join" -> qds8PrefixJoin,
+    "qds98_share" -> qds98Share,
+    "qds89_window_dev" -> qds89WindowDev)
+
+  val oracle: Map[String, String] = Map(
+    "qds43_pivot" -> qds43PivotSql,
+    "qds59_wow" -> qds59WowSql,
+    "qds65_below_avg" -> qds65BelowAvgSql,
+    "qds34_count_range" -> qds34CountRangeSql,
+    "qds8_prefix_join" -> qds8PrefixJoinSql,
+    "qds98_share" -> qds98ShareSql,
+    "qds89_window_dev" -> qds89WindowDevSql)
+}
