@@ -107,17 +107,24 @@ object TpcdsQueries {
       |ORDER BY c.n_name, c.wk""".stripMargin
 
   /** Q65-shape: (supplier, part) revenue at most half the supplier's average
-    * — an aggregate joined against an aggregate over itself. */
+    * — an aggregate filtered against an aggregate over itself. TPC-DS writes
+    * this as the subquery `sc` scanned twice (`tpcds-q65.test` computes the
+    * store/item rollup once for `sc` and once inside `sb`); here the
+    * per-supplier average is a window over the single rollup, so the fact
+    * table is scanned and pre-aggregated exactly once and the window stage
+    * only sees the (supplier × part) aggregate. The window sum stays DECIMAL
+    * (order-independent) and the average is decimal-sum / count, per the
+    * package exactness convention. */
   val qds65BelowAvg: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     val p = t(s, dir, "part")
     val sc = l.groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sumd(col("l_extendedprice")).as("revenue"))
-    val sb = sc.groupBy(col("l_suppkey").as("b_suppkey"))
-      .agg((sum(col("revenue").cast(DecimalType(18, 2)))
-              .cast(DoubleType) / count(lit(1))).as("ave"))
-    sc.join(sb, col("l_suppkey") === col("b_suppkey"))
+    val w = Window.partitionBy(col("l_suppkey"))
+    sc.withColumn("ave",
+        sum(col("revenue").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType) / count(lit(1)).over(w))
       .filter(col("revenue") <= col("ave") * 0.5)
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(p, col("l_partkey") === col("p_partkey"))

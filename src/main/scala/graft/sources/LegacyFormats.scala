@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+import org.apache.hadoop.hive.ql.io.RCFileInputFormat
+import org.apache.hadoop.io.{LongWritable, NullWritable, Text, Writable}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.types._
+
+/** Readers for the reference's legacy HDFS file formats
+  * (`fe/.../catalog/HdfsFileFormat.java`: TEXT, SEQUENCE, RC, AVRO,
+  * PARQUET) that Spark has no built-in datasource for in this offline
+  * environment.
+  *
+  * Design: each format's *container* is unwrapped with the stock Hadoop
+  * input format (split-aware, so reads parallelize per HDFS block exactly
+  * like the reference's scan-range model, `hdfs-scan-node.h:75-90`), and the
+  * delimited row *payload* is handed to Spark's own CSV parser
+  * (`spark.read.csv(Dataset[String])`) — one schema-cast/parse path shared
+  * with the text scanner instead of a hand-rolled field parser. This mirrors
+  * the reference's layering: `base-sequence-scanner.cc` unwraps the
+  * container, `delimited-text-parser.cc` parses rows; our "delimited-text
+  * parser" is the codegen'd CSV reader.
+  *
+  * Avro carries its own schema, so records map straight to rows
+  * (`hdfs-avro-scanner.cc`'s schema-resolution path; flat primitive schemas
+  * only — the reference era has no nested types, SURVEY §1.2).
+  */
+object LegacyFormats {
+
+  // ---- SequenceFile (reference: hdfs-sequence-scanner.cc 498 LoC) ----
+
+  /** Read a SequenceFile[*, Text] of `sep`-delimited rows (any key type —
+    * the row payload is the value, as in the reference's scanner). */
+  def readSequenceText(spark: SparkSession, path: String, schema: StructType,
+                       sep: String = "|"): DataFrame = {
+    val lines = spark.sparkContext.hadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapred.SequenceFileInputFormat[Writable, Text]],
+        classOf[Writable], classOf[Text])
+      .map(_._2.toString) // copy now: Hadoop reuses the Writable
+    spark.read.schema(schema).option("sep", sep)
+      .csv(spark.createDataset(lines)(Encoders.STRING))
+  }
+
+  /** Distributed SequenceFile sink: rows as `sep`-joined Text values. */
+  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*))
+      .rdd.map(r => (NullWritable.get(), r.getString(0)))
+      .saveAsSequenceFile(path)
+
+  // ---- RCFile (reference: hdfs-rcfile-scanner.cc 574 LoC) ----
+
+  /** Read an RCFile whose columns are UTF-8 text (the Hive ColumnarSerDe
+    * text layout the reference scans). Column-group bytes are re-joined to a
+    * delimited line and parsed by the shared CSV path. */
+  def readRcfileText(spark: SparkSession, path: String, schema: StructType,
+                     sep: String = "|"): DataFrame = {
+    val nCols = schema.length
+    val lines = spark.sparkContext.hadoopFile(
+        path,
+        classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+        classOf[LongWritable], classOf[BytesRefArrayWritable])
+      .map { case (_, v) =>
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < nCols) {
+          if (i > 0) sb.append(sep)
+          val ref = v.get(i)
+          sb.append(new String(ref.getData, ref.getStart, ref.getLength,
+                               StandardCharsets.UTF_8))
+          i += 1
+        }
+        sb.toString
+      }
+    spark.read.schema(schema).option("sep", sep)
+      .csv(spark.createDataset(lines)(Encoders.STRING))
+  }
+
+  // ---- Avro object container files (reference: hdfs-avro-scanner.cc) ----
+
+  /** Read Avro container files; the writer schema is taken from the first
+    * file's header (as the reference's schema-resolution default). */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val first = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no .avro files in $path"))
+    val in = fs.open(first)
+    val avroSchema =
+      try {
+        val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        try s.getSchema finally s.close()
+      } finally in.close()
+    val sparkSchema = toStructType(avroSchema)
+    val schemaJson = avroSchema.toString
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
+      .mapPartitions { it =>
+        val fields = new Schema.Parser().parse(schemaJson).getFields.asScala
+          .map(_.name).toArray
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          Row.fromSeq(fields.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  /** Avro → Spark schema for the reference-era surface (flat records of
+    * primitives, nullability via `union {null, T}`). */
+  def toStructType(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD, s"expected a record schema, got $s")
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      StructField(f.name(), t, nullable)
+    })
+  }
+
+  private def unwrap(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only [null, T] unions supported, got $s")
+      (primitive(nonNull.head), branches.size > nonNull.size)
+    case _ => (primitive(s), false)
+  }
+
+  private def primitive(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING => StringType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"unsupported avro type $other (reference-era schemas are flat primitives)")
+  }
+
+  private def fromAvro(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case other => other
+  }
+}

@@ -82,6 +82,90 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("sequencefile round-trip (delimited text payload)") {
+    val dir = tmp("graft_seq") + "/data"
+    sources.LegacyFormats.writeSequenceText(nation, dir)
+    val back = sources.LegacyFormats.readSequenceText(spark, dir, nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("rcfile round-trip (columnar text payload)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    val dir = tmp("graft_rc")
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val nCols = nation.schema.length
+    RCFileOutputFormat.setColumnNumber(conf, nCols)
+    val file = new Path(dir, "part-00000.rc")
+    val writer = new RCFile.Writer(file.getFileSystem(conf), conf, file)
+    nation.orderBy("n_nationkey").collect().foreach { r =>
+      val braw = new BytesRefArrayWritable(nCols)
+      (0 until nCols).foreach { i =>
+        braw.set(i, new BytesRefWritable(String.valueOf(r.get(i)).getBytes("UTF-8")))
+      }
+      writer.append(braw)
+    }
+    writer.close()
+    val back = sources.LegacyFormats.readRcfileText(spark, dir, nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("avro round-trip with a nullable union field") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp("graft_avro")
+    val schema: Schema = SchemaBuilder.record("nation").fields()
+      .requiredInt("n_nationkey")
+      .optionalString("n_name") // union {null, string}
+      .requiredInt("n_regionkey")
+      .endRecord()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    val src = nation.orderBy("n_nationkey").collect()
+    src.foreach { r =>
+      val rec = new GenericData.Record(schema)
+      rec.put("n_nationkey", r.getInt(0))
+      rec.put("n_name", if (r.getInt(0) % 2 == 0) r.getString(1) else null)
+      rec.put("n_regionkey", r.getInt(2))
+      w.append(rec)
+    }
+    w.close()
+
+    val back = sources.LegacyFormats.readAvro(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.nullable)).toSeq ==
+      Seq(("n_nationkey", false), ("n_name", true), ("n_regionkey", false)))
+    val rows = back.orderBy("n_nationkey").collect()
+    assert(rows.length == src.length)
+    rows.zip(src).foreach { case (got, want) =>
+      assert(got.getInt(0) == want.getInt(0))
+      if (want.getInt(0) % 2 == 0) assert(got.getString(1) == want.getString(1))
+      else assert(got.isNullAt(1))
+    }
+  }
+
+  test("LOAD DATA: moves files into the table dir; OVERWRITE replaces") {
+    spark.sql("DROP TABLE IF EXISTS ld_nation")
+    nation.write.saveAsTable("ld_nation")
+    val extra = tmp("graft_ld")
+    nation.write.mode("overwrite").parquet(extra)
+    val moved = sources.LoadData.loadData(spark, extra, "ld_nation")
+    assert(moved > 0)
+    assert(spark.table("ld_nation").count() == 2 * nation.count())
+    // source files are gone (moved, not copied)
+    assert(!new java.io.File(extra).listFiles().exists(_.getName.startsWith("part-")))
+
+    val extra2 = tmp("graft_ld2")
+    nation.write.mode("overwrite").parquet(extra2)
+    sources.LoadData.loadData(spark, extra2, "ld_nation", overwrite = true)
+    assert(spark.table("ld_nation").count() == nation.count())
+    spark.sql("DROP TABLE ld_nation")
+  }
+
   test("parquet filter + column pushdown reaches the scan") {
     val li = Tables.table(spark, sfDir, "lineitem")
       .filter(col("l_quantity") < 5.0)
