@@ -90,4 +90,48 @@ class StreamingSpec extends SparkSpec {
       s"user 2 session must close via event-time timeout: ${sessions.toSeq}")
     assert(!sessions.exists(_.user_id == 3), "user 3 session is still open")
   }
+
+  test("streaming dedup drops redelivered rows within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.dedupWithinWatermark(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // Same (user, type, value) delivered twice in-batch and once redelivered
+    // in the next batch while still inside the horizon → one survivor.
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:00:01"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 10:00:02"), 2, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 10:01:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length == 2,
+      s"expected 2 unique rows, got ${out.length}: ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("user_id")).toSet == Set(1L, 2L))
+  }
+
+  test("stream-static join enriches events with the customer dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.table(spark, sfDir, "customer")
+    val someCust = dim.select("c_custkey").as[Long].head()
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.enrichWithUserDim(input.toDF(), dim)
+      .select("event_id", "user_id", "c_name", "c_mktsegment")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), someCust, "click", 1.0),
+      Event(2, ts("2024-01-01 10:00:01"), -999L, "view", 2.0)) // no dim match
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).isDefined, "matched event must carry the dim columns")
+    assert(out(2L).isEmpty, "unmatched event must survive with NULL dim (left outer)")
+  }
 }
