@@ -150,8 +150,55 @@ def gen_subquery_query(rng):
             f"ORDER BY {key}")
 
 
+# Unique row key per table — required for deterministic window frames: a
+# running sum ordered by a NON-unique key has tie-order-dependent prefixes
+# that legitimately differ between engines (seed 31 caught this with
+# l_orderkey alone). The synthetic lineitem is TPC-H-ISH: even
+# (l_orderkey, l_linenumber) has ~24% duplicate pairs, so its key spans
+# every numeric column (verified distinct at sf0.001/0.01/0.1).
+UNIQ = {
+    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+}
+
+
+def gen_window_query(rng, table):
+    # Deterministic windows: partition on a low-card column (tables without
+    # one are redirected), order by the table's unique key combination.
+    if not cols(table, {"cat"}):
+        table = "customer"
+    part = rng.choice(cols(table, {"cat"}))
+    uniq = ", ".join(UNIQ[table])
+    m = rng.choice(cols(table, {"double", "int"}))
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    return (f"SELECT {uniq}, {part}, {fn} OVER (PARTITION BY {part} ORDER BY {uniq}) AS rn, "
+            f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) OVER "
+            f"(PARTITION BY {part} ORDER BY {uniq} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running "
+            f"FROM {table} WHERE {gen_predicate(rng, table)} "
+            f"ORDER BY {uniq} LIMIT 1000")
+
+
+def gen_setop_query(rng, table):
+    key = cols(table, {"key"})[0]
+    proj = rng.sample(cols(table, {"key", "cat", "int"}), 2)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    p1, p2 = gen_predicate(rng, table), gen_predicate(rng, table)
+    # UNION ALL over overlapping predicates duplicates rows; keep output
+    # deterministic by ordering on the full projection.
+    return (f"SELECT {', '.join(proj)} FROM {table} WHERE {p1} "
+            f"{op} SELECT {', '.join(proj)} FROM {table} WHERE {p2} "
+            f"ORDER BY {', '.join(proj)} LIMIT 2000")
+
+
 def generate(rng, i):
-    kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery"])
+    kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery",
+                       "window", "setop"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
@@ -161,6 +208,10 @@ def generate(rng, i):
         return gen_having_query(rng, table)
     if kind == "subquery":
         return gen_subquery_query(rng)
+    if kind == "window":
+        return gen_window_query(rng, table)
+    if kind == "setop":
+        return gen_setop_query(rng, table)
     return gen_scalar_query(rng, table)
 
 
