@@ -14,7 +14,7 @@ import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
 import org.apache.hadoop.hive.ql.io.RCFileInputFormat
 import org.apache.hadoop.io.{LongWritable, NullWritable, Text, Writable}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
 import org.apache.spark.sql.types._
 
 /** Readers for the reference's legacy HDFS file formats
@@ -49,13 +49,16 @@ object LegacyFormats {
         classOf[org.apache.hadoop.mapred.SequenceFileInputFormat[Writable, Text]],
         classOf[Writable], classOf[Text])
       .map(_._2.toString) // copy now: Hadoop reuses the Writable
-    spark.read.schema(schema).option("sep", sep)
-      .csv(spark.createDataset(lines)(Encoders.STRING))
+    parseDelimited(spark, lines, schema, sep)
   }
 
-  /** Distributed SequenceFile sink: rows as `sep`-joined Text values. */
+  /** Distributed SequenceFile sink: rows as `sep`-joined Text values.
+    * NULL columns are written as empty fields (concat_ws alone would SKIP
+    * them, shifting every later column left on read); the CSV read path
+    * maps empty fields back to NULL. */
   def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit =
-    df.select(concat_ws(sep, df.columns.map(col): _*))
+    df.select(concat_ws(sep,
+        df.columns.map(c => coalesce(col(c).cast(StringType), lit(""))): _*))
       .rdd.map(r => (NullWritable.get(), r.getString(0)))
       .saveAsSequenceFile(path)
 
@@ -83,9 +86,19 @@ object LegacyFormats {
         }
         sb.toString
       }
-    spark.read.schema(schema).option("sep", sep)
-      .csv(spark.createDataset(lines)(Encoders.STRING))
+    parseDelimited(spark, lines, schema, sep)
   }
+
+  /** Shared row-payload parser: raw `sep`-delimited text with NO quote
+    * handling (quote char disabled), matching the reference's
+    * delimited-text parser and `writeSequenceText`'s unquoted output — a
+    * field that merely starts with '"' must pass through verbatim. */
+  private def parseDelimited(spark: SparkSession,
+                             lines: org.apache.spark.rdd.RDD[String],
+                             schema: StructType, sep: String): DataFrame =
+    spark.read.schema(schema).option("sep", sep)
+      .option("quote", "\u0000") // NUL quote char = quoting disabled
+      .csv(spark.createDataset(lines)(Encoders.STRING))
 
   // ---- Avro object container files (reference: hdfs-avro-scanner.cc) ----
 

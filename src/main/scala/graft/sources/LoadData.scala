@@ -30,8 +30,12 @@ object LoadData {
 
     if (overwrite)
       fs.listStatus(loc).map(_.getPath).filter(isData)
-        .foreach(p => fs.delete(p, false))
+        .foreach(p => require(fs.delete(p, true),
+          s"LOAD DATA OVERWRITE: failed to delete $p"))
 
+    // rename only works within one filesystem (it THROWS "Wrong FS" rather
+    // than returning false across filesystems), so pick the strategy by URI.
+    val sameFs = srcFs.getUri == fs.getUri
     val files = srcFs.listStatus(src).map(_.getPath).filter(isData)
     files.foreach { f =>
       var target = new Path(loc, f.getName)
@@ -40,10 +44,10 @@ object LoadData {
         n += 1
         target = new Path(loc, s"${f.getName}_copy_$n")
       }
-      require(fs.rename(f, target) || {
-        // cross-filesystem fallback: copy + delete
-        org.apache.hadoop.fs.FileUtil.copy(srcFs, f, fs, target, true, conf)
-      }, s"failed to move $f to $target")
+      val moved =
+        if (sameFs) fs.rename(f, target)
+        else org.apache.hadoop.fs.FileUtil.copy(srcFs, f, fs, target, true, conf)
+      require(moved, s"failed to move $f to $target")
     }
     spark.sql(s"REFRESH TABLE $table")
     files.length

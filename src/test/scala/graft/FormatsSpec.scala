@@ -90,6 +90,27 @@ class FormatsSpec extends SparkSpec {
            nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("sequencefile round-trip preserves null mid-row fields and quote chars") {
+    // Regression (round-3 advice): concat_ws SKIPS null columns, shifting
+    // later fields left; and the CSV reader treated a leading '"' as a
+    // quote. Both must round-trip verbatim.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("a", StringType),
+      StructField("b", StringType)))
+    val rows = Seq(
+      Row(1, null, "after-null"),       // null mid-row: b must stay in column b
+      Row(2, "\"quoted\" start", "x"),  // leading quote char passes through raw
+      Row(3, "plain", null))            // trailing null
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp("graft_seq_nulls") + "/data"
+    sources.LegacyFormats.writeSequenceText(df, dir)
+    val back = sources.LegacyFormats.readSequenceText(spark, dir, schema)
+    assert(back.orderBy("k").collect().toSeq == rows)
+  }
+
   test("rcfile round-trip (columnar text payload)") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
