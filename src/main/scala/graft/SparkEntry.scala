@@ -26,6 +26,8 @@ object SparkEntry {
       operators.AggQueries.all ++
       operators.ExprQueries.all ++
       operators.WindowQueries.all ++
+      operators.GroupingQueries.all ++
+      pipeline.PackingQueries.all ++
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
       pipeline.SimilarityQueries.all ++
@@ -43,6 +45,8 @@ object SparkEntry {
       operators.AggQueries.oracle ++
       operators.ExprQueries.oracle ++
       operators.WindowQueries.oracle ++
+      operators.GroupingQueries.oracle ++
+      pipeline.PackingQueries.oracle ++
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++
