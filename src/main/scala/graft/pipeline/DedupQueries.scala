@@ -53,17 +53,19 @@ object DedupQueries {
   private def jaccard(a: Column, b: Column): Column =
     graft.functions.VectorOps.jaccard(a, b)
 
-  /** Exact dedup: one survivor (min doc_id) per content fingerprint. */
+  /** Exact dedup: one survivor (min doc_id) per content fingerprint.
+    * Deliberately NO global ORDER BY: the result is a set, and a total sort
+    * of the deduped corpus is a full range-exchange we'd pay at 100 TB for
+    * nothing (the correctness gate sorts rows itself before hashing). */
   val exact: QueryFn = (s, dir) => {
     t(s, dir, "documents")
       .groupBy(md5(normalized.cast("binary")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keeper_doc_id"))
   }
   val exactSql: String =
     """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
       |  MIN(doc_id) AS keeper_doc_id, COUNT(1) AS n_copies
-      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** Blocked brute-force n-gram Jaccard: candidate pairs restricted to the
     * same language and ±20-token length window, verified exactly with a

@@ -49,17 +49,22 @@ object IvfAnn {
         transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
   }
 
-  /** Nearest-centroid cell id for every vector (broadcast k×n scoring). */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+  /** Nearest-centroid cell id for every vector (broadcast k×n scoring).
+    * argmax via `max_by` aggregation, NOT a window: the partial aggregate
+    * collapses each vector's nlist scored rows map-side, so the shuffle
+    * carries one row per vector instead of nlist — at 100 TB the window
+    * variant would sort-shuffle nlist× the corpus. Ties break toward the
+    * lowest cell_id (negated in the ordering struct) for determinism. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         cosine(col("embedding"), col("centroid")).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cell_id"), col("embedding")),
+        struct(col("sim"), (-col("cell_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.cell_id").as("cell_id"))
 
   /** Top-k within the nprobe nearest cells per query. */
   def search(emb: DataFrame, queryIds: Seq[Long], k: Int,

@@ -84,7 +84,8 @@ object Multimodal {
         sha2(payload, 256).as("content_sha256"),
         (lit(16) + pmod(col("n_chars"), lit(2033))).as("fake_width"),
         (lit(16) + pmod(col("n_chars") * 7, lit(1017))).as("fake_height"))
-      .orderBy(col("doc_id"))
+    // no global sort: per-doc metadata is a set, and a total order over the
+    // whole corpus is a needless range-exchange at scale
   }
   val mediaMetaSql: String =
     """SELECT doc_id,
@@ -96,7 +97,7 @@ object Multimodal {
       |  sha256(text) AS content_sha256,
       |  16 + (n_chars % 2033) AS fake_width,
       |  16 + ((n_chars * 7) % 1017) AS fake_height
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   /** Feature aggregation over the decoded (stubbed) features — exercises
     * the full media → decode → analyze pipeline as one query. Rows-only
