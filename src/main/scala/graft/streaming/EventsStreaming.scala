@@ -77,6 +77,34 @@ object EventsStreaming {
       broadcast(userDim),
       events("user_id") === userDim("c_custkey"), "left_outer")
 
+  /** Stream-stream interval join: pair each click with the same user's
+    * purchases landing within `horizon` AFTER the click. Both sides carry a
+    * watermark and the join condition bounds purchase-time relative to
+    * click-time, so the state store retains each side only for
+    * watermark + horizon — the join is feasible on unbounded streams
+    * precisely because the time bound makes eviction provable. At 100 TB/day
+    * the state is (ingest rate × horizon) per side, partitioned by user_id.
+    *
+    * `clicks`/`purchases` are event frames (schema of [[Event]]); column
+    * prefixes keep the self-join unambiguous. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "15 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+                          col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+                             col("event_id").as("purchase_id"),
+                             col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Per-user sessionization with explicit state: a session closes after
     * `gapSeconds` of event-time silence. Emission is driven by EVENT-time
     * timeouts against the watermark — processing-time timeouts would force

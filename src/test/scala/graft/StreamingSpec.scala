@@ -134,4 +134,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L).isDefined, "matched event must carry the dim columns")
     assert(out(2L).isEmpty, "unmatched event must survive with NULL dim (left outer)")
   }
+
+  test("stream-stream interval join pairs clicks with in-horizon purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventsStreaming
+      .clickToPurchase(clicks.toDF(), purchases.toDF(), horizon = "15 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    clicks.addData(
+      Event(10, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(11, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+    purchases.addData(
+      Event(20, ts("2024-01-01 10:10:00"), 1, "purchase", 9.99), // in horizon
+      Event(21, ts("2024-01-01 10:30:00"), 2, "purchase", 5.00), // too late
+      Event(22, ts("2024-01-01 09:59:00"), 1, "purchase", 1.00)) // before click
+    query.processAllAvailable()
+    // advance both watermarks so joined rows are emitted in append mode
+    clicks.addData(Event(12, ts("2024-01-01 11:30:00"), 3, "click", 0.0))
+    purchases.addData(Event(23, ts("2024-01-01 11:30:00"), 4, "noise", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("ss_join_out")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 20L)),
+      s"only the in-horizon purchase after its click may match, got $out")
+  }
 }
