@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *  - Deterministic key-mod sampling is the reproducible-pipeline variant of
   *    TABLESAMPLE: the sample is a pure filter (pushed to the scan), stable
   *    across runs/partitionings, and stratification falls out of grouping.
+  *
+  * Documented divergence (found by tools/fuzz.py seed 11): over EMPTY input
+  * Spark's grouping sets emit 0 rows, while the SQL standard (and
+  * DuckDB/Postgres) gives the `()` grouping set one grand-total row with
+  * count 0. The queries here never aggregate an empty input.
   */
 object GroupingQueries {
 

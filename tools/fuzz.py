@@ -175,8 +175,11 @@ def gen_window_query(rng, table):
     part = rng.choice(cols(table, {"cat"}))
     uniq = ", ".join(UNIQ[table])
     m = rng.choice(cols(table, {"double", "int"}))
-    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
-    return (f"SELECT {uniq}, {part}, {fn} OVER (PARTITION BY {part} ORDER BY {uniq}) AS rn, "
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+                     f"LAG({m}, 1) OVER (PARTITION BY {part} ORDER BY {uniq})",
+                     f"LEAD({m}, 1) OVER (PARTITION BY {part} ORDER BY {uniq})"])
+    over = "" if "OVER" in fn else f" OVER (PARTITION BY {part} ORDER BY {uniq})"
+    return (f"SELECT {uniq}, {part}, {fn}{over} AS rn, "
             f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) OVER "
             f"(PARTITION BY {part} ORDER BY {uniq} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running "
@@ -184,10 +187,37 @@ def gen_window_query(rng, table):
             f"ORDER BY {uniq} LIMIT 1000")
 
 
+def gen_rollup_query(rng, table):
+    # ROLLUP/CUBE in the cross-engine subset: GROUPING(col) per key (the
+    # n-ary GROUPING bitmask argument order is dialect-identical but the
+    # per-column form is the safer common denominator), decimal-cast sums.
+    # No ORDER BY — the comparator sorts rows, and NULL-ordering defaults
+    # differ between engines.
+    gpool = cols(table, {"cat"})
+    if len(gpool) < 2:
+        table, gpool = "orders", ["o_orderstatus", "o_orderpriority"]
+    a, b = rng.sample(gpool, 2)
+    m = rng.choice(cols(table, {"double", "int"}))
+    op = rng.choice(["ROLLUP", "CUBE"])
+    # KNOWN DIVERGENCE (seed 11, f0063): over EMPTY input Spark's grouping
+    # sets return 0 rows, while DuckDB/Postgres follow the standard — the ()
+    # grouping set contributes one grand-total row (cnt=0) even with no
+    # input. Key-mod predicates are never empty on this corpus, keeping the
+    # grammar inside the agreeing subset.
+    key = cols(table, {"key"})[0]
+    pred = f"{key} % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+    return (f"SELECT {a}, {b}, GROUPING({a}) AS ga, GROUPING({b}) AS gb, "
+            f"COUNT(1) AS cnt, "
+            f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) AS DOUBLE) AS s "
+            f"FROM {table} WHERE {pred} "
+            f"GROUP BY {op}({a}, {b})")
+
+
 def gen_setop_query(rng, table):
     key = cols(table, {"key"})[0]
     proj = rng.sample(cols(table, {"key", "cat", "int"}), 2)
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
     p1, p2 = gen_predicate(rng, table), gen_predicate(rng, table)
     # UNION ALL over overlapping predicates duplicates rows; keep output
     # deterministic by ordering on the full projection.
@@ -198,7 +228,7 @@ def gen_setop_query(rng, table):
 
 def generate(rng, i):
     kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery",
-                       "window", "setop"])
+                       "window", "setop", "rollup"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
@@ -212,6 +242,8 @@ def generate(rng, i):
         return gen_window_query(rng, table)
     if kind == "setop":
         return gen_setop_query(rng, table)
+    if kind == "rollup":
+        return gen_rollup_query(rng, table)
     return gen_scalar_query(rng, table)
 
 
