@@ -52,9 +52,15 @@ object ScaleSmoke {
           println(s"[scale] $name FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
       }
     }
-    Seq("q1_agg", "q3_topn", "q5_join_agg", "q18_large", "q_topk_per_group",
-        "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-        "q_dedup_embedding", "q_ann_ivf").foreach(time)
+    val heavy = Seq("q1_agg", "q3_topn", "q5_join_agg", "q18_large",
+        "q_topk_per_group", "q_dedup_exact", "q_dedup_minhash_lsh",
+        "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_ann_ivf",
+        // round 4: grouping-set Expand, window frames over high-card keys,
+        // multiset set-op, packing cumsum
+        "q_rollup", "q_window_frame", "q_window_lag", "q_except_all",
+        "q_pack_bins")
+    val only = args.lift(2).map(_.split(",").toSet)
+    heavy.filter(q => only.forall(_.contains(q))).foreach(time)
     spark.stop()
   }
 }
