@@ -7,7 +7,19 @@ import org.apache.spark.sql.SparkSession
   * `java -cp ... graft.BenchOne <query> [sfDir] [reps]` */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    def usage(): Nothing = {
+      System.err.println(
+        "usage: graft.BenchOne <query> [sfDir] [reps]\n" +
+        "registered queries:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
+    if (args.isEmpty) usage()
     val name = args(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'")
+      usage()
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

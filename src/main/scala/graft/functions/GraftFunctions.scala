@@ -27,8 +27,21 @@ object GraftFunctions {
 
   /** name -> Catalyst expression builder (arity-checked at build time). */
   val injections: Seq[(String, FunctionBuilder)] = Seq(
-    // --- utility: fnv_hash (be/src/exprs/utility-functions.cc) ---
+    // --- utility (be/src/exprs/utility-functions.cc) ---
     "fnv_hash" -> ((args: Seq[Expression]) => FnvHashExpression(args.head)),
+    // user()/effective_user(): the session's authenticated principal —
+    // CurrentUser resolves via the ReplaceCurrentLike rule to the session
+    // user, the Spark analogue of the reference's connected-user lookup.
+    "user" -> ((_: Seq[Expression]) => CurrentUser()),
+    "effective_user" -> ((_: Seq[Expression]) => CurrentUser()),
+    // version(): engine build string (reference returns the impalad build).
+    "version" -> ((_: Seq[Expression]) =>
+      Literal(s"graft (spark ${org.apache.spark.SPARK_VERSION})")),
+    // pid(): the driver JVM's pid — the analogue of the coordinator pid.
+    "pid" -> ((_: Seq[Expression]) =>
+      Literal(ProcessHandle.current().pid().toInt)),
+    "sleep" -> ((args: Seq[Expression]) =>
+      Sleep(Cast(args.head, LongType))),
 
     // --- string aliases (impala_functions.py:149-212) ---
     "strleft" -> ((args: Seq[Expression]) => Left(args(0), args(1))),

@@ -149,7 +149,6 @@ object DedupQueries {
               round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= 0.2)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints from token hashes, banded
@@ -177,7 +176,6 @@ object DedupQueries {
               bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dup pairs (brute-force verify at test scale; the

@@ -43,7 +43,6 @@ object TextQueries {
         nChars.as("n_nonspace_chars"),
         ceil(nChars.cast(DoubleType) / 4.0).cast("long").as("bpe_est_tokens"),
         (nChars.cast(DoubleType) / size(toks)).as("avg_token_len"))
-      .orderBy(col("doc_id"))
   }
   val tokenCountSql: String =
     """SELECT doc_id,
@@ -52,7 +51,7 @@ object TextQueries {
       |  CAST(CEIL(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est_tokens,
       |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
       |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   /** Quality scoring: stopword ratio, type-token ratio (vocabulary
     * diversity), digit ratio; combined into one [0,1] score. */
@@ -77,7 +76,6 @@ object TextQueries {
         digitRatio.as("digit_ratio"),
         ((ttr * 0.5) + (lit(1.0) - digitRatio) * 0.3 + stopRatio * 0.2)
           .as("quality_score"))
-      .orderBy(col("doc_id"))
   }
   val qualitySql: String =
     """WITH q AS (
@@ -100,7 +98,7 @@ object TextQueries {
       |  digit_ratio,
       |  type_token_ratio * 0.5 + (1.0 - digit_ratio) * 0.3
       |    + stopword_ratio * 0.2 AS quality_score
-      |FROM r ORDER BY doc_id""".stripMargin
+      |FROM r""".stripMargin
 
   /** Language-ID n-gram/stopword heuristic: per-language function-word hit
     * counts; highest count wins (threshold 1, else 'und'). The corpus is
@@ -122,7 +120,6 @@ object TextQueries {
         when(best === 0, "und")
           .when(en === best, "en").when(de === best, "de")
           .when(fr === best, "fr").otherwise("es").as("lang_pred"))
-      .orderBy(col("doc_id"))
   }
   val langIdSql: String =
     """WITH h AS (
@@ -142,7 +139,7 @@ object TextQueries {
       |       WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
       |       WHEN fr_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
       |       ELSE 'es' END AS lang_pred
-      |FROM h ORDER BY doc_id""".stripMargin
+      |FROM h""".stripMargin
 
   /** Document fingerprinting: md5 over whitespace-normalized lowercase text
     * (the content hash exact-dedup keys on) + a 16-bit shard bucket derived
@@ -153,13 +150,12 @@ object TextQueries {
     d.select(
         col("doc_id"), fp.as("fingerprint"),
         substring(fp, 1, 4).as("shard_bucket"))
-      .orderBy(col("doc_id"))
   }
   val fingerprintSql: String =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
       |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_bucket
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   val all: Map[String, QueryFn] = Map(
     "q_text_token_count" -> tokenCount,

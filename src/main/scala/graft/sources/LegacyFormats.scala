@@ -13,8 +13,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
 import org.apache.hadoop.hive.ql.io.RCFileInputFormat
 import org.apache.hadoop.io.{LongWritable, NullWritable, Text, Writable}
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, replace}
 import org.apache.spark.sql.types._
 
 /** Readers for the reference's legacy HDFS file formats
@@ -25,12 +25,11 @@ import org.apache.spark.sql.types._
   * Design: each format's *container* is unwrapped with the stock Hadoop
   * input format (split-aware, so reads parallelize per HDFS block exactly
   * like the reference's scan-range model, `hdfs-scan-node.h:75-90`), and the
-  * delimited row *payload* is handed to Spark's own CSV parser
-  * (`spark.read.csv(Dataset[String])`) — one schema-cast/parse path shared
-  * with the text scanner instead of a hand-rolled field parser. This mirrors
-  * the reference's layering: `base-sequence-scanner.cc` unwraps the
-  * container, `delimited-text-parser.cc` parses rows; our "delimited-text
-  * parser" is the codegen'd CSV reader.
+  * delimited row *payload* goes through one shared escape-aware parser
+  * (`parseDelimited`) speaking the Hive/Impala text convention — backslash
+  * escapes + the `\N` null sentinel. This mirrors the reference's layering:
+  * `base-sequence-scanner.cc` unwraps the container,
+  * `delimited-text-parser.cc` parses rows.
   *
   * Avro carries its own schema, so records map straight to rows
   * (`hdfs-avro-scanner.cc`'s schema-resolution path; flat primitive schemas
@@ -52,15 +51,25 @@ object LegacyFormats {
     parseDelimited(spark, lines, schema, sep)
   }
 
-  /** Distributed SequenceFile sink: rows as `sep`-joined Text values.
-    * NULL columns are written as empty fields (concat_ws alone would SKIP
-    * them, shifting every later column left on read); the CSV read path
-    * maps empty fields back to NULL. */
-  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit =
-    df.select(concat_ws(sep,
-        df.columns.map(c => coalesce(col(c).cast(StringType), lit(""))): _*))
+  /** Distributed SequenceFile sink: rows as `sep`-joined Text values in the
+    * Hive/Impala delimited-text convention the reference's parser speaks
+    * (`be/src/exec/delimited-text-parser.cc` escape handling):
+    *  - NULL is the sentinel `\N` (so a genuinely empty string round-trips
+    *    as "" and NULL as NULL — no conflation);
+    *  - a literal backslash is escaped to `\\` and a literal separator char
+    *    to `\<sep>`, so values containing the separator cannot shift later
+    *    columns on read. */
+  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit = {
+    require(sep.length == 1, s"separator must be a single char, got '$sep'")
+    df.select(concat_ws(sep, df.columns.map { c =>
+        val s = col(c).cast(StringType)
+        val escaped = replace(replace(s, lit("\\"), lit("\\\\")),
+                              lit(sep), lit("\\" + sep))
+        coalesce(escaped, lit(NullSentinel))
+      }: _*))
       .rdd.map(r => (NullWritable.get(), r.getString(0)))
       .saveAsSequenceFile(path)
+  }
 
   // ---- RCFile (reference: hdfs-rcfile-scanner.cc 574 LoC) ----
 
@@ -89,16 +98,70 @@ object LegacyFormats {
     parseDelimited(spark, lines, schema, sep)
   }
 
-  /** Shared row-payload parser: raw `sep`-delimited text with NO quote
-    * handling (quote char disabled), matching the reference's
-    * delimited-text parser and `writeSequenceText`'s unquoted output — a
-    * field that merely starts with '"' must pass through verbatim. */
+  /** NULL sentinel of the Hive/Impala delimited-text convention: a raw
+    * (pre-unescape) field equal to backslash-N means SQL NULL. */
+  private[sources] val NullSentinel = "\\N"
+
+  /** Shared row-payload parser: `sep`-delimited text with NO quote handling
+    * (a field that merely starts with '"' passes through verbatim) but WITH
+    * backslash escapes and the `\N` null sentinel, matching the reference's
+    * delimited-text parser (`be/src/exec/delimited-text-parser.cc`, escape
+    * handling) and `writeSequenceText`'s output. Fields are split on
+    * unescaped separators, compared against `\N` BEFORE unescaping (Hive
+    * semantics: an escaped backslash-N is the literal two-char string),
+    * then unescaped and cast to the schema. */
   private def parseDelimited(spark: SparkSession,
                              lines: org.apache.spark.rdd.RDD[String],
-                             schema: StructType, sep: String): DataFrame =
-    spark.read.schema(schema).option("sep", sep)
-      .option("quote", "\u0000") // NUL quote char = quoting disabled
-      .csv(spark.createDataset(lines)(Encoders.STRING))
+                             schema: StructType, sep: String): DataFrame = {
+    require(sep.length == 1, s"separator must be a single char, got '$sep'")
+    val sepCh = sep.charAt(0)
+    val n = schema.length
+    val rows = lines.map { line =>
+      val raw = splitEscaped(line, sepCh)
+      Row.fromSeq((0 until n).map(i => if (i < raw.length) decodeField(raw(i))
+                                       else null))
+    }
+    val asStrings = StructType(schema.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val strDf = spark.createDataFrame(rows, asStrings)
+    // Non-ANSI cast semantics (malformed -> NULL), same as the CSV scanner.
+    strDf.select(schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Split on `sep`, treating a backslash as escaping the next char (the
+    * escaped char is kept WITH its backslash for `decodeField`). */
+  private[sources] def splitEscaped(line: String, sep: Char): Array[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '\\' && i + 1 < line.length) {
+        sb.append(ch).append(line.charAt(i + 1)); i += 2
+      } else if (ch == sep) {
+        fields += sb.toString; sb.setLength(0); i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    fields += sb.toString
+    fields.toArray
+  }
+
+  /** `\N` -> NULL; otherwise strip one level of backslash escaping. */
+  private[sources] def decodeField(raw: String): String =
+    if (raw == NullSentinel) null
+    else if (raw.indexOf('\\') < 0) raw
+    else {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val ch = raw.charAt(i)
+        if (ch == '\\' && i + 1 < raw.length) {
+          sb.append(raw.charAt(i + 1)); i += 2
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
 
   // ---- Avro object container files (reference: hdfs-avro-scanner.cc) ----
 

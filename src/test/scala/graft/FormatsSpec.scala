@@ -14,8 +14,6 @@ import org.apache.spark.sql.functions._
   */
 class FormatsSpec extends SparkSpec {
 
-  private def tmp(p: String): String = Files.createTempDirectory(p).toString
-
   private lazy val nation = Tables.table(spark, sfDir, "nation")
 
   test("csv round-trip with pipe delimiter, escapes and gzip") {
@@ -109,6 +107,59 @@ class FormatsSpec extends SparkSpec {
     sources.LegacyFormats.writeSequenceText(df, dir)
     val back = sources.LegacyFormats.readSequenceText(spark, dir, schema)
     assert(back.orderBy("k").collect().toSeq == rows)
+  }
+
+  test("sequencefile round-trip: separator and backslash inside values, empty vs NULL") {
+    // Regression (round-5 advice): a value containing the separator used to
+    // shift all later columns on read, and empty string was conflated with
+    // NULL. The writer now emits Hive-convention escapes (\| and \\) and the
+    // \N null sentinel; the reader reverses both.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("a", StringType),
+      StructField("b", StringType)))
+    val rows = Seq(
+      Row(1, "pipe|inside", "after"),        // separator inside a value
+      Row(2, "back\\slash", "x"),            // literal backslash
+      Row(3, "", "empty-a-not-null"),        // empty string stays ""
+      Row(4, null, "after-null"),            // NULL stays NULL
+      Row(5, "\\N", "literal-backslash-N"))  // the 2-char string "\N" is data
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp("graft_seq_esc") + "/data"
+    sources.LegacyFormats.writeSequenceText(df, dir)
+    val back = sources.LegacyFormats.readSequenceText(spark, dir, schema)
+    assert(back.orderBy("k").collect().toSeq == rows)
+  }
+
+  test("csv round-trip with bzip2 compression (splittable codec)") {
+    // Reference decompress matrix: be/src/util/decompress.cc (gzip, bzip2,
+    // snappy, lzo). bzip2 is the splittable one — at 100 TB a non-splittable
+    // codec serializes the scan, so this is the codec a large text load uses.
+    val dir = tmp("graft_csv_bz2")
+    nation.write.mode("overwrite")
+      .option("sep", "|").option("compression", "bzip2").option("header", "true")
+      .csv(dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".csv.bz2")))
+    val back = spark.read
+      .option("sep", "|").option("header", "true").schema(nation.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("csv round-trip with snappy (hadoop codec) compression") {
+    val dir = tmp("graft_csv_snappy")
+    nation.write.mode("overwrite")
+      .option("sep", "|")
+      .option("compression", "org.apache.hadoop.io.compress.SnappyCodec")
+      .option("header", "true")
+      .csv(dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".snappy")))
+    val back = spark.read
+      .option("sep", "|").option("header", "true").schema(nation.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+           nation.orderBy("n_nationkey").collect().toSeq)
   }
 
   test("rcfile round-trip (columnar text payload)") {

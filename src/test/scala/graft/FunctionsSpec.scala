@@ -106,4 +106,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(6) == "ala")
     assert(r.getBoolean(7))
   }
+
+  test("utility trivia: user/effective_user/version/pid/sleep") {
+    // `user` and `version` shadow Spark built-ins, so the dialect spellings
+    // live under the impala_ prefix in a shared session (register() policy).
+    val r = sql1(
+      """SELECT impala_user() AS u, effective_user() AS eu,
+        |       impala_version() AS v, pid() AS p""".stripMargin)
+    assert(r.getString(0).nonEmpty)
+    assert(r.getString(1) == r.getString(0))
+    assert(r.getString(2).startsWith("graft (spark "))
+    assert(r.getInt(3) == ProcessHandle.current().pid().toInt)
+
+    val t0 = System.nanoTime()
+    assert(sql1("SELECT sleep(120) AS ok").getBoolean(0))
+    assert((System.nanoTime() - t0) / 1e6 >= 120,
+      "sleep(120) must block at least 120 ms")
+  }
 }

@@ -35,15 +35,16 @@ class OptimizerParitySpec extends SparkSpec {
   }
 
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
-    val dir = s"/tmp/graft_dpp_${System.nanoTime()}"
+    val base = tmp("graft_dpp")
+    val dir = s"$base/fact"
     Tables.table(spark, sfDir, "orders")
       .write.partitionBy("o_orderstatus").parquet(dir)
     val fact = spark.read.parquet(dir)
     // The dim must be file-backed: a LocalRelation's filter constant-folds
     // to nothing, and DPP only fires off a surviving selective Filter node.
     spark.createDataFrame(Seq(("F", "finished"), ("X", "unused")))
-      .toDF("status", "label").write.parquet(s"$dir.dim")
-    val dim = spark.read.parquet(s"$dir.dim").filter(col("label") === "finished")
+      .toDF("status", "label").write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("label") === "finished")
     val joined = fact.join(dim, col("o_orderstatus") === col("status"))
     val plan = executed(joined)
     assert(plan.contains("dynamicpruning"),

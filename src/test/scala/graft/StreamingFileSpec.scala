@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 class StreamingFileSpec extends SparkSpec {
 
   test("file-source stream over events matches the batch aggregation") {
-    val dir = Files.createTempDirectory("graft_stream_src")
+    val dir = Paths.get(tmp("graft_stream_src"))
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
 

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 /** INSERT / partitioned-write / CTAS / DDL surface — the Spark mapping of
@@ -9,9 +7,6 @@ import org.apache.spark.sql.functions._
   * `be/src/exec/hdfs-table-sink.h:30-65`) and DDL statements (SURVEY §2.11).
   */
 class WriteDdlSpec extends SparkSpec {
-
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
 
   test("partitioned write + partition pruning on read") {
     val dir = tmp("graft_part")
