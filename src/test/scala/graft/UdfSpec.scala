@@ -58,4 +58,36 @@ class UdfSpec extends SparkSpec {
     assert(rows.length == 3)
     rows.foreach(r => assert(r.getDouble(1) > 0 && r.getDouble(1) < 51))
   }
+
+  test("Hive Java UDF passthrough: GenericUDF and simple UDF classes from SQL") {
+    // Reference surface: be/src/exprs/hive-udf-call.cc:217 +
+    // fe/.../hive/executor/ — calling a compiled Hive UDF class from SQL.
+    // The classes come from a jar on the session classpath (hive-exec),
+    // registered via functions.HiveUdf (Spark's own CREATE FUNCTION AS
+    // resolves Hive classes only under the Hive catalog; the expression
+    // built here is spark-hive's, so evaluation semantics are identical).
+    functions.HiveUdf.register(spark, "hive_upper",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper")
+    assert(spark.sql("SELECT hive_upper('impala')").head().getString(0) == "IMPALA")
+
+    functions.HiveUdf.register(spark, "hive_ascii",
+      "org.apache.hadoop.hive.ql.udf.UDFAscii")
+    assert(spark.sql("SELECT hive_ascii('A')").head().getInt(0) == 65)
+
+    // a non-UDF class is rejected with a clear error
+    intercept[IllegalArgumentException] {
+      functions.HiveUdf.register(spark, "bad_udf", "java.lang.String")
+      spark.sql("SELECT bad_udf('x')").head()
+    }
+
+    // and over real table data in a projection
+    Tables.registerViews(spark, sfDir)
+    val got = spark.sql(
+      "SELECT hive_upper(n_name) FROM nation WHERE n_nationkey = 0")
+      .head().getString(0)
+    val want = Tables.table(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 0).head().getAs[String]("n_name")
+      .toUpperCase
+    assert(got == want)
+  }
 }

@@ -85,6 +85,102 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP DATABASE graft_test")
   }
 
+  test("CREATE TABLE LIKE <table> and LIKE parquet FILE (schema from footer)") {
+    // Reference: CreateTableLikeStmt + CreateTableLikeFileStmt
+    // (fe/src/main/cup/sql-parser.y:614-655).
+    Tables.registerViews(spark, sfDir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl.base")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl.like_tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl.like_file")
+    spark.sql(
+      """CREATE TABLE graft_ddl.base USING parquet AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+
+    spark.sql("CREATE TABLE graft_ddl.like_tbl LIKE graft_ddl.base")
+    assert(spark.table("graft_ddl.like_tbl").schema ==
+           spark.table("graft_ddl.base").schema)
+    assert(spark.table("graft_ddl.like_tbl").count() == 0,
+      "LIKE creates an empty table, data is not copied")
+
+    val schema = sources.Ddl.createTableLikeFile(
+      spark, "graft_ddl.like_file", s"$sfDir/nation.parquet")
+    assert(spark.table("graft_ddl.like_file").schema.fieldNames.toSeq ==
+           Tables.table(spark, sfDir, "nation").schema.fieldNames.toSeq)
+    assert(schema.fieldNames.contains("n_nationkey"))
+    assert(spark.table("graft_ddl.like_file").count() == 0)
+
+    Seq("base", "like_tbl", "like_file").foreach(t =>
+      spark.sql(s"DROP TABLE graft_ddl.$t"))
+    spark.sql("DROP DATABASE graft_ddl")
+  }
+
+  test("ALTER TABLE ADD/DROP PARTITION, partition SET LOCATION, SHOW PARTITIONS") {
+    // Reference: AlterTableAddPartitionStmt / AlterTableDropPartitionStmt /
+    // AlterTableSetLocationStmt + SHOW PARTITIONS (sql-parser.y:549-607).
+    spark.sql("DROP TABLE IF EXISTS graft_parts")
+    spark.range(10).select(col("id"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").format("parquet").saveAsTable("graft_parts")
+
+    assert(spark.sql("SHOW PARTITIONS graft_parts").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("p=0", "p=1"))
+
+    // ADD PARTITION with an explicit LOCATION holding pre-existing files
+    val extra = tmp("graft_addpart")
+    spark.range(3).select(col("id")).write.mode("overwrite").parquet(extra)
+    spark.sql(s"ALTER TABLE graft_parts ADD PARTITION (p=7) LOCATION '$extra'")
+    assert(spark.sql("SHOW PARTITIONS graft_parts").count() == 3)
+    assert(spark.table("graft_parts").filter(col("p") === 7).count() == 3)
+
+    // PARTITION ... SET LOCATION re-points just that partition
+    val moved = tmp("graft_movepart")
+    spark.range(1).select(lit(42L).as("id")).write.mode("overwrite").parquet(moved)
+    spark.sql(s"ALTER TABLE graft_parts PARTITION (p=7) SET LOCATION '$moved'")
+    spark.catalog.refreshTable("graft_parts")
+    val p7 = spark.table("graft_parts").filter(col("p") === 7)
+    assert(p7.count() == 1 && p7.head().getLong(0) == 42L)
+
+    // DROP PARTITION removes the rows from the table's view of the data
+    spark.sql("ALTER TABLE graft_parts DROP PARTITION (p=0)")
+    assert(spark.table("graft_parts").filter(col("p") === 0).count() == 0)
+    assert(spark.sql("SHOW PARTITIONS graft_parts").count() == 2)
+
+    spark.sql("DROP TABLE graft_parts")
+  }
+
+  test("DESCRIBE FORMATTED and ALTER TABLE SET FILEFORMAT / SET LOCATION") {
+    // Reference: DESCRIBE FORMATTED (DescribeStmt) +
+    // AlterTableSetFileFormatStmt (sql-parser.y:569-571; Spark spelling for
+    // the latter is the catalog-provider swap in sources.Ddl).
+    spark.sql("DROP TABLE IF EXISTS graft_fmt")
+    spark.sql("CREATE TABLE graft_fmt (id BIGINT, name STRING) USING parquet")
+
+    val desc = spark.sql("DESCRIBE FORMATTED graft_fmt").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.exists(_._1 == "# Detailed Table Information"))
+    assert(desc.exists { case (k, v) => k == "Provider" && v == "parquet" })
+    assert(desc.exists(_._1 == "Location"))
+
+    sources.Ddl.setFileFormat(spark, "graft_fmt", "csv")
+    assert(spark.sql("DESCRIBE FORMATTED graft_fmt").collect()
+      .exists(r => r.getString(0) == "Provider" && r.getString(1) == "csv"))
+    // metadata-only swap: subsequent writes+reads go through the new format
+    spark.sql("INSERT INTO graft_fmt VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("graft_fmt").count() == 2)
+    val loc = new java.net.URI(spark.sql("DESCRIBE FORMATTED graft_fmt")
+      .collect().find(_.getString(0) == "Location").get.getString(1)).getPath
+    assert(new java.io.File(loc).listFiles().exists(_.getName.endsWith(".csv")),
+      "files written after SET FILEFORMAT csv must be csv")
+
+    // whole-table SET LOCATION (AlterTableSetLocationStmt, no partition)
+    val newLoc = tmp("graft_setloc")
+    spark.sql(s"ALTER TABLE graft_fmt SET LOCATION '$newLoc'")
+    spark.catalog.refreshTable("graft_fmt")
+    assert(spark.table("graft_fmt").count() == 0, "new location starts empty")
+
+    spark.sql("DROP TABLE graft_fmt")
+  }
+
   test("CREATE/DROP VIEW and WITH-clause queries") {
     Tables.registerViews(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW big_nations AS " +
