@@ -102,6 +102,15 @@ object LegacyFormats {
     * (pre-unescape) field equal to backslash-N means SQL NULL. */
   private[sources] val NullSentinel = "\\N"
 
+  /** Parse raw delimited-text lines (the text-scanner payload convention:
+    * backslash escapes, `\N` null sentinel, empty field = empty string) with
+    * no container file — the reference's standalone delimited-text scanner
+    * surface (`be/src/exec/delimited-text-parser.cc`), exposed for in-memory
+    * payloads (e.g. fixture tables). */
+  def readDelimitedLines(spark: SparkSession, lines: Seq[String],
+                         schema: StructType, sep: String = "|"): DataFrame =
+    parseDelimited(spark, spark.sparkContext.parallelize(lines), schema, sep)
+
   /** Shared row-payload parser: `sep`-delimited text with NO quote handling
     * (a field that merely starts with '"' passes through verbatim) but WITH
     * backslash escapes and the `\N` null sentinel, matching the reference's

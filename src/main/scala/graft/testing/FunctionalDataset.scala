@@ -1,0 +1,238 @@
+package graft.testing
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sources.LegacyFormats
+
+/** The reference's `functional` test dataset, regenerated.
+  *
+  * The reference's QueryTest fixtures run against a family of generated and
+  * hand-written tables (`alltypes*`, `dimtbl`, `jointbl`, `nulltable`, …).
+  * This is a clean-room Scala reimplementation of their generation rules —
+  * `testdata/src/main/java/.../TestDataGenerator.java:24-97` for the
+  * `alltypes` family and `testdata/datasets/functional/
+  * functional_schema_template.sql` for schemas — so the reference's golden
+  * fixtures run here verbatim with their original expected results.
+  *
+  * Tables (row counts match the reference exactly):
+  *  - `alltypes` — 7300 rows, 24 monthly partitions 2009-01..2010-12,
+  *    10 ids/day; no NULLs.
+  *  - `alltypessmall` — 100 rows, 4 monthly partitions × 25.
+  *  - `alltypestiny` — 8 rows, 4 monthly partitions × 2.
+  *  - `alltypesagg` — 10000 rows, 10 daily partitions (2010-01-01..10) ×
+  *    1000; NULL tinyint when int_col%10=0, NULL smallint when int_col%100=0,
+  *    NULL int/bigint/float/double when int_col=0.
+  *  - `alltypesaggnonulls` — same without the NULLs.
+  *  - static tables `dimtbl`, `jointbl`, `tinytable`, `tinyinttable`,
+  *    `liketbl`, `nulltable`, `nullescapedtable`, `overflow` — the
+  *    reference's small CSV fixtures (`testdata/<Name>/data.csv`,
+  *    `testdata/data/overflow.txt`), fed through [[LegacyFormats]]'s
+  *    delimited-text parser so the text-scanner conventions (escapes, `\N`,
+  *    empty-vs-NULL) are exercised from SQL.
+  *
+  * Divergence: `overflow` — the reference's text scanner saturates
+  * out-of-range numerics to the type's min/max (`overflow.test`); this
+  * engine's permissive text path yields NULL (same policy as the CSV
+  * scanner's PERMISSIVE mode). The ported fixture pins OUR semantics.
+  */
+object FunctionalDataset {
+
+  private val DateFmt = DateTimeFormatter.ofPattern("MM/dd/yy")
+
+  private val allTypesSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("bool_col", BooleanType, nullable = false),
+    StructField("tinyint_col", ByteType),
+    StructField("smallint_col", ShortType),
+    StructField("int_col", IntegerType),
+    StructField("bigint_col", LongType),
+    StructField("float_col", FloatType),
+    StructField("double_col", DoubleType),
+    StructField("date_string_col", StringType, nullable = false),
+    StructField("string_col", StringType, nullable = false),
+    StructField("timestamp_col", TimestampType, nullable = false),
+    StructField("year", IntegerType, nullable = false),
+    StructField("month", IntegerType, nullable = false)))
+
+  private val aggSchema = StructType(
+    allTypesSchema.fields :+ StructField("day", IntegerType, nullable = false))
+
+  /** The reference data's timestamp-fraction quirk, reproduced faithfully:
+    * the generator formats the working timestamp with
+    * `SimpleDateFormat("....ss.S")`, which prints the MILLISECOND COUNT
+    * unpadded — 10 ms renders ".10" — and the loader then re-parses those
+    * digits as a decimal FRACTION (.10 s = 100 ms). The stored value is
+    * therefore `seconds + 0.<msDigits>`, not `seconds + ms/1000`
+    * (TestDataGenerator.java:66,79 + the text load; visible in
+    * distinct.test's `2010-01-01 00:02:00.100000000` for a 10 ms offset). */
+  private def quirkTimestamp(ts: java.time.LocalDateTime): java.sql.Timestamp = {
+    val ms = ts.getNano / 1000000
+    val fracNanos =
+      if (ms == 0) 0L
+      else (ms.toString + "0" * (9 - ms.toString.length)).toLong
+    java.sql.Timestamp.valueOf(ts.withNano(0).plusNanos(fracNanos))
+  }
+
+  /** One partition of alltypes-shaped rows (TestDataGenerator.java:57-97):
+    * `intsPerDay` tuples per day; the working timestamp advances 1 minute +
+    * bigint_col milliseconds per tuple and 1 day per day-batch (keeping its
+    * time-of-day drift); ids run on across partitions. */
+  private def partitionRows(startDay: LocalDate, endExcl: LocalDate,
+                            intsPerDay: Int, maxTuples: Int,
+                            writeNulls: Boolean, firstId: Int,
+                            partCols: Seq[Any]): (Vector[Row], Int) = {
+    val rows = Vector.newBuilder[Row]
+    var id = firstId
+    var ts = startDay.atStartOfDay
+    val end = endExcl.atStartOfDay
+    var count = 0
+    def v(x: Any, isNull: Boolean): Any = if (writeNulls && isNull) null else x
+    while (ts.isBefore(end) && count < maxTuples) {
+      var i = 0
+      while (i < intsPerDay && count < maxTuples) {
+        val big = i.toLong * 10
+        // double_col is the DECIMAL 10.1*i (one fractional digit) parsed
+        // back from text — the loaded tables hold the nearest double to
+        // e.g. "60.6", not the binary product 10.1*6 (which is 1 ulp off);
+        // visible in distinct.test's `select distinct *` golden rows.
+        val tenths = i.toLong * 101
+        val dbl = s"${tenths / 10}.${tenths % 10}".toDouble
+        rows += Row.fromSeq(Seq(
+          id, id % 2 == 0,
+          v((i % 10).toByte, i % 10 == 0),
+          v((i % 100).toShort, i % 100 == 0),
+          v(i, i == 0), v(big, big == 0),
+          v((1.1 * i).toFloat, i == 0), v(dbl, i == 0),
+          ts.toLocalDate.format(DateFmt), i.toString,
+          quirkTimestamp(ts)) ++ partCols)
+        id += 1; count += 1
+        ts = ts.plusMinutes(1).plusNanos(big * 1000000L)
+        i += 1
+      }
+      ts = ts.plusDays(1)
+    }
+    (rows.result(), id)
+  }
+
+  /** alltypes family (TestDataGenerator.java:24-39): monthly partitions from
+    * `2010 - max(numPartitions/12 - 1, 1)`, 10 ids/day. */
+  private def allTypesRows(numPartitions: Int, maxTuples: Int): Vector[Row] = {
+    val startYear = 2010 - math.max(numPartitions / 12 - 1, 1)
+    var start = LocalDate.of(startYear, 1, 1)
+    val endDate = LocalDate.of(2010, 12, 31)
+    var id = 0
+    var months = 0
+    val out = Vector.newBuilder[Row]
+    while (start.isBefore(endDate) && months < numPartitions) {
+      val next = start.plusMonths(1)
+      val (rows, nextId) = partitionRows(start, next, 10, maxTuples,
+        writeNulls = false, id, Seq(start.getYear, start.getMonthValue))
+      out ++= rows; id = nextId
+      start = next; months += 1
+    }
+    out.result()
+  }
+
+  /** alltypesagg family (TestDataGenerator.java:41-55): 10 daily partitions
+    * of 1000 from 2010-01-01. */
+  private def allTypesAggRows(writeNulls: Boolean): Vector[Row] = {
+    var day = LocalDate.of(2010, 1, 1)
+    val endExcl = day.plusDays(10)
+    var id = 0
+    val out = Vector.newBuilder[Row]
+    while (day.isBefore(endExcl)) {
+      val next = day.plusDays(1)
+      val (rows, nextId) = partitionRows(day, next, 1000, 1000, writeNulls,
+        id, Seq(2010, 1, day.getDayOfMonth))
+      out ++= rows; id = nextId
+      day = next
+    }
+    out.result()
+  }
+
+  // ---- static fixture tables (testdata/<Name>/data.csv) ----
+
+  private val dimTblLines = Seq(
+    "1001,Name1,94611", "1002,Name2,94611", "1003,Name3,94612",
+    "1004,Name4,94612", "1005,Name5,94613", "1006,Name6,94613",
+    "1007,Name7,94614", "1008,Name8,94614", "1009,Name9,94615",
+    "1010,Name10,94615")
+
+  private val joinTblLines = Seq(
+    "1001,Name1,94611,5000", "1002,Name2,94611,5000", "1003,Name3,94611,5000",
+    "1004,Name4,94611,5000", "1005,Name5,94611,5000", "1106,Name6,94612,5000",
+    "1006,Name16,94612,5000", "1006,Name6,94616,5000", "1106,Name16,94612,5000",
+    "1106,Name6,94616,5000", "1006,Name16,94616,5000", "1106,Name16,94616,5000",
+    "1106,Name6,94612,15000", "1006,Name16,94612,15000", "1006,Name6,94616,15000",
+    "1106,Name16,94612,15000", "1106,Name6,94616,15000", "1006,Name16,94616,15000",
+    "1106,Name16,94616,15000")
+
+  private val tinyTableLines = Seq("aaaaaaa,bbbbbbb", "ccccc,dddd", "eeeeeeee,f")
+
+  private val tinyIntTableLines = (0 to 9).map(_.toString)
+
+  private val likeTblLines = Seq(
+    "one,%one%,n%one%,.*one.*,n.*one.*",
+    "two,%two%,n%two%,.*two.*,n.*two.*",
+    "three,%three%,n%three%,.*three.*,n.*three.*",
+    "four,%four%,n%four%,.*four.*,n.*four.*",
+    "five,%five%,n%five%,.*five.*,n.*five.*",
+    "six,%six%,n%six%,.*six.*,n.*six.*",
+    "seven,%seven%,n%seven%,.*seven.*,n.*seven.*",
+    "eight,%eight%,n%eight%,.*eight.*,n.*eight.*",
+    "nine,%nine%,n%nine%,.*nine.*,n.*nine.*",
+    "ten,%ten%,n%ten%,.*ten.*,n.*ten.*",
+    "beginning of line,begin%,not begin%,^begin.*,^not begin.*",
+    "end of line,%line,%line end,.*line$,.*line end$",
+    "middle of line,%of%,%of,^.*of.*$,.*of$",
+    ",%,,.*,X",
+    "\\N,%,\\N,.*,X")
+
+  // a='a', b='' (empty, NOT null), c..e=NULL (the \N sentinel), f='a b', g=' '
+  private val nullTableLines = Seq("a,,\\N,\\N,\\N,a b, ")
+
+  private val overflowLines = Seq(
+    "1,2,3,4,5.5,6.6",
+    "1000,100000,10000000000000000,10000000000000000000,1e1000000,1e10000",
+    "-1000,-100000,-10000000000000000,-10000000000000000000,-1e1000000,-1e10000")
+
+  /** Register every functional table as a temp view (idempotent). */
+  def registerViews(spark: SparkSession): Unit = synchronized {
+    if (spark.catalog.tableExists("alltypesagg")) return
+
+    def reg(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+        .createOrReplaceTempView(name)
+    def regText(name: String, ddl: String, lines: Seq[String]): Unit =
+      LegacyFormats.readDelimitedLines(spark, lines,
+        StructType.fromDDL(ddl), ",").createOrReplaceTempView(name)
+
+    reg("alltypes", allTypesSchema, allTypesRows(24, 310))
+    reg("alltypessmall", allTypesSchema, allTypesRows(4, 25))
+    reg("alltypestiny", allTypesSchema, allTypesRows(4, 2))
+    reg("alltypesagg", aggSchema, allTypesAggRows(writeNulls = true))
+    reg("alltypesaggnonulls", aggSchema, allTypesAggRows(writeNulls = false))
+
+    regText("dimtbl", "id BIGINT, name STRING, zip INT", dimTblLines)
+    regText("jointbl",
+      "test_id BIGINT, test_name STRING, test_zip INT, alltypes_id INT",
+      joinTblLines)
+    regText("tinytable", "a STRING, b STRING", tinyTableLines)
+    regText("tinyinttable", "int_col INT", tinyIntTableLines)
+    regText("liketbl",
+      "str_col STRING, match_like_col STRING, no_match_like_col STRING, " +
+        "match_regex_col STRING, no_match_regex_col STRING", likeTblLines)
+    val nullDdl = "a STRING, b STRING, c STRING, d INT, e DOUBLE, " +
+      "f STRING, g STRING"
+    regText("nulltable", nullDdl, nullTableLines)
+    regText("nullescapedtable", nullDdl, nullTableLines)
+    regText("overflow",
+      "tinyint_col TINYINT, smallint_col SMALLINT, int_col INT, " +
+        "bigint_col BIGINT, float_col FLOAT, double_col DOUBLE",
+      overflowLines)
+  }
+}

@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * implementation of the same format so reference-shaped fixtures can run
   * against the Spark engine verbatim.
   *
-  * Supported sections: QUERY (required), TYPES (comma-separated Impala type
-  * names), RESULTS (one comma-separated row per line, strings in single
-  * quotes, `NULL` for nulls), CATCH (expected error substring), LABELS
-  * (ignored), `====` separates cases. `row_regex:` result lines and
-  * `$DATABASE` substitution are not needed by our fixtures and unsupported.
+  * Supported sections: QUERY (required; `#` comment lines stripped and
+  * trailing `;` dropped, as `test_file_parser.py:26,66` does), TYPES
+  * (comma-separated Impala type names), RESULTS (one comma-separated row per
+  * line, strings in single quotes, `NULL` for nulls — rendered as `'NULL'`
+  * in string-typed columns, matching `test_result_verifier.py`), CATCH
+  * (expected error substring), LABELS/SETUP (ignored), `====` separates
+  * cases. A subsection tag after `:` (e.g. `---- RESULTS: VERIFY...`) is
+  * accepted and ignored. `row_regex:` result lines and `$DATABASE`
+  * substitution are not needed by our fixtures and unsupported.
   */
 object GoldenTestRunner {
 
@@ -38,7 +42,9 @@ object GoldenTestRunner {
     var sections = collection.mutable.Map.empty[String, Vector[String]]
     def flush(): Unit = {
       if (sections.contains("QUERY")) {
-        val query = sections("QUERY").mkString("\n").trim
+        val query = sections("QUERY")
+          .filterNot(_.trim.startsWith("#")) // comment lines (parser:66)
+          .mkString("\n").trim.stripSuffix(";")
         cases += GoldenCase(
           query,
           sections.get("TYPES").map(_.mkString(",").split(",").map(_.trim).toSeq),
@@ -52,7 +58,7 @@ object GoldenTestRunner {
     lines.foreach {
       case l if l.startsWith("====") => flush()
       case l if l.startsWith("---- ") =>
-        section = l.drop(5).trim.toUpperCase
+        section = l.drop(5).trim.toUpperCase.split(':').head.trim
         sections(section) = Vector.empty
       case l if section.nonEmpty =>
         sections(section) = sections(section) :+ l
@@ -78,14 +84,43 @@ object GoldenTestRunner {
     case other => other.simpleString
   }
 
-  /** Render a row in the golden format: 'str' quoting, NULL, raw numerics. */
-  def renderRow(row: Row): String =
-    row.toSeq.map {
-      case null => "NULL"
-      case s: String => "'" + s + "'"
-      case t: java.sql.Timestamp => t.toString
-      case d: java.math.BigDecimal => d.toPlainString
-      case other => other.toString
+  /** Impala's floating-point text rendering: C `%.16g` with trailing zeros
+    * stripped (the reference streams values at `std::setprecision(16)`,
+    * `be/src/runtime/raw-value.cc`), `inf`/`nan` spellings. BigDecimal over
+    * the EXACT binary value with HALF_EVEN reproduces glibc's
+    * correctly-rounded conversion, ties-to-even included. */
+  def renderFloating(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else if (d == 0.0) "0"
+    else new java.math.BigDecimal(d)
+      .round(new java.math.MathContext(16, java.math.RoundingMode.HALF_EVEN))
+      .stripTrailingZeros.toPlainString
+
+  /** Impala's timestamp rendering: no fraction when nanos are zero,
+    * 9-digit fraction otherwise (`be/src/runtime/timestamp-value.cc`). */
+  def renderTimestamp(t: java.sql.Timestamp): String = {
+    val base = t.toLocalDateTime.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    if (t.getNanos == 0) base else f"$base.${t.getNanos}%09d"
+  }
+
+  /** Render a row in the golden format: 'str' quoting, NULL, raw numerics.
+    * A NULL in a string-typed column renders as `'NULL'` — the reference's
+    * result verifier prints string columns through its str() path
+    * (`tests/common/test_result_verifier.py`), and its fixtures encode
+    * string nulls that way (e.g. outer-joins.test). */
+  def renderRow(row: Row, schema: StructType): String =
+    row.toSeq.zip(schema.fields).map {
+      case (null, f) if f.dataType == StringType => "'NULL'"
+      case (null, _) => "NULL"
+      case (s: String, _) => "'" + s + "'"
+      case (t: java.sql.Timestamp, _) => renderTimestamp(t)
+      case (f: java.lang.Float, _) => renderFloating(f.toDouble)
+      case (d: java.lang.Double, _) => renderFloating(d)
+      case (d: java.math.BigDecimal, _) => d.toPlainString
+      case (other, _) => other.toString
     }.mkString(",")
 
   sealed trait Outcome
@@ -115,7 +150,7 @@ object GoldenTestRunner {
             return Fail(s"types mismatch: expected $expected, got $got")
         }
         c.results.foreach { expected =>
-          val got = rows.map(renderRow).toSeq
+          val got = rows.map(renderRow(_, df.schema)).toSeq
           val (g, e) = if (c.ordered) (got, expected)
                        else (got.sorted, expected.sorted)
           if (g != e)
