@@ -192,8 +192,9 @@ object FunctionalDataset {
     ",%,,.*,X",
     "\\N,%,\\N,.*,X")
 
-  // a='a', b='' (empty, NOT null), c..e=NULL (the \N sentinel), f='a b', g=' '
-  private val nullTableLines = Seq("a,,\\N,\\N,\\N,a b, ")
+  // a='a', b='' (empty, NOT null), c..e=NULL (the \N sentinel); f and g
+  // contain literal NUL bytes (testdata/NullTable/data.csv): f="a\0b", g="\0"
+  private val nullTableLines = Seq("a,,\\N,\\N,\\N,a\u0000b,\u0000")
 
   private val overflowLines = Seq(
     "1,2,3,4,5.5,6.6",
@@ -230,6 +231,15 @@ object FunctionalDataset {
       "f STRING, g STRING"
     regText("nulltable", nullDdl, nullTableLines)
     regText("nullescapedtable", nullDdl, nullTableLines)
+    // emptytable: partitioned, zero rows (schema_template.sql:885-890);
+    // greptiny: 100 opaque text lines (hive_benchmark/grepTiny; content is
+    // irrelevant to the fixtures, which only count/join it against empties)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL("field STRING, f2 INT"))
+      .createOrReplaceTempView("emptytable")
+    regText("greptiny", "field STRING",
+      (0 until 100).map(i => s"grep_line_$i"))
     regText("overflow",
       "tinyint_col TINYINT, smallint_col SMALLINT, int_col INT, " +
         "bigint_col BIGINT, float_col FLOAT, double_col DOUBLE",

@@ -32,7 +32,7 @@ object GoldenTestRunner {
                         ordered: Boolean)
 
   def parseFile(path: String): Seq[GoldenCase] = {
-    val src = Source.fromFile(path)
+    val src = Source.fromFile(path)(scala.io.Codec.UTF8)
     try parse(src.getLines().toSeq) finally src.close()
   }
 
@@ -47,7 +47,7 @@ object GoldenTestRunner {
           .mkString("\n").trim.stripSuffix(";")
         cases += GoldenCase(
           query,
-          sections.get("TYPES").map(_.mkString(",").split(",").map(_.trim).toSeq),
+          sections.get("TYPES").map(t => splitTypes(t.mkString(","))),
           sections.get("RESULTS").map(_.filter(_.nonEmpty)),
           sections.get("CATCH").map(_.mkString("\n").trim),
           ordered = query.toUpperCase.contains("ORDER BY"))
@@ -66,6 +66,23 @@ object GoldenTestRunner {
     }
     flush()
     cases.toList
+  }
+
+
+  /** Split a TYPES line on commas outside parentheses, so
+    * `decimal(20, 4)` stays one type name; whitespace normalized. */
+  private def splitTypes(line: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    line.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim.replaceAll("\\s+", "")).filter(_.nonEmpty)
   }
 
   /** Impala type name for a Spark type (reference: `ColumnType.java`). */
@@ -123,13 +140,51 @@ object GoldenTestRunner {
       case (other, _) => other.toString
     }.mkString(",")
 
+  /** Split a rendered/expected row on commas outside single quotes. */
+  private def splitRow(line: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    line.foreach {
+      case '\'' => inQ = !inQ; sb += '\''
+      case ',' if !inQ => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Column-wise row comparison with the reference verifier's float policy
+    * (`test_result_verifier.py:127-171`): float columns compare within 1e-4
+    * absolute, double within 1e-9; everything else is exact text. */
+  private def rowMatches(expected: String, got: String,
+                         schema: StructType): Boolean = {
+    val e = splitRow(expected); val g = splitRow(got)
+    e.length == g.length && e.length == schema.length &&
+      e.indices.forall { i =>
+        val (ev, gv) = (e(i).trim, g(i).trim)
+        schema(i).dataType match {
+          case FloatType | DoubleType if ev != "NULL" && gv != "NULL" =>
+            val eps = if (schema(i).dataType == FloatType) 1e-4 else 1e-9
+            try math.abs(ev.toDouble - gv.toDouble) <= eps
+            catch { case _: NumberFormatException => ev == gv }
+          case _ => ev == gv
+        }
+      }
+  }
+
   sealed trait Outcome
   case object Pass extends Outcome
   case class Fail(reason: String) extends Outcome
 
   def run(spark: SparkSession, c: GoldenCase): Outcome = {
+    // Multi-statement cases (DDL setup + final query) run sequentially; the
+    // last statement's result is verified, as the reference driver does.
     val result: Either[Throwable, DataFrame] =
-      try Right(spark.sql(c.query)) catch { case e: Throwable => Left(e) }
+      try {
+        val stmts = c.query.split(";").map(_.trim).filter(_.nonEmpty)
+        Right(stmts.map(spark.sql).last)
+      } catch { case e: Throwable => Left(e) }
     (result, c.catchErr) match {
       case (Left(e), Some(expected)) =>
         if (e.getMessage != null && e.getMessage.contains(expected)) Pass
@@ -153,7 +208,8 @@ object GoldenTestRunner {
           val got = rows.map(renderRow(_, df.schema)).toSeq
           val (g, e) = if (c.ordered) (got, expected)
                        else (got.sorted, expected.sorted)
-          if (g != e)
+          if (g.length != e.length ||
+              !g.zip(e).forall { case (gr, er) => rowMatches(er, gr, df.schema) })
             return Fail(s"results mismatch:\n expected: $e\n got:      $g")
         }
         Pass
