@@ -244,5 +244,15 @@ object FunctionalDataset {
       "tinyint_col TINYINT, smallint_col SMALLINT, int_col INT, " +
         "bigint_col BIGINT, float_col FLOAT, double_col DOUBLE",
       overflowLines)
+
+    // complex_view (functional_schema_template.sql:726-734): an agg-over-join
+    // view with renamed columns, used by the with-clause/top-n fixtures.
+    spark.sql(
+      """SELECT COUNT(a.bigint_col) AS abc, b.string_col AS xyz
+        |FROM alltypesagg a INNER JOIN alltypestiny b ON a.id = b.id
+        |WHERE a.bigint_col < 50
+        |GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1
+        |ORDER BY b.string_col LIMIT 100""".stripMargin)
+      .createOrReplaceTempView("complex_view")
   }
 }

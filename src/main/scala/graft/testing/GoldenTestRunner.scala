@@ -50,7 +50,7 @@ object GoldenTestRunner {
           sections.get("TYPES").map(t => splitTypes(t.mkString(","))),
           sections.get("RESULTS").map(_.filter(_.nonEmpty)),
           sections.get("CATCH").map(_.mkString("\n").trim),
-          ordered = query.toUpperCase.contains("ORDER BY"))
+          ordered = hasTopLevelOrderBy(query))
       }
       sections = collection.mutable.Map.empty
       section = ""
@@ -68,6 +68,29 @@ object GoldenTestRunner {
     cases.toList
   }
 
+
+  /** A result is order-sensitive only when the outermost query block has an
+    * ORDER BY — one at paren depth 0. An ORDER BY inside a subquery or a
+    * parenthesized union operand does not define the output order (the
+    * reference verifier makes the same distinction via VERIFY_IS_EQUAL vs
+    * VERIFY_IS_EQUAL_SORTED tags; our fixtures rely on the query shape). */
+  private def hasTopLevelOrderBy(query: String): Boolean = {
+    val q = query.toUpperCase
+    var depth = 0
+    var i = 0
+    var found = false
+    while (i < q.length) {
+      q.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' if depth == 0 && q.regionMatches(i, "ORDER", 0, 5) &&
+          q.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY") => found = true
+        case _ => ()
+      }
+      i += 1
+    }
+    found
+  }
 
   /** Split a TYPES line on commas outside parentheses, so
     * `decimal(20, 4)` stays one type name; whitespace normalized. */
@@ -166,8 +189,10 @@ object GoldenTestRunner {
         schema(i).dataType match {
           case FloatType | DoubleType if ev != "NULL" && gv != "NULL" =>
             val eps = if (schema(i).dataType == FloatType) 1e-4 else 1e-9
-            try math.abs(ev.toDouble - gv.toDouble) <= eps
-            catch { case _: NumberFormatException => ev == gv }
+            try {
+              val (ed, gd) = (ev.toDouble, gv.toDouble)
+              (ed.isNaN && gd.isNaN) || math.abs(ed - gd) <= eps
+            } catch { case _: NumberFormatException => ev == gv }
           case _ => ev == gv
         }
       }
@@ -198,7 +223,10 @@ object GoldenTestRunner {
           case e: Throwable => Fail(s"error mismatch: '$expected' vs '${e.getMessage}'")
         }
       case (Right(df), None) =>
-        val rows = df.collect()
+        val rows =
+          try df.collect()
+          catch { case e: Throwable =>
+            return Fail(s"execution failed: ${e.getMessage}") }
         c.types.foreach { expected =>
           val got = df.schema.fields.map(f => typeName(f.dataType)).toSeq
           if (got != expected.map(_.toLowerCase))
