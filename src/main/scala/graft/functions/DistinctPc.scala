@@ -57,6 +57,13 @@ abstract class FlajoletMartinBase
     sum.toDouble / NumBitmaps
   }
 
+  /** Zero observed values (all bitmaps empty) estimates 0, not 2^0/φ —
+    * matching the reference's empty-input result (distinct-estimate.test:
+    * `distinctpc(field) from EmptyTable` → 0). */
+  protected def estimate(buf: Array[Int], scale: Double): Long =
+    if (buf.forall(_ == 0)) 0L
+    else math.round(scale * math.pow(2.0, meanFirstZero(buf)) / Phi)
+
   override def serialize(buf: Array[Int]): Array[Byte] = {
     val bb = ByteBuffer.allocate(NumBitmaps * 4)
     buf.foreach(bb.putInt)
@@ -123,8 +130,7 @@ case class DistinctPc(
     buf
   }
 
-  override def eval(buf: Array[Int]): Any =
-    math.round(math.pow(2.0, meanFirstZero(buf)) / Phi)
+  override def eval(buf: Array[Int]): Any = estimate(buf, 1.0)
 
   override def withNewMutableAggBufferOffset(o: Int): DistinctPc =
     copy(mutableAggBufferOffset = o)
@@ -153,8 +159,7 @@ case class DistinctPcsa(
     buf
   }
 
-  override def eval(buf: Array[Int]): Any =
-    math.round(NumBitmaps * math.pow(2.0, meanFirstZero(buf)) / Phi)
+  override def eval(buf: Array[Int]): Any = estimate(buf, NumBitmaps.toDouble)
 
   override def withNewMutableAggBufferOffset(o: Int): DistinctPcsa =
     copy(mutableAggBufferOffset = o)

@@ -201,6 +201,22 @@ object FunctionalDataset {
     "1000,100000,10000000000000000,10000000000000000000,1e1000000,1e10000",
     "-1000,-100000,-10000000000000000,-10000000000000000000,-1e1000000,-1e10000")
 
+  /** TblWithRaggedColumns/data.csv, pre-split into scanner rows exactly as
+    * the reference's text scanner does (`\r`, `\n` and `\r\n` all end a row,
+    * so the raw CR CR LF byte run yields one row break plus one empty row):
+    * extra fields are dropped, missing fields read NULL, `\\` unescapes. */
+  private val raggedLines = Seq(
+    "hello,1", "\\\\r\\\\r\\\\n", "", "foo,2,bar", "a,3", "",
+    "b,4,,5,6,random", "c", "d,", "ColumnWithCarriageReturn,123",
+    "at16bytes", "NoDelimiter,0")
+
+  // UnsupportedTypes/data.csv: the reference-era engine could scan past its
+  // unsupported DECIMAL/BINARY columns; this dialect supports them outright.
+  private val unsupportedTypesLines = Seq(
+    "0,0,aaaa,a,0", "1,1.0,bbbb,b,10",
+    "2,1111111111.12345678901234567890,cccc,cccccccccc,20",
+    ",2222222222.1234567890,\\N,dddddddddd,,", "4,,eeee,,40")
+
   /** Register every functional table as a temp view (idempotent). */
   def registerViews(spark: SparkSession): Unit = synchronized {
     if (spark.catalog.tableExists("alltypesagg")) return
@@ -244,6 +260,23 @@ object FunctionalDataset {
       "tinyint_col TINYINT, smallint_col SMALLINT, int_col INT, " +
         "bigint_col BIGINT, float_col FLOAT, double_col DOUBLE",
       overflowLines)
+
+    regText("tblwithraggedcolumns", "str_col STRING, int_col INT", raggedLines)
+    regText("unsupported_types",
+      "int_col INT, dec_col DECIMAL(38,18), str_col STRING, " +
+        "bin_col STRING, bigint_col BIGINT",
+      unsupportedTypesLines)
+    // escapechartesttable (schema_template.sql:1057-1075): bool_col data in
+    // 10 single-row partitions id=0..9, value alternating true/false.
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 10).map(i => Row(i % 2 == 0, i))),
+      StructType.fromDDL("bool_col BOOLEAN, id INT"))
+      .createOrReplaceTempView("escapechartesttable")
+    // testtbl (schema_template.sql:526-534): declared, never loaded — empty.
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL("id BIGINT, name STRING, zip INT"))
+      .createOrReplaceTempView("testtbl")
 
     // complex_view (functional_schema_template.sql:726-734): an agg-over-join
     // view with renamed columns, used by the with-clause/top-n fixtures.

@@ -11,9 +11,12 @@ import graft.testing.GoldenTestRunner.{Fail, Pass}
   * `java -cp ... graft.testing.GoldenTriage <file.test> [sfDir] [caseIdx]`
   */
 object GoldenTriage {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val dump = rawArgs.contains("--dump")
+    val args = rawArgs.filterNot(_ == "--dump")
     if (args.isEmpty) {
-      System.err.println("usage: graft.testing.GoldenTriage <file.test> [sfDir] [caseIdx]")
+      System.err.println(
+        "usage: graft.testing.GoldenTriage [--dump] <file.test> [sfDir] [caseIdx]")
       sys.exit(2)
     }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
@@ -26,7 +29,17 @@ object GoldenTriage {
     var failures = 0
     cases.zipWithIndex.foreach { case (c, i) =>
       if (only.forall(_ == i)) {
-        GoldenTestRunner.run(spark, c) match {
+        if (dump) {
+          // Print TYPES + rendered RESULTS as our engine produces them, in
+          // fixture syntax — for pinning engine-specific values (estimates).
+          val df = c.query.split(";").map(_.trim).filter(_.nonEmpty)
+            .map(spark.sql).last
+          println(s"==== case $i ----")
+          println(df.schema.fields.map(f =>
+            GoldenTestRunner.typeName(f.dataType)).mkString(", "))
+          df.collect().foreach(r =>
+            println(GoldenTestRunner.renderRow(r, df.schema)))
+        } else GoldenTestRunner.run(spark, c) match {
           case Pass => println(f"[$i%3d] PASS  ${firstLine(c.query)}")
           case Fail(reason) =>
             failures += 1
