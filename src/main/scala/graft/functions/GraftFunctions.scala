@@ -135,7 +135,15 @@ object GraftFunctions {
       DistinctPcsa(args.head).toAggregateExpression()),
     "group_concat" -> ((args: Seq[Expression]) =>
       GroupConcat(args.head,
-        if (args.length > 1) args(1) else Literal(", ")).toAggregateExpression())
+        if (args.length > 1) args(1) else Literal(", ")).toAggregateExpression()),
+    // Impala's variance/stddev long names (aggregate-functions.cc:564-612;
+    // Spark spells them var_pop/var_samp/stddev_* — same math).
+    "variance_pop" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .VariancePop(args.head).toAggregateExpression()),
+    "variance_samp" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .VarianceSamp(args.head).toAggregateExpression())
   )
 
   private def tsAdd(unit: String): FunctionBuilder =

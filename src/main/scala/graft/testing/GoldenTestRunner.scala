@@ -47,8 +47,14 @@ object GoldenTestRunner {
           .mkString("\n").trim.stripSuffix(";")
         cases += GoldenCase(
           query,
-          sections.get("TYPES").map(t => splitTypes(t.mkString(","))),
-          sections.get("RESULTS").map(_.filter(_.nonEmpty)),
+          // `#` comment lines are legal inside any section (the reference
+          // parser strips them globally; aggregation.test has a commented-out
+          // case nested in a RESULTS block). Rendered strings are quoted, so
+          // a leading # is unambiguous.
+          sections.get("TYPES").map(t =>
+            splitTypes(t.filterNot(_.trim.startsWith("#")).mkString(","))),
+          sections.get("RESULTS").map(
+            _.filterNot(_.trim.startsWith("#")).filter(_.nonEmpty)),
           sections.get("CATCH").map(_.mkString("\n").trim),
           ordered = hasTopLevelOrderBy(query))
       }
