@@ -1,31 +1,35 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
-/** Broadcast-block all-pairs verification kernels.
+/** Exact all-pairs similarity joins, formulated as distributed pipelines.
   *
-  * The straightforward formulation of an exact pair-similarity pass is a
-  * self-join (`a CROSS JOIN b ON a.id < b.id`) with a codegen'd similarity
-  * expression — correct, but the join *materializes a row per candidate
-  * pair*, copying both payload arrays into each of the O(n²) rows. At
-  * sf0.1 that is 12.5M rows × ~0.5 KB of array payload: the shuffle/copy
-  * dominates, not the arithmetic.
+  * Both entry points are *exact* (full recall at the given threshold) and
+  * *distributed* — the driver never materializes the corpus; candidate
+  * reduction happens with the same bucket-join shapes the approximate
+  * variants use ([[DedupQueries.minhashPairs]], [[SimilarityQueries]]):
   *
-  * These kernels instead broadcast the full (id, payload) set once — the
-  * same data movement a broadcast join would do — and enumerate pairs
-  * inside `mapPartitions` with primitive-array loops, emitting only pairs
-  * that pass the threshold. Work is distributed by row index, so every
-  * executor core holds one copy of the broadcast set and streams through
-  * its slice of left rows.
+  *  - [[jaccardPairs]]: prefix-filter inverted index (Bayardo et al.,
+  *    "Scaling Up All Pairs Similarity Search", WWW'07; the PPJoin family).
+  *    A pair with Jaccard ≥ t must share a shingle within the first
+  *    `|s| - ⌈t·|s|⌉ + 1` elements of each hash-sorted shingle set, so the
+  *    candidate space is an equi-join on (lang, prefix-shingle) — a plain
+  *    shuffle join whose skew is bounded by shingle document-frequency —
+  *    followed by one exact merge-intersection verification per candidate.
   *
-  * Scale envelope: a broadcast set of 10⁶ × 64-dim floats is ~256 MB —
-  * the practical ceiling of executor broadcast memory, and exactly the
-  * regime where exact all-pairs (10¹² candidate pairs) stops being viable
-  * no matter how it is executed. Beyond that these exact kernels are the
-  * *verification tier* applied per candidate block from MinHash-LSH /
-  * SimHash / IVF (see [[DedupQueries]], [[SimilarityQueries]]), never to
-  * the whole corpus.
+  *  - [[embeddingPairs]]: block-pair cartesian. The corpus is hashed into
+  *    B blocks; each of the B(B+1)/2 block pairs is one work item carrying
+  *    two chunks, and the O(n²) arithmetic runs in a primitive-array loop
+  *    inside the executor. Payload movement is O(n·B) rows (each block is
+  *    shipped once per partner block), NOT the O(n²)-row materialization a
+  *    pair-level self-join would pay — the classic communication-optimal
+  *    scheme for a distributed cartesian. Exact all-pairs cosine is
+  *    inherently O(n²) compute; past the point where that is affordable the
+  *    pipeline answer is the approximate tier (LSH / IVF in
+  *    [[SimilarityQueries]]), with this exact join applied per candidate
+  *    bucket, never to the whole corpus.
   *
   * Numeric parity: accumulation is index-order double arithmetic (identical
   * to [[graft.functions.VectorOps.dotF]] / `jaccardSorted`), and rounding
@@ -35,28 +39,98 @@ import org.apache.spark.sql.functions.col
   */
 object AllPairs {
 
-  /** Hard ceiling on what these kernels may collect to the driver, matching
-    * the documented broadcast envelope (~256 MB of payload). Beyond this the
-    * exact all-pairs pass is the wrong tool at any execution strategy — the
-    * caller must block first (LSH / SimHash / IVF) and verify per block. */
-  val MaxCollectRows: Int = 1000000
+  /** All document pairs in the same `lang` block within ±`lenWindow` tokens
+    * whose round6(Jaccard) ≥ threshold, `doc_a < doc_b`. Input frame must
+    * carry (doc_id: long, lang: string, n_toks: int, sh_sorted:
+    * array<bigint>) — i.e. [[DedupQueries]]'s shingled form.
+    *
+    * Shape at scale: explode only the PREFIX of each shingle set (for
+    * t = 0.2 that is ~83% of shingles; at the 0.8–0.9 thresholds real dedup
+    * uses, 10–20%), equi-join on (lang, shingle) to get candidate id pairs
+    * (no payload on this shuffle), then join the two sorted-shingle arrays
+    * back by id for one codegen'd merge-intersection per candidate. */
+  def jaccardPairs(spark: SparkSession, shingled: DataFrame,
+                   lenWindow: Int, threshold: Double): DataFrame = {
+    val sh = shingled.select(
+      col("doc_id"), col("lang"), col("n_toks"), col("sh_sorted"))
+    // Prefix-filter length p = n - ceil(t*n) + 1 over the hash-sorted set:
+    // two sets with Jaccard >= t must both keep at least one shared element
+    // inside their prefixes (dropping the last ceil(t*n)-1 elements removes
+    // fewer than the guaranteed overlap).
+    val n = size(col("sh_sorted"))
+    val prefLen = (n - ceil(n * lit(threshold)) + lit(1)).cast("int")
+    val pref = sh.select(col("doc_id"), col("lang"), col("n_toks"),
+      explode(slice(col("sh_sorted"), lit(1), prefLen)).as("shingle"))
+    val a = pref.select(col("lang"), col("shingle"),
+      col("doc_id").as("doc_a"), col("n_toks").as("na"))
+    val b = pref.select(col("lang"), col("shingle"),
+      col("doc_id").as("doc_b"), col("n_toks").as("nb"))
+    val cand = a.join(b, Seq("lang", "shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+              abs(col("na") - col("nb")) <= lenWindow)
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_sorted").as("sh_a")),
+            "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_sorted").as("sh_b")),
+            "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(VectorOps.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
-  /** Collect at most [[MaxCollectRows]]+1 rows (the `limit` bounds driver
-    * memory — no extra counting pass) and fail fast if the input exceeds the
-    * envelope instead of OOM-ing the driver. */
-  private def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T],
-                                kernel: String): Array[T] = {
-    val rows = ds.limit(MaxCollectRows + 1).collect()
-    require(rows.length <= MaxCollectRows,
-      s"AllPairs.$kernel: input exceeds the $MaxCollectRows-row broadcast " +
-      "envelope; block with MinHash-LSH/SimHash/IVF first and run the exact " +
-      "kernel per candidate block")
-    rows
+  /** All vector pairs with round6(cosine) ≥ threshold, `vec_a < vec_b`.
+    * Input frame must carry (vec_id: long, embedding: array<float>).
+    *
+    * Blocks default to the session's parallelism; each (block_i ≤ block_j)
+    * pair is one executor-side work item, so no per-pair row is ever
+    * shuffled and the driver holds only block *indices*. */
+  def embeddingPairs(spark: SparkSession, e: DataFrame,
+                     threshold: Double): DataFrame = {
+    import spark.implicits._
+    val nBlocks = math.max(spark.sparkContext.defaultParallelism, 8)
+    val typed = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val blocked = typed
+      .groupByKey { case (id, _) => math.floorMod(id, nBlocks.toLong).toInt }
+      .mapGroups { (b, it) => (b, it.toArray) }
+    val pairIdx = spark.createDataset(
+      for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val work = pairIdx
+      .join(blocked.toDF("bi", "xs"), "bi")
+      .join(blocked.toDF("bj", "ys"), "bj")
+      .select(col("bi"), col("bj"), col("xs"), col("ys"))
+      .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
+    work
+      .flatMap { case (bi, bj, xs, ys) =>
+        val same = bi == bj
+        val nx = xs.map(v => math.sqrt(dotD(v._2, v._2)))
+        val ny = if (same) nx else ys.map(v => math.sqrt(dotD(v._2, v._2)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < xs.length) {
+          val (ida, va) = xs(i); val na = nx(i)
+          var j = if (same) i + 1 else 0
+          while (j < ys.length) {
+            val (idb, vb) = ys(j)
+            val c = round6(dotD(va, vb) / (na * ny(j)))
+            if (c >= threshold)
+              out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Spark `round(x, 6)` semantics for doubles (NaN passes through — callers
-    * threshold-filter, and `NaN >= t` is false, matching the old join
-    * formulation where round(NaN, 6) stayed NaN and was dropped). */
+    * threshold-filter, and `NaN >= t` is false). */
   def round6(v: Double): Double =
     if (java.lang.Double.isNaN(v)) Double.NaN
     else java.math.BigDecimal.valueOf(v)
@@ -70,6 +144,23 @@ object AllPairs {
     s
   }
 
+  // --------------------------------------------------------------------
+  // Driver-side reference kernels — spec-only cross-check oracles for the
+  // distributed pipelines above. Bounded and fail-fast; never registered.
+  // --------------------------------------------------------------------
+
+  /** Hard ceiling on what the reference kernels may collect to the driver. */
+  private[graft] val MaxCollectRows: Int = 1000000
+
+  private def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T],
+                                kernel: String): Array[T] = {
+    val rows = ds.limit(MaxCollectRows + 1).collect()
+    require(rows.length <= MaxCollectRows,
+      s"AllPairs.$kernel: input exceeds the $MaxCollectRows-row envelope; " +
+      "this kernel is a test oracle — use the distributed entry point")
+    rows
+  }
+
   private def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
@@ -81,87 +172,48 @@ object AllPairs {
     inter.toDouble / (a.length + b.length - inter).toDouble
   }
 
-  /** All vector pairs with round6(cosine) ≥ threshold, `vec_a < vec_b`.
-    * Input frame must carry (vec_id: long, embedding: array<float>). */
-  def embeddingPairs(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
-    import spark.implicits._
-    val rows = boundedCollect(
-      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-      "embeddingPairs").sortBy(_._1)
-    val ids = rows.map(_._1)
-    val vecs = rows.map(_._2)
-    val norms = vecs.map(v => math.sqrt(dotD(v, v)))
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val slices = math.max(spark.sparkContext.defaultParallelism, 1)
-    spark.createDataset(ids.indices)
-      .repartition(slices)
-      .mapPartitions { it =>
-        val (ids, vecs, norms) = bc.value
-        it.flatMap { a =>
-          val va = vecs(a); val na = norms(a); val ida = ids(a)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var b = a + 1
-          while (b < ids.length) {
-            val c = round6(dotD(va, vecs(b)) / (na * norms(b)))
-            if (c >= threshold) out += ((ida, ids(b), c))
-            b += 1
-          }
-          out
-        }
-      }
-      .toDF("vec_a", "vec_b", "cosine")
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
-
-  /** All document pairs in the same `lang` block within ±`lenWindow` tokens
-    * whose round6(Jaccard) ≥ threshold, `doc_a < doc_b`. Input frame must
-    * carry (doc_id: long, lang: string, n_toks: int, sh_sorted:
-    * array<bigint>) — i.e. [[DedupQueries]]'s shingled form. Entries are
-    * pre-sorted by token count per block, so the length window is a
-    * binary-searched range instead of a full block scan. */
-  def jaccardPairs(spark: SparkSession, shingled: DataFrame,
-                   lenWindow: Int, threshold: Double): DataFrame = {
+  /** Single-threaded all-pairs Jaccard over the same blocked space as
+    * [[jaccardPairs]] — the spec oracle. */
+  private[graft] def jaccardPairsKernel(
+      spark: SparkSession, shingled: DataFrame,
+      lenWindow: Int, threshold: Double): Seq[(Long, Long, Double)] = {
     import spark.implicits._
     val rows = boundedCollect(
       shingled.select(col("doc_id"), col("lang"), col("n_toks"), col("sh_sorted"))
         .as[(Long, String, Int, Array[Long])],
-      "jaccardPairs")
-    // Per-lang block, sorted by (n_toks, doc_id): window = contiguous range.
-    val blocks: Map[String, Array[(Long, Int, Array[Long])]] =
-      rows.groupBy(_._2).map { case (lang, rs) =>
-        lang -> rs.map(r => (r._1, r._3, r._4)).sortBy(r => (r._2, r._1))
+      "jaccardPairsKernel")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for {
+      Array(a, b) <- rows.sortBy(_._1).combinations(2)
+      if a._2 == b._2 && math.abs(a._3 - b._3) <= lenWindow
+    } {
+      val j = round6(jaccardSorted(a._4, b._4))
+      if (j >= threshold) out += ((a._1, b._1, j))
+    }
+    out.sortBy(p => (p._1, p._2)).toSeq
+  }
+
+  /** Single-threaded all-pairs cosine — the spec oracle for
+    * [[embeddingPairs]]. */
+  private[graft] def embeddingPairsKernel(
+      spark: SparkSession, e: DataFrame,
+      threshold: Double): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    val rows = boundedCollect(
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      "embeddingPairsKernel").sortBy(_._1)
+    val norms = rows.map(r => math.sqrt(dotD(r._2, r._2)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val c = round6(dotD(rows(i)._2, rows(j)._2) / (norms(i) * norms(j)))
+        if (c >= threshold) out += ((rows(i)._1, rows(j)._1, c))
+        j += 1
       }
-    val bc = spark.sparkContext.broadcast(blocks)
-    val slices = math.max(spark.sparkContext.defaultParallelism, 1)
-    // Work items carry their own shingles; the broadcast serves the "other
-    // side" lookups (same total volume either way).
-    val work = rows.map(r => (r._2, r._1, r._3, r._4)).toSeq
-    spark.createDataset(work)
-      .repartition(slices)
-      .mapPartitions { it =>
-        val blocks = bc.value
-        it.flatMap { case (lang, docId, nToks, mySh) =>
-          val block = blocks(lang)
-          // First block index with n_toks >= nToks - lenWindow.
-          var lo = 0; var hi = block.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (block(mid)._2 < nToks - lenWindow) lo = mid + 1 else hi = mid
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var k = lo
-          while (k < block.length && block(k)._2 <= nToks + lenWindow) {
-            val (otherId, _, otherSh) = block(k)
-            if (otherId > docId) {
-              val j = round6(jaccardSorted(mySh, otherSh))
-              if (j >= threshold) out += ((docId, otherId, j))
-            }
-            k += 1
-          }
-          out
-        }
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .orderBy(col("doc_a"), col("doc_b"))
+      i += 1
+    }
+    out.toSeq
   }
 }

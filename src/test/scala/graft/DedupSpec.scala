@@ -59,6 +59,29 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear <= 12, s"near-dup hamming too large: $hammingNear")
   }
 
+  test("distributed prefix-filter jaccard pairs == exact kernel oracle") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sh = pipeline.DedupQueries.shingled(docs)
+    val dist = pipeline.AllPairs.jaccardPairs(spark, sh, 20, 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val oracle = pipeline.AllPairs.jaccardPairsKernel(spark, sh, 20, 0.2)
+    assert(dist == oracle,
+      s"distributed=${dist.take(5)}... oracle=${oracle.take(5)}...")
+    assert(oracle.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
+  test("distributed block-pair cosine == exact kernel oracle") {
+    import spark.implicits._
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val dist = pipeline.AllPairs.embeddingPairs(spark, e, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val oracle = pipeline.AllPairs.embeddingPairsKernel(spark, e, 0.4)
+    assert(dist == oracle,
+      s"distributed n=${dist.size} oracle n=${oracle.size}")
+    assert(oracle.nonEmpty, "corpus should contain at least one similar pair")
+  }
+
   test("minhash candidates cover all true jaccard>=0.5 pairs on real corpus") {
     // LSH with 8 bands x 4 rows has collision prob 1-(1-j^4)^8 ≈ 0.96 at
     // j=0.7, ≈0.70 at j=0.5. The corpus' near-dup pairs are j≈0.99 — all
