@@ -59,10 +59,12 @@ abstract class FlajoletMartinBase
 
   /** Zero observed values (all bitmaps empty) estimates 0, not 2^0/φ —
     * matching the reference's empty-input result (distinct-estimate.test:
-    * `distinctpc(field) from EmptyTable` → 0). */
+    * `distinctpc(field) from EmptyTable` → 0). The double estimate
+    * truncates toward zero, as the reference's PcFinalize/PcsaFinalize
+    * int64_t cast does (`aggregate-functions.cc`), not round-to-nearest. */
   protected def estimate(buf: Array[Int], scale: Double): Long =
     if (buf.forall(_ == 0)) 0L
-    else math.round(scale * math.pow(2.0, meanFirstZero(buf)) / Phi)
+    else (scale * math.pow(2.0, meanFirstZero(buf)) / Phi).toLong
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
     val bb = ByteBuffer.allocate(NumBitmaps * 4)

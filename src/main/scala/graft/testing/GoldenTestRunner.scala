@@ -22,14 +22,19 @@ import org.apache.spark.sql.types._
   * in string-typed columns, matching `test_result_verifier.py`), CATCH
   * (expected error substring), LABELS/SETUP (ignored), `====` separates
   * cases. A subsection tag after `:` (e.g. `---- RESULTS: VERIFY...`) is
-  * accepted and ignored. `row_regex:` result lines and `$DATABASE`
-  * substitution are not needed by our fixtures and unsupported.
+  * accepted and ignored, with one local extension: `---- RESULTS:
+  * MULTISET_CELLS(sep)` compares string cells that differ textually as
+  * multisets of tokens split on `sep` — for group_concat cases, whose
+  * within-group arrival order is engine-undefined across partitionings.
+  * `row_regex:` result lines and `$DATABASE` substitution are not needed by
+  * our fixtures and unsupported.
   */
 object GoldenTestRunner {
 
   case class GoldenCase(query: String, types: Option[Seq[String]],
                         results: Option[Seq[String]], catchErr: Option[String],
-                        ordered: Boolean)
+                        ordered: Boolean,
+                        multisetSep: Option[String] = None)
 
   def parseFile(path: String): Seq[GoldenCase] = {
     val src = Source.fromFile(path)(scala.io.Codec.UTF8)
@@ -40,11 +45,13 @@ object GoldenTestRunner {
     val cases = collection.mutable.ListBuffer.empty[GoldenCase]
     var section: String = ""
     var sections = collection.mutable.Map.empty[String, Vector[String]]
+    var tags = collection.mutable.Map.empty[String, String]
     def flush(): Unit = {
       if (sections.contains("QUERY")) {
         val query = sections("QUERY")
           .filterNot(_.trim.startsWith("#")) // comment lines (parser:66)
           .mkString("\n").trim.stripSuffix(";")
+        val MultisetTag = """MULTISET_CELLS\((.*)\)""".r
         cases += GoldenCase(
           query,
           // `#` comment lines are legal inside any section (the reference
@@ -56,15 +63,23 @@ object GoldenTestRunner {
           sections.get("RESULTS").map(
             _.filterNot(_.trim.startsWith("#")).filter(_.nonEmpty)),
           sections.get("CATCH").map(_.mkString("\n").trim),
-          ordered = hasTopLevelOrderBy(query))
+          ordered = hasTopLevelOrderBy(query),
+          multisetSep = tags.get("RESULTS").collect {
+            case MultisetTag(sep) => sep })
       }
       sections = collection.mutable.Map.empty
+      tags = collection.mutable.Map.empty
       section = ""
     }
     lines.foreach {
       case l if l.startsWith("====") => flush()
       case l if l.startsWith("---- ") =>
-        section = l.drop(5).trim.toUpperCase.split(':').head.trim
+        val header = l.drop(5).trim
+        section = header.toUpperCase.split(':').head.trim
+        header.split(":", 2) match {
+          case Array(_, tag) => tags(section) = tag.trim
+          case _ => ()
+        }
         sections(section) = Vector.empty
       case l if section.nonEmpty =>
         sections(section) = sections(section) :+ l
@@ -74,22 +89,49 @@ object GoldenTestRunner {
     cases.toList
   }
 
+  /** Split a multi-statement QUERY blob on semicolons outside single-quoted
+    * string literals (backslash escapes respected, so `';'` or `'don\'t;'`
+    * never splits). Used both for execution and for deciding which statement
+    * defines result order. */
+  private[testing] def splitStatements(query: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < query.length) {
+      val ch = query.charAt(i)
+      if (ch == '\\' && inQ && i + 1 < query.length) {
+        sb += ch; sb += query.charAt(i + 1); i += 2
+      } else {
+        if (ch == '\'') inQ = !inQ
+        if (ch == ';' && !inQ) { out += sb.toString; sb.clear() }
+        else sb += ch
+        i += 1
+      }
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
-  /** A result is order-sensitive only when the outermost query block has an
-    * ORDER BY — one at paren depth 0. An ORDER BY inside a subquery or a
-    * parenthesized union operand does not define the output order (the
+  /** A result is order-sensitive only when the outermost block of the FINAL
+    * statement has an ORDER BY — one at paren depth 0, outside string
+    * literals. An ORDER BY inside a subquery, a quoted literal, or an
+    * earlier setup statement does not define the output order (the
     * reference verifier makes the same distinction via VERIFY_IS_EQUAL vs
     * VERIFY_IS_EQUAL_SORTED tags; our fixtures rely on the query shape). */
   private def hasTopLevelOrderBy(query: String): Boolean = {
-    val q = query.toUpperCase
+    val q = splitStatements(query).lastOption.getOrElse("").toUpperCase
     var depth = 0
     var i = 0
+    var inQ = false
     var found = false
     while (i < q.length) {
       q.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'O' if depth == 0 && q.regionMatches(i, "ORDER", 0, 5) &&
+        case '\\' if inQ && i + 1 < q.length => i += 1
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case 'O' if !inQ && depth == 0 && q.regionMatches(i, "ORDER", 0, 5) &&
           q.drop(i + 5).dropWhile(_.isWhitespace).startsWith("BY") => found = true
         case _ => ()
       }
@@ -186,8 +228,8 @@ object GoldenTestRunner {
   /** Column-wise row comparison with the reference verifier's float policy
     * (`test_result_verifier.py:127-171`): float columns compare within 1e-4
     * absolute, double within 1e-9; everything else is exact text. */
-  private def rowMatches(expected: String, got: String,
-                         schema: StructType): Boolean = {
+  private def rowMatches(expected: String, got: String, schema: StructType,
+                         multisetSep: Option[String] = None): Boolean = {
     val e = splitRow(expected); val g = splitRow(got)
     e.length == g.length && e.length == schema.length &&
       e.indices.forall { i =>
@@ -199,6 +241,16 @@ object GoldenTestRunner {
               val (ed, gd) = (ev.toDouble, gv.toDouble)
               (ed.isNaN && gd.isNaN) || math.abs(ed - gd) <= eps
             } catch { case _: NumberFormatException => ev == gv }
+          case StringType if ev != gv && multisetSep.isDefined &&
+              ev.length >= 2 && ev.startsWith("'") && ev.endsWith("'") &&
+              gv.length >= 2 && gv.startsWith("'") && gv.endsWith("'") =>
+            // MULTISET_CELLS(sep): aggregation arrival order is
+            // engine-undefined (group_concat), so an order-insensitive cell
+            // compares as a multiset of tokens split on the separator.
+            val sep = java.util.regex.Pattern.quote(multisetSep.get)
+            def toks(s: String) =
+              s.substring(1, s.length - 1).split(sep, -1).sorted.toSeq
+            toks(ev) == toks(gv)
           case _ => ev == gv
         }
       }
@@ -212,10 +264,8 @@ object GoldenTestRunner {
     // Multi-statement cases (DDL setup + final query) run sequentially; the
     // last statement's result is verified, as the reference driver does.
     val result: Either[Throwable, DataFrame] =
-      try {
-        val stmts = c.query.split(";").map(_.trim).filter(_.nonEmpty)
-        Right(stmts.map(spark.sql).last)
-      } catch { case e: Throwable => Left(e) }
+      try Right(splitStatements(c.query).map(spark.sql).last)
+      catch { case e: Throwable => Left(e) }
     (result, c.catchErr) match {
       case (Left(e), Some(expected)) =>
         if (e.getMessage != null && e.getMessage.contains(expected)) Pass
@@ -243,7 +293,8 @@ object GoldenTestRunner {
           val (g, e) = if (c.ordered) (got, expected)
                        else (got.sorted, expected.sorted)
           if (g.length != e.length ||
-              !g.zip(e).forall { case (gr, er) => rowMatches(er, gr, df.schema) })
+              !g.zip(e).forall { case (gr, er) =>
+                rowMatches(er, gr, df.schema, c.multisetSep) })
             return Fail(s"results mismatch:\n expected: $e\n got:      $g")
         }
         Pass

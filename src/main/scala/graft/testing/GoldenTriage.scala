@@ -32,8 +32,7 @@ object GoldenTriage {
         if (dump) {
           // Print TYPES + rendered RESULTS as our engine produces them, in
           // fixture syntax — for pinning engine-specific values (estimates).
-          val df = c.query.split(";").map(_.trim).filter(_.nonEmpty)
-            .map(spark.sql).last
+          val df = GoldenTestRunner.splitStatements(c.query).map(spark.sql).last
           println(s"==== case $i ----")
           println(df.schema.fields.map(f =>
             GoldenTestRunner.typeName(f.dataType)).mkString(", "))

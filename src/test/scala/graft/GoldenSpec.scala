@@ -44,4 +44,54 @@ class GoldenSpec extends SparkSpec {
     assert(cases(0).types.contains(Seq("int")))
     assert(cases(1).catchErr.contains("PARSE_SYNTAX_ERROR"))
   }
+
+  test("statement split and ORDER BY detection are quote-aware") {
+    // A ';' and an 'order by' inside string literals must not split the
+    // statement or mark the case ordered; an ORDER BY in a setup statement
+    // must not leak onto the final query.
+    val cases = GoldenTestRunner.parse(
+      """---- QUERY
+        |select 'a;b' as x, 'use order by wisely' as y
+        |---- RESULTS
+        |'a;b','use order by wisely'
+        |====
+        |---- QUERY
+        |create temporary view golden_tmp_ob as select 1 as c order by 1;
+        |select c from golden_tmp_ob
+        |---- RESULTS
+        |1
+        |====
+        |---- QUERY
+        |select c from (select 1 as c) t order by c
+        |---- RESULTS
+        |1
+        |====""".stripMargin.linesIterator.toSeq)
+    assert(!cases(0).ordered, "quoted 'order by' must not mark ordered")
+    assert(!cases(1).ordered, "setup-statement ORDER BY must not mark ordered")
+    assert(cases(2).ordered, "top-level ORDER BY must mark ordered")
+    assert(GoldenTestRunner.run(spark, cases(0)) == Pass,
+      "literal ';' must not split the statement")
+    assert(GoldenTestRunner.run(spark, cases(1)) == Pass)
+  }
+
+  test("MULTISET_CELLS compares string cells order-insensitively") {
+    val cases = GoldenTestRunner.parse(
+      """---- QUERY
+        |select 1 as g, 'b, a, c' as s
+        |---- TYPES
+        |int, string
+        |---- RESULTS: MULTISET_CELLS(, )
+        |1,'a, b, c'
+        |====
+        |---- QUERY
+        |select 1 as g, 'b, a, a' as s
+        |---- RESULTS: MULTISET_CELLS(, )
+        |1,'a, b, b'
+        |====""".stripMargin.linesIterator.toSeq)
+    assert(cases(0).multisetSep.contains(", "))
+    assert(GoldenTestRunner.run(spark, cases(0)) == Pass,
+      "same tokens in different order must pass under MULTISET_CELLS")
+    assert(GoldenTestRunner.run(spark, cases(1)) != Pass,
+      "different token multiplicities must still fail")
+  }
 }
