@@ -201,6 +201,23 @@ object FunctionalDataset {
     "1000,100000,10000000000000000,10000000000000000000,1e1000000,1e10000",
     "-1000,-100000,-10000000000000000,-10000000000000000000,-1e1000000,-1e10000")
 
+  // decimal_tbl.txt verbatim (d6=1 partition value appended at registration)
+  private val decimalTblLines = Seq(
+    "1234,2222,1.23456789,.123456789,12345.7890",
+    "2345,111,12.3456789,.123456789,3.141",
+    "12345,333,123.456789,.123456789,11.22",
+    "12345,333,1234.56789,.123456789,0.1",
+    "132842,333,12345.6789,.123456789,0.77889")
+
+  /** decimal-tiny.txt's generation rule: row i has c1=i*1.1111 (scale 4),
+    * c2=100+i*1.22222 (scale 5), c3=(i%10)/10 (scale 1). */
+  private val decimalTinyLines = (0 until 100).map { i =>
+    val c1 = java.math.BigDecimal.valueOf(1111L * i, 4)
+    val c2 = java.math.BigDecimal.valueOf(10000000L + 122222L * i, 5)
+    val c3 = java.math.BigDecimal.valueOf(i % 10, 1)
+    s"${c1.toPlainString},${c2.toPlainString},${c3.toPlainString}"
+  }
+
   /** TblWithRaggedColumns/data.csv, pre-split into scanner rows exactly as
     * the reference's text scanner does (`\r`, `\n` and `\r\n` all end a row,
     * so the raw CR CR LF byte run yields one row break plus one empty row):
@@ -262,6 +279,17 @@ object FunctionalDataset {
       overflowLines)
 
     regText("tblwithraggedcolumns", "str_col STRING, int_col INT", raggedLines)
+    // decimal_tbl (schema_template.sql:1269-1287, data/decimal_tbl.txt):
+    // 5 rows, single partition d6=1 (the partition value is appended here).
+    regText("decimal_tbl",
+      "d1 DECIMAL(9,0), d2 DECIMAL(10,0), d3 DECIMAL(20,10), " +
+        "d4 DECIMAL(38,38), d5 DECIMAL(10,5), d6 DECIMAL(9,0)",
+      decimalTblLines.map(_ + ",1"))
+    // decimal_tiny (schema_template.sql:1328-1341, data/decimal-tiny.txt):
+    // 100 rows c1=i*1.1111, c2=100+i*1.22222, c3=(i%10)/10.
+    regText("decimal_tiny",
+      "c1 DECIMAL(10,4), c2 DECIMAL(15,5), c3 DECIMAL(1,1)",
+      decimalTinyLines)
     regText("unsupported_types",
       "int_col INT, dec_col DECIMAL(38,18), str_col STRING, " +
         "bin_col STRING, bigint_col BIGINT",
