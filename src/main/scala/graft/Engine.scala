@@ -51,6 +51,11 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Impala's INSERT OVERWRITE ... PARTITION(dynamic) replaces only the
+      // partitions the statement writes, leaving siblings intact
+      // (fe/.../analysis/InsertStmt.java overwrite semantics). Spark's
+      // default "static" mode would wipe every matching partition first.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 
   def session(master: String = "local[32]"): SparkSession = {

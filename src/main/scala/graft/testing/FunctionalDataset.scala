@@ -234,9 +234,133 @@ object FunctionalDataset {
     "2,1111111111.12345678901234567890,cccc,cccccccccc,20",
     ",2222222222.1234567890,\\N,dddddddddd,,", "4,,eeee,,40")
 
+  // ---- writable tables (the insert fixture family's targets) ----
+
+  /** Shared location for the "text table" pair `nullinsert`/`nullinsert_alt`
+    * (insert_null.test): both reference the SAME files — the 5-column table
+    * writes them, the 1-column one re-reads the raw lines — so they must be
+    * external (DROP keeps the data). Cleaned on JVM exit. */
+  private lazy val externalDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-functional-ext")
+    sys.addShutdownHook {
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    p.toString
+  }
+
+  private val allTypesCols =
+    "id INT, bool_col BOOLEAN, tinyint_col TINYINT, smallint_col SMALLINT, " +
+      "int_col INT, bigint_col BIGINT, float_col FLOAT, double_col DOUBLE, " +
+      "date_string_col STRING, string_col STRING, timestamp_col TIMESTAMP"
+
+  /** Registry of the insert-fixture target tables (reference:
+    * `testdata/datasets/functional/functional_schema_template.sql` declares
+    * them; `tests/common/impala_test_suite.py:217-235` recreates them on the
+    * SETUP `RESET <t>` / `DROP PARTITIONS <t>` rows). Keys are the names the
+    * fixtures use (qualified where the fixture qualifies). "Text tables"
+    * become CSV datasource tables — this engine's delimited-text surface —
+    * with the `\N` null sentinel. */
+  private[graft] val writableTables: Map[String, String] = Map(
+    "alltypesnopart_insert" ->
+      s"CREATE TABLE alltypesnopart_insert ($allTypesCols) USING PARQUET",
+    "alltypesinsert" ->
+      (s"CREATE TABLE alltypesinsert ($allTypesCols, year INT, month INT) " +
+        "USING PARQUET PARTITIONED BY (year, month)"),
+    "insert_string_partitioned" ->
+      ("CREATE TABLE insert_string_partitioned (s1 STRING, s2 STRING) " +
+        "USING PARQUET PARTITIONED BY (s2)"),
+    "insert_overwrite_nopart" ->
+      "CREATE TABLE insert_overwrite_nopart (col1 INT) USING PARQUET",
+    "insert_overwrite_partitioned" ->
+      ("CREATE TABLE insert_overwrite_partitioned (col1 INT, col2 INT) " +
+        "USING PARQUET PARTITIONED BY (col2)"),
+    "nullinsert" ->
+      ("CREATE TABLE nullinsert (c1 STRING, c2 STRING, c3 STRING, " +
+        "c4 STRING, c5 INT) USING CSV " +
+        "OPTIONS (sep ',', nullValue '\\\\N') " +
+        s"LOCATION '$externalDir/nullinsert'"),
+    "nullinsert_alt" ->
+      ("CREATE TABLE nullinsert_alt (line STRING) USING TEXT " +
+        s"LOCATION '$externalDir/nullinsert'"),
+    "nullformat_custom" ->
+      ("CREATE TABLE nullformat_custom (id INT, a BOOLEAN, b STRING, " +
+        "c INT, d DOUBLE) USING CSV OPTIONS (nullValue 'xyz')"),
+    "insert_permutation_test.perm_nopart" ->
+      ("CREATE TABLE insert_permutation_test.perm_nopart " +
+        "(int_col1 INT, string_col STRING, int_col2 INT) USING PARQUET"),
+    "insert_permutation_test.perm_part" ->
+      ("CREATE TABLE insert_permutation_test.perm_part " +
+        "(int_col1 INT, string_col STRING, p1 INT, p2 STRING) " +
+        "USING PARQUET PARTITIONED BY (p1, p2)"),
+    "insert_permutation_test.parquet_part" ->
+      ("CREATE TABLE insert_permutation_test.parquet_part " +
+        "(int_col1 INT, string_col STRING, p1 INT, p2 STRING) " +
+        "USING PARQUET PARTITIONED BY (p1, p2)"))
+
+  /** Tables whose enclosing database is created by the fixture itself, so
+    * they must NOT be pre-created at bootstrap (only recreated on RESET). */
+  private val fixtureCreated = Set(
+    "insert_permutation_test.perm_nopart",
+    "insert_permutation_test.perm_part",
+    "insert_permutation_test.parquet_part")
+
+  /** SETUP `RESET t` / `DROP PARTITIONS t`: drop and recreate from the
+    * registry. The reference distinguishes the two (recreate vs drop all
+    * partitions), but every row of these partitioned tables lives in a
+    * partition and external tables never receive DROP PARTITIONS, so
+    * recreate is observationally equivalent for the fixture corpus. */
+  def resetTable(spark: SparkSession, name: String): Unit = {
+    val ddl = writableTables.getOrElse(name,
+      throw new IllegalArgumentException(s"no writable table '$name' in registry"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(ddl)
+  }
+
+  /** The `functional` catalog database: the QueryTest fixtures qualify some
+    * references (`functional.alltypes`, `functional_parquet.alltypes`, the
+    * view family of views.test). Temp views can't be database-qualified, so
+    * the base tables are materialized once as managed parquet tables and the
+    * reference's view DDL (functional_schema_template.sql:699-753) is
+    * replayed over them. */
+  def ensureFunctionalDb(spark: SparkSession): Unit = synchronized {
+    registerViews(spark)
+    if (spark.catalog.databaseExists("functional")) return
+    spark.sql("CREATE DATABASE functional")
+    Seq("alltypes", "alltypessmall", "alltypestiny", "alltypesagg").foreach {
+      t => spark.table(t).write.saveAsTable(s"functional.$t") }
+    // functional_parquet holds the same data in the same format here (this
+    // engine's canonical storage IS parquet); views avoid a second copy.
+    spark.sql("CREATE DATABASE functional_parquet")
+    Seq("alltypes", "alltypesagg", "alltypessmall", "alltypestiny").foreach {
+      t => spark.sql(
+        s"CREATE VIEW functional_parquet.$t AS SELECT * FROM functional.$t") }
+    spark.sql("CREATE VIEW functional.alltypes_view AS " +
+      "SELECT * FROM functional.alltypes")
+    // alltypes_hive_view: in the reference this view's metadata is written
+    // by Hive with wrong column info (IMPALA-994); the engine-visible
+    // behavior (reads like alltypes) is what the fixture checks.
+    spark.sql("CREATE VIEW functional.alltypes_hive_view AS " +
+      "SELECT * FROM functional.alltypes")
+    spark.sql("CREATE VIEW functional.alltypes_view_sub (x, y, z) AS " +
+      "SELECT int_col, string_col, timestamp_col FROM functional.alltypes")
+    spark.sql(
+      """CREATE VIEW functional.complex_view
+        |(abc COMMENT 'agg', xyz COMMENT 'gby') AS
+        |SELECT count(a.bigint_col) AS abc, b.string_col AS xyz
+        |FROM functional.alltypesagg a INNER JOIN functional.alltypestiny b
+        |ON a.id = b.id WHERE a.bigint_col < 50
+        |GROUP BY b.string_col HAVING count(a.bigint_col) > 1
+        |ORDER BY b.string_col LIMIT 100""".stripMargin)
+  }
+
   /** Register every functional table as a temp view (idempotent). */
   def registerViews(spark: SparkSession): Unit = synchronized {
-    if (spark.catalog.tableExists("alltypesagg")) return
+    if (spark.catalog.tableExists("alltypesagg")) {
+      bootstrapWritables(spark); return
+    }
 
     def reg(name: String, schema: StructType, rows: Seq[Row]): Unit =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
@@ -315,5 +439,19 @@ object FunctionalDataset {
         |GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1
         |ORDER BY b.string_col LIMIT 100""".stripMargin)
       .createOrReplaceTempView("complex_view")
+
+    bootstrapWritables(spark)
+  }
+
+  /** Pre-create every registry table whose database already exists, so a
+    * fixture case may reference one before any RESET ran (the reference's
+    * schema template pre-creates them all). */
+  private var writablesReady = false
+  private def bootstrapWritables(spark: SparkSession): Unit = {
+    if (writablesReady) return
+    (writableTables.keySet -- fixtureCreated).toSeq.sorted.foreach { t =>
+      if (!spark.catalog.tableExists(t)) spark.sql(writableTables(t))
+    }
+    writablesReady = true
   }
 }

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types._
   * (comma-separated Impala type names), RESULTS (one comma-separated row per
   * line, strings in single quotes, `NULL` for nulls — rendered as `'NULL'`
   * in string-typed columns, matching `test_result_verifier.py`), CATCH
-  * (expected error substring), LABELS/SETUP (ignored), `====` separates
-  * cases. A subsection tag after `:` (e.g. `---- RESULTS: VERIFY...`) is
+  * (expected error substring), SETUP (`RESET t` / `DROP PARTITIONS t`,
+  * executed via [[FunctionalDataset.resetTable]] as
+  * `impala_test_suite.py:217-235` does), LABELS (ignored), `====` separates
+  * cases. INSERT cases verify RESULTS as per-partition written-row counts
+  * (see [[runInsertCase]]). A subsection tag after `:` (e.g.
+  * `---- RESULTS: VERIFY...`) is
   * accepted and ignored, with one local extension: `---- RESULTS:
   * MULTISET_CELLS(sep)` compares string cells that differ textually as
   * multisets of tokens split on `sep` — for group_concat cases, whose
@@ -34,7 +38,8 @@ object GoldenTestRunner {
   case class GoldenCase(query: String, types: Option[Seq[String]],
                         results: Option[Seq[String]], catchErr: Option[String],
                         ordered: Boolean,
-                        multisetSep: Option[String] = None)
+                        multisetSep: Option[String] = None,
+                        setup: Seq[String] = Nil)
 
   def parseFile(path: String): Seq[GoldenCase] = {
     val src = Source.fromFile(path)(scala.io.Codec.UTF8)
@@ -65,7 +70,10 @@ object GoldenTestRunner {
           sections.get("CATCH").map(_.mkString("\n").trim),
           ordered = hasTopLevelOrderBy(query),
           multisetSep = tags.get("RESULTS").collect {
-            case MultisetTag(sep) => sep })
+            case MultisetTag(sep) => sep },
+          setup = sections.get("SETUP")
+            .map(_.map(_.trim).filter(_.nonEmpty)
+              .filterNot(_.startsWith("#"))).getOrElse(Nil))
       }
       sections = collection.mutable.Map.empty
       tags = collection.mutable.Map.empty
@@ -260,11 +268,36 @@ object GoldenTestRunner {
   case object Pass extends Outcome
   case class Fail(reason: String) extends Outcome
 
+  /** SETUP rows the reference's driver executes before the query
+    * (`tests/common/impala_test_suite.py:217-235`): `RESET <t>` and
+    * `DROP PARTITIONS <t>` both land on [[FunctionalDataset.resetTable]]. */
+  private def runSetup(spark: SparkSession, rows: Seq[String]): Unit =
+    rows.foreach { row =>
+      if (row.startsWith("RESET"))
+        FunctionalDataset.resetTable(spark, row.stripPrefix("RESET").trim)
+      else if (row.startsWith("DROP PARTITIONS"))
+        FunctionalDataset.resetTable(
+          spark, row.stripPrefix("DROP PARTITIONS").trim)
+      else throw new IllegalArgumentException(s"unsupported SETUP row: $row")
+    }
+
+  private val InsertRe =
+    """(?is)\binsert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_][\w.]*)""".r
+
   def run(spark: SparkSession, c: GoldenCase): Outcome = {
+    try runSetup(spark, c.setup)
+    catch { case e: Throwable => return Fail(s"SETUP failed: ${e.getMessage}") }
+    val stmts = splitStatements(c.query)
+    val ins = InsertRe.findFirstMatchIn(stmts.last)
+    if (ins.isDefined && c.catchErr.isEmpty &&
+        c.results.exists(rs => rs.forall(_.matches(""".*: \d+"""))))
+      return runInsertCase(spark, c, stmts,
+        overwrite = ins.get.group(1).equalsIgnoreCase("overwrite"),
+        table = ins.get.group(2))
     // Multi-statement cases (DDL setup + final query) run sequentially; the
     // last statement's result is verified, as the reference driver does.
     val result: Either[Throwable, DataFrame] =
-      try Right(splitStatements(c.query).map(spark.sql).last)
+      try Right(stmts.map(spark.sql).last)
       catch { case e: Throwable => Left(e) }
     (result, c.catchErr) match {
       case (Left(e), Some(expected)) =>
@@ -299,5 +332,82 @@ object GoldenTestRunner {
         }
         Pass
     }
+  }
+
+  /** Verify an INSERT case: RESULTS lines are `<partition-path>: <n>` — the
+    * per-partition row counts the statement wrote, in the reference's
+    * Hive-escaped path spelling (`year=2009/month=4/: 25`; empty for the
+    * table root when unpartitioned). The reference driver reads these counts
+    * from the insert response; here they are recovered from catalog state —
+    * per-partition (count, content-hash) snapshots before/after:
+    *  - INTO appends, so written = positive count delta per partition;
+    *  - OVERWRITE replaces whole partitions, so written = partitions whose
+    *    (count, hash) changed, reported at their AFTER count (an overwrite
+    *    that rewrites byte-identical content is invisible to this check —
+    *    no fixture does that, it would assert nothing).
+    * The content hash is an order-insensitive sum of per-row xxhash64 over
+    * the non-partition columns. */
+  private def runInsertCase(spark: SparkSession, c: GoldenCase,
+                            stmts: Seq[String], overwrite: Boolean,
+                            table: String): Outcome = {
+    import org.apache.spark.sql.functions._
+    try {
+      stmts.init.foreach(spark.sql)
+      val cols = spark.catalog.listColumns(table).collect()
+      val partCols = cols.filter(_.isPartition).map(_.name).toSeq
+      val dataCols = cols.filterNot(_.isPartition).map(_.name).toSeq
+      def snap(): Map[Seq[Any], (Long, Long)] = {
+        val df = spark.table(table)
+        val h = if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols.map(col): _*)
+        if (partCols.isEmpty) {
+          val r = df.agg(count(lit(1)), coalesce(sum(h), lit(0L))).collect().head
+          Map(Seq.empty[Any] -> ((r.getLong(0), r.getLong(1))))
+        } else
+          df.groupBy(partCols.map(col): _*)
+            .agg(count(lit(1)), coalesce(sum(h), lit(0L)))
+            .collect().map { r =>
+              partCols.indices.map(r.get) ->
+                ((r.getLong(partCols.length), r.getLong(partCols.length + 1)))
+            }.toMap
+      }
+      val before = snap()
+      spark.sql(stmts.last)
+      val after = snap()
+      def path(k: Seq[Any]): String = partCols.zip(k).map { case (n, v) =>
+        val token = v match {
+          case null | "" => "__HIVE_DEFAULT_PARTITION__"
+          case other => escapePathName(other.toString)
+        }
+        s"$n=$token/"
+      }.mkString
+      val actual: Seq[String] =
+        if (partCols.isEmpty) {
+          val a = after(Nil)._1
+          val b = before.getOrElse(Nil, (0L, 0L))._1
+          Seq(s": ${if (overwrite) a else a - b}")
+        } else if (overwrite)
+          after.collect {
+            case (k, v) if !before.get(k).contains(v) => s"${path(k)}: ${v._1}"
+          }.toSeq
+        else
+          after.flatMap { case (k, (cnt, _)) =>
+            val d = cnt - before.get(k).map(_._1).getOrElse(0L)
+            if (d > 0) Some(s"${path(k)}: $d") else None
+          }.toSeq
+      val expected = c.results.getOrElse(Nil)
+      if (actual.sorted == expected.sorted) Pass
+      else Fail("insert results mismatch:\n expected: " +
+        s"${expected.sorted}\n got:      ${actual.sorted}")
+    } catch {
+      case e: Throwable => Fail(s"insert case failed: ${e.getMessage}")
+    }
+  }
+
+  /** Hive's partition-path escaping as the reference fixtures spell it
+    * (`s2=%2F%5C%25./`): control chars and the reserved set below become
+    * uppercase `%XX`; space, `+`, `_`, `.`, `~` pass through. */
+  private val PathEscapeChars = "\"#%'*/:=?\\{[]^".toSet
+  private[testing] def escapePathName(s: String): String = s.flatMap { ch =>
+    if (ch < ' ' || PathEscapeChars(ch)) f"%%${ch.toInt}%02X" else ch.toString
   }
 }

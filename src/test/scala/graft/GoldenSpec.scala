@@ -17,7 +17,7 @@ class GoldenSpec extends SparkSpec {
     cases.zipWithIndex.foreach { case (c, i) =>
       test(s"${f.getName}[$i]: ${c.query.linesIterator.next().take(60)}") {
         Engine.openCatalog(spark, sfDir)
-        testing.FunctionalDataset.registerViews(spark)
+        testing.FunctionalDataset.ensureFunctionalDb(spark)
         GoldenTestRunner.run(spark, c) match {
           case Pass => ()
           case Fail(reason) => fail(s"${f.getName}[$i] $reason\nquery: ${c.query}")
