@@ -56,6 +56,9 @@ object Engine {
       // (fe/.../analysis/InsertStmt.java overwrite semantics). Spark's
       // default "static" mode would wipe every matching partition first.
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // A bare CREATE TABLE (no USING/STORED AS) makes a parquet datasource
+      // table — this engine's canonical storage — never a Hive-serde table.
+      .config("spark.sql.legacy.createHiveTableByDefault", "false")
       .config("spark.ui.enabled", "false")
 
   def session(master: String = "local[32]"): SparkSession = {

@@ -24,7 +24,7 @@ object GoldenTriage {
     val spark = Engine.session("local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     Engine.openCatalog(spark, sfDir)
-    FunctionalDataset.registerViews(spark)
+    FunctionalDataset.ensureFunctionalDb(spark)
     val cases = GoldenTestRunner.parseFile(args(0))
     var failures = 0
     cases.zipWithIndex.foreach { case (c, i) =>
