@@ -59,16 +59,67 @@ object LegacyFormats {
     *  - a literal backslash is escaped to `\\` and a literal separator char
     *    to `\<sep>`, so values containing the separator cannot shift later
     *    columns on read. */
-  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit = {
+  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit =
+    df.select(delimitedLine(df, sep))
+      .rdd.map(r => (NullWritable.get(), r.getString(0)))
+      .saveAsSequenceFile(path)
+
+  /** One `sep`-joined line per row in the text convention above (escapes +
+    * `\N`); shared by every delimited sink. */
+  private def delimitedLine(df: DataFrame, sep: String) = {
     require(sep.length == 1, s"separator must be a single char, got '$sep'")
-    df.select(concat_ws(sep, df.columns.map { c =>
+    concat_ws(sep, df.columns.map { c =>
+      val s = col(c).cast(StringType)
+      val escaped = replace(replace(s, lit("\\"), lit("\\\\")),
+                            lit(sep), lit("\\" + sep))
+      coalesce(escaped, lit(NullSentinel))
+    }: _*)
+  }
+
+  // ---- bare delimited text files (reference: hdfs-text-scanner.cc +
+  //      hdfs-text-table-writer.cc) ----
+
+  /** Read `sep`-delimited text files at `path` — the container-less text
+    * table surface; same payload conventions as the container-backed
+    * readers. */
+  def readDelimitedText(spark: SparkSession, path: String, schema: StructType,
+                        sep: String = "|"): DataFrame =
+    parseDelimited(spark, spark.sparkContext.textFile(path), schema, sep)
+
+  /** Distributed delimited-text sink (same escape/`\N` conventions). */
+  def writeDelimitedText(df: DataFrame, path: String, sep: String = "|"): Unit =
+    df.select(delimitedLine(df, sep).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Driver-side RCFile sink for fixture-scale data (the columnar text
+    * payload [[readRcfileText]] scans — values carry the same escapes so
+    * re-joining columns with `sep` parses losslessly). A tool for test-table
+    * construction, not a distributed write path. */
+  def writeRcfileText(spark: SparkSession, df: DataFrame, path: String,
+                      sep: String = "|"): Unit = {
+    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.BytesRefWritable
+    require(sep.length == 1, s"separator must be a single char, got '$sep'")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val nCols = df.schema.length
+    RCFileOutputFormat.setColumnNumber(conf, nCols)
+    val file = new Path(path, "part-00000.rc")
+    val writer = new RCFile.Writer(file.getFileSystem(conf), conf, file)
+    try df.select(df.columns.map { c =>
         val s = col(c).cast(StringType)
         val escaped = replace(replace(s, lit("\\"), lit("\\\\")),
                               lit(sep), lit("\\" + sep))
-        coalesce(escaped, lit(NullSentinel))
-      }: _*))
-      .rdd.map(r => (NullWritable.get(), r.getString(0)))
-      .saveAsSequenceFile(path)
+        coalesce(escaped, lit(NullSentinel)).as(c)
+      }.toIndexedSeq: _*).collect().foreach { r =>
+        val braw = new BytesRefArrayWritable(nCols)
+        (0 until nCols).foreach { i =>
+          braw.set(i, new BytesRefWritable(r.getString(i).getBytes(
+            StandardCharsets.UTF_8)))
+        }
+        writer.append(braw)
+      }
+    finally writer.close()
   }
 
   // ---- RCFile (reference: hdfs-rcfile-scanner.cc 574 LoC) ----

@@ -440,7 +440,39 @@ object FunctionalDataset {
         |ORDER BY b.string_col LIMIT 100""".stripMargin)
       .createOrReplaceTempView("complex_view")
 
+    registerMixedFormat(spark)
     bootstrapWritables(spark)
+  }
+
+  /** `alltypesmixedformat` (functional_schema_template.sql + the reference's
+    * data loading: alltypes year=2009 months 1-3, one file format PER
+    * PARTITION — month=1 delimited text, month=2 SequenceFile, month=3
+    * RCFile; `fe/.../catalog/HdfsFileFormat.java` models the per-partition
+    * format). Spark datasource tables are single-format, so the per-format
+    * partition reads are unioned under one view: each branch tags its
+    * partition columns as literals, which Catalyst constant-folds against
+    * partition predicates — pruning whole branches exactly like partition
+    * pruning would. */
+  private def registerMixedFormat(spark: SparkSession): Unit = {
+    if (spark.catalog.tableExists("alltypesmixedformat")) return
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"$externalDir/alltypesmixedformat"
+    val base = spark.table("alltypes")
+      .filter(col("year") === 2009 && col("month").isin(1, 2, 3))
+    def part(m: Int) =
+      base.filter(col("month") === m).drop("year", "month")
+    LegacyFormats.writeDelimitedText(part(1), s"$dir/month=1", ",")
+    LegacyFormats.writeSequenceText(part(2), s"$dir/month=2", ",")
+    LegacyFormats.writeRcfileText(spark, part(3), s"$dir/month=3", ",")
+    val schema11 = StructType(allTypesSchema.fields.dropRight(2))
+    def tag(df: org.apache.spark.sql.DataFrame, m: Int) =
+      df.withColumn("year", lit(2009)).withColumn("month", lit(m))
+    tag(LegacyFormats.readDelimitedText(spark, s"$dir/month=1", schema11, ","), 1)
+      .unionByName(tag(LegacyFormats.readSequenceText(
+        spark, s"$dir/month=2", schema11, ","), 2))
+      .unionByName(tag(LegacyFormats.readRcfileText(
+        spark, s"$dir/month=3", schema11, ","), 3))
+      .createOrReplaceTempView("alltypesmixedformat")
   }
 
   /** Pre-create every registry table whose database already exists, so a

@@ -163,27 +163,27 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("rcfile round-trip (columnar text payload)") {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
-    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileOutputFormat}
-    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
     val dir = tmp("graft_rc")
-    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    val nCols = nation.schema.length
-    RCFileOutputFormat.setColumnNumber(conf, nCols)
-    val file = new Path(dir, "part-00000.rc")
-    val writer = new RCFile.Writer(file.getFileSystem(conf), conf, file)
-    nation.orderBy("n_nationkey").collect().foreach { r =>
-      val braw = new BytesRefArrayWritable(nCols)
-      (0 until nCols).foreach { i =>
-        braw.set(i, new BytesRefWritable(String.valueOf(r.get(i)).getBytes("UTF-8")))
-      }
-      writer.append(braw)
-    }
-    writer.close()
+    sources.LegacyFormats.writeRcfileText(spark, nation, dir)
     val back = sources.LegacyFormats.readRcfileText(spark, dir, nation.schema)
     assert(back.orderBy("n_nationkey").collect().toSeq ==
            nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("bare delimited-text round-trip (escapes, separator-in-value, NULL)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_text")
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "plain"), Row(2, "with|pipe"), Row(3, "back\\slash"),
+        Row(4, null), Row(5, ""))),
+      schema)
+    sources.LegacyFormats.writeDelimitedText(df, dir)
+    val back = sources.LegacyFormats.readDelimitedText(spark, dir, schema)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
   test("avro round-trip with a nullable union field") {
