@@ -329,8 +329,17 @@ object FunctionalDataset {
     registerViews(spark)
     if (spark.catalog.databaseExists("functional")) return
     spark.sql("CREATE DATABASE functional")
-    Seq("alltypes", "alltypessmall", "alltypestiny", "alltypesagg").foreach {
+    Seq("alltypes", "alltypessmall", "alltypestiny", "alltypesagg",
+        "alltypesaggnonulls", "dimtbl", "jointbl", "emptytable",
+        "decimal_tbl").foreach {
       t => spark.table(t).write.saveAsTable(s"functional.$t") }
+    // Empty tables the planner fixtures scan; neither has a LOAD section in
+    // the reference template (functional_schema_template.sql:528,83).
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL("id BIGINT, name STRING, zip INT"))
+      .write.saveAsTable("functional.testtbl")
+    spark.table("alltypes").drop("year", "month").limit(0)
+      .write.saveAsTable("functional.alltypesnopart")
     // functional_parquet holds the same data in the same format here (this
     // engine's canonical storage IS parquet); views avoid a second copy.
     spark.sql("CREATE DATABASE functional_parquet")
@@ -346,6 +355,13 @@ object FunctionalDataset {
       "SELECT * FROM functional.alltypes")
     spark.sql("CREATE VIEW functional.alltypes_view_sub (x, y, z) AS " +
       "SELECT int_col, string_col, timestamp_col FROM functional.alltypes")
+    // view-on-view + parenthesized-predicate view
+    // (functional_schema_template.sql:740-755)
+    spark.sql("CREATE VIEW functional.view_view AS " +
+      "SELECT * FROM functional.alltypes_view")
+    spark.sql("CREATE VIEW functional.alltypes_parens AS " +
+      "SELECT * FROM functional.alltypes " +
+      "WHERE year = 2009 and (int_col < 100 OR bool_col = false) and month = 1")
     spark.sql(
       """CREATE VIEW functional.complex_view
         |(abc COMMENT 'agg', xyz COMMENT 'gby') AS

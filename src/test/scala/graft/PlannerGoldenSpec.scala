@@ -1,0 +1,162 @@
+package graft
+
+import java.io.File
+
+import graft.testing.{FunctionalDataset, PlannerGoldenRunner, TpchDb}
+import graft.testing.PlannerGoldenRunner._
+
+/** Runs the reference's PlannerTest golden corpus (plan-shape parity; see
+  * [[graft.testing.PlannerGoldenRunner]] for what is and isn't compared).
+  *
+  * Files are executed case-by-case in file order — the TPC-H fixtures chain
+  * `INSERT OVERWRITE tpch.<tmp>` stages whose later stages scan the tmp
+  * tables, so order matters within a file (ScalaTest runs tests in
+  * registration order).
+  *
+  * `subquery*.test` run at ScansOnly: the reference plans every subquery as
+  * a join; Spark plans scalar/IN subqueries as subquery expressions whose
+  * plans this harness descends into — scan sets stay comparable, join
+  * multisets deliberately don't.
+  *
+  * Not ported from the planner corpus: `hbase.test`, `data-source-tables
+  * .test` (node kinds out of scope / engine-specific), `ddl.test`,
+  * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins),
+  * `constant.test`, `values.test` (Spark folds constant relations to a
+  * `LocalRelation` — strictly better than a plan worth pinning),
+  * `hdfs.test` (partition-pruning counts over text-format partitions;
+  * pruning parity is pinned by OptimizerParitySpec on parquet),
+  * `tpcds-all.test` (no TPC-DS dataset in this corpus; defining shapes
+  * covered by TpcdsSpec).
+  */
+class PlannerGoldenSpec extends SparkSpec {
+
+  private val plannerDir = new File(getClass.getResource("/planner").toURI)
+
+  private val scansOnlyFiles = Set("subquery.test", "subquery-limit.test")
+
+  /** Cases excluded with cause — each is a deliberate, documented dialect or
+    * planner divergence, not a coverage gap:
+    *  - aggregation[2]: Impala resolves `ORDER BY avg(zip)` against the
+    *    pre-aggregation scope even when `zip` is not projected; Spark (like
+    *    ANSI) resolves against the select list.
+    *  - joins[7]: both join keys are the literal `1`; Catalyst
+    *    constant-folds the condition and plans a (broadcast) nested-loop —
+    *    same output, and hash-joining on a constant has no scale benefit.
+    *  - join-order[11,12], subquery[24]: Impala lets later joins reference
+    *    columns of a LEFT SEMI JOIN's right side (IMPALA-860 fixed-position
+    *    planning); semi-join right-side columns are out of scope in Spark
+    *    (and standard SQL).
+    *  - predicate-propagation[27]: `ifnull(<numeric>, true)` relies on
+    *    Impala's implicit BOOLEAN↔numeric coercion, which this engine's
+    *    permissive-but-typed dialect does not replicate.
+    *  - order[25]: a four-deep pyramid of nested ORDER BY..LIMIT blocks;
+    *    Catalyst collapses one adjacent ordered-limit level, so the plan
+    *    has 4 ordering operators to the reference's 5 — result-pinned by
+    *    the ported top-n QueryTest fixtures.
+    */
+  private val excluded: Map[String, Set[Int]] = Map(
+    "aggregation.test" -> Set(2),
+    "joins.test" -> Set(7),
+    "join-order.test" -> Set(11, 12),
+    "subquery.test" -> Set(24),
+    "predicate-propagation.test" -> Set(27),
+    "order.test" -> Set(25))
+
+  private def ensureDbs(): Unit = {
+    Engine.openCatalog(spark, sfDir)
+    FunctionalDataset.ensureFunctionalDb(spark)
+    TpchDb.ensure(spark, sfDir)
+  }
+
+  plannerDir.listFiles().filter(_.getName.endsWith(".test")).sorted
+    .foreach { f =>
+      val level: Level =
+        if (scansOnlyFiles(f.getName)) ScansOnly else Full
+      val cases = PlannerGoldenRunner.parseFile(f.getPath)
+      cases.zipWithIndex.foreach { case (c, i) =>
+        // Cases the harness can see are inapplicable up front (HBase scans,
+        // `not implemented` without a cartesian assertion) are not
+        // registered at all rather than reported as skips.
+        val applicable =
+          !excluded.getOrElse(f.getName, Set.empty).contains(i) &&
+            (c.notImplemented match {
+              case Some(msg) =>
+                msg.contains("CROSS JOIN") || msg.contains("Cartesian")
+              case None => refSignature(c).isRight
+            })
+        if (applicable)
+          test(s"${f.getName}[$i]: " +
+            c.query.linesIterator.next().take(55)) {
+            ensureDbs()
+            val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try PlannerGoldenRunner.run(spark, c, level) match {
+              case Pass | Superset => ()
+              case Skip(reason) => cancel(reason)
+              case Fail(reason) =>
+                fail(s"${f.getName}[$i] $reason\nquery: ${c.query}")
+            } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          }
+      }
+    }
+
+  test("parser: sections, separators, node extraction") {
+    val cases = PlannerGoldenRunner.parse(
+      """# a comment
+        |select * from t1 join t2 on t1.id = t2.id
+        |---- PLAN
+        |02:HASH JOIN [INNER JOIN]
+        ||  hash predicates: t1.id = t2.id
+        ||
+        ||--01:SCAN HDFS [functional.t2]
+        ||     partitions=1/1 size=0B compact
+        ||
+        |00:SCAN HDFS [functional.t1]
+        |   partitions=1/1 size=0B
+        |---- DISTRIBUTEDPLAN
+        |04:EXCHANGE [UNPARTITIONED]
+        ||
+        |02:HASH JOIN [INNER JOIN, BROADCAST]
+        ||
+        ||--03:EXCHANGE [BROADCAST]
+        ||  |
+        ||  01:SCAN HDFS [functional.t2]
+        ||
+        |00:SCAN HDFS [functional.t1]
+        |====""".stripMargin.linesIterator.toSeq)
+    assert(cases.length == 1)
+    val sig = refSignature(cases.head).toOption.get
+    assert(sig.scans == Map("t1" -> 1, "t2" -> 1))
+    assert(sig.joins == Seq(RefJoin("hash", "inner", broadcast = true)),
+      "broadcast flag must be merged from the DISTRIBUTEDPLAN")
+    assert(sig.agg == 0 && sig.topn == 0)
+  }
+
+  test("parser: TOP-N, AGGREGATE, MERGE phases, WRITE node") {
+    val cases = PlannerGoldenRunner.parse(
+      """select zip, count(*) from t group by zip order by 2 limit 5
+        |---- PLAN
+        |02:TOP-N [LIMIT=5]
+        ||
+        |01:AGGREGATE [FINALIZE]
+        ||  group by: zip
+        ||
+        |00:SCAN HDFS [functional.testtbl]
+        |---- DISTRIBUTEDPLAN
+        |05:MERGING-EXCHANGE [UNPARTITIONED]
+        ||
+        |02:TOP-N [LIMIT=5]
+        ||
+        |04:AGGREGATE [MERGE FINALIZE]
+        ||
+        |03:EXCHANGE [HASH(zip)]
+        ||
+        |01:AGGREGATE
+        ||
+        |00:SCAN HDFS [functional.testtbl]
+        |====""".stripMargin.linesIterator.toSeq)
+    val sig = refSignature(cases.head).toOption.get
+    assert(sig.topn == 1 && sig.agg == 1)
+    assert(sig.scans == Map("testtbl" -> 1))
+  }
+}
