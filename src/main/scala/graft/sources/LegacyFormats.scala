@@ -59,10 +59,12 @@ object LegacyFormats {
     *  - a literal backslash is escaped to `\\` and a literal separator char
     *    to `\<sep>`, so values containing the separator cannot shift later
     *    columns on read. */
-  def writeSequenceText(df: DataFrame, path: String, sep: String = "|"): Unit =
+  def writeSequenceText(df: DataFrame, path: String, sep: String = "|",
+      codec: Option[Class[_ <: org.apache.hadoop.io.compress.CompressionCodec]]
+        = None): Unit =
     df.select(delimitedLine(df, sep))
       .rdd.map(r => (NullWritable.get(), r.getString(0)))
-      .saveAsSequenceFile(path)
+      .saveAsSequenceFile(path, codec)
 
   /** One `sep`-joined line per row in the text convention above (escapes +
     * `\N`); shared by every delimited sink. */

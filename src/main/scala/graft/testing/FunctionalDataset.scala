@@ -346,6 +346,35 @@ object FunctionalDataset {
     Seq("alltypes", "alltypesagg", "alltypessmall", "alltypestiny").foreach {
       t => spark.sql(
         s"CREATE VIEW functional_parquet.$t AS SELECT * FROM functional.$t") }
+    // Multi-file non-partitioned alltypesagg (hdfs-scan-node.test scans it
+    // both unqualified and as functional.*): 4 files, like the reference's
+    // 4-way file split per load.
+    spark.table("alltypesaggmultifilesnopart").repartition(4)
+      .write.saveAsTable("functional.alltypesaggmultifilesnopart")
+    // functional_seq_snap (the seq/snap dimension of the format matrix,
+    // use.test): alltypes round-tripped through the snappy-compressed
+    // SequenceFile sink + scanner, then materialized so the table can live
+    // db-qualified (persistent views cannot reference the scan's temp
+    // lineage). The seq+snappy scan itself runs here, at bootstrap.
+    spark.sql("CREATE DATABASE functional_seq_snap")
+    val seqDir = s"$externalDir/seq_snap_alltypes"
+    val at = spark.table("alltypes")
+    LegacyFormats.writeSequenceText(at, seqDir, ",",
+      codec = Some(classOf[org.apache.hadoop.io.compress.SnappyCodec]))
+    LegacyFormats.readSequenceText(spark, seqDir, at.schema, ",")
+      .write.saveAsTable("functional_seq_snap.alltypes")
+    // functional_rc.old_rcfile_table (schema_template.sql:1178-1185,
+    // data/oldrcfile.rc — a pre-Hive-0.9 RCFile): same rows written and
+    // re-read through the RCFile text path, then materialized db-qualified.
+    spark.sql("CREATE DATABASE functional_rc")
+    val rcDir = s"$externalDir/old_rcfile_table"
+    val rcSchema = StructType.fromDDL("key INT, value STRING")
+    LegacyFormats.writeRcfileText(spark,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(1, 3, 4, 5, 10).map(
+          i => Row(i, s"val_$i")), 1), rcSchema), rcDir)
+    LegacyFormats.readRcfileText(spark, rcDir, rcSchema)
+      .write.saveAsTable("functional_rc.old_rcfile_table")
     spark.sql("CREATE VIEW functional.alltypes_view AS " +
       "SELECT * FROM functional.alltypes")
     // alltypes_hive_view: in the reference this view's metadata is written
@@ -445,6 +474,19 @@ object FunctionalDataset {
       spark.sparkContext.emptyRDD[Row],
       StructType.fromDDL("id BIGINT, name STRING, zip INT"))
       .createOrReplaceTempView("testtbl")
+    // widerow (schema_template.sql:823-833, data/widerow.txt): one row whose
+    // string_col is exactly 10 MiB; wide-row.test checks only the length,
+    // so a deterministic payload is equivalent to the reference's file.
+    reg("widerow", StructType(Seq(StructField("string_col", StringType))),
+      Seq(Row("w" * 10485760)))
+    // alltypesaggmultifiles(nopart): the reference loads alltypesagg's rows
+    // split across 4 files per partition (schema_template.sql; generate-
+    // schema-statements' multi-file load). The fixtures only aggregate, and
+    // the 4-slice RDD behind alltypesagg already scans as multiple input
+    // splits, so views carry the same observable semantics.
+    spark.table("alltypesagg").createOrReplaceTempView("alltypesaggmultifiles")
+    spark.table("alltypesagg").drop("year", "month", "day")
+      .createOrReplaceTempView("alltypesaggmultifilesnopart")
 
     // complex_view (functional_schema_template.sql:726-734): an agg-over-join
     // view with renamed columns, used by the with-clause/top-n fixtures.
