@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // Custom whole-operator plans (SURVEY build-guidance path (c)).
     e.injectPlannerStrategy(_ => plans.TopKPerGroupStrategy)
+    // Reference column DDL missing from Spark's v1 path (ALTER TABLE DROP
+    // COLUMN / RENAME COLUMN as metadata-only ops) — see plans.AlterColumns.
+    e.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, LogicalPlan, RenameColumn}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Column-level ALTER TABLE for session-catalog (v1) tables.
+  *
+  * The reference dialect supports `ALTER TABLE t DROP [COLUMN] c` and
+  * `ALTER TABLE t CHANGE [COLUMN] c c2 type` as pure catalog-metadata
+  * operations — data files are never rewritten, and a text/CSV scan simply
+  * stops (or starts) materializing the trailing fields
+  * (`fe/src/main/cup/sql-parser.y:556-563`, AlterTableDropColStmt /
+  * AlterTableChangeColStmt; exercised by test-unmatched-schema.test).
+  * Spark parses the equivalent v2 syntax but refuses both statements for v1
+  * tables, so [[GraftSqlParser]] rewrites the parsed v2 plans into these
+  * metadata commands when the target is a plain multipart identifier.
+  */
+case class AlterTableDropColumnsCommand(ident: Seq[String],
+                                        cols: Seq[Seq[String]],
+                                        ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ti, meta) = AlterColumns.metadata(session, ident)
+    val resolver = session.sessionState.conf.resolver
+    val partCols = meta.partitionColumnNames
+    var fields = meta.schema.fields
+    cols.foreach { c =>
+      val name = AlterColumns.topLevel(c, "DROP COLUMN")
+      if (partCols.exists(resolver(_, name)))
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065", // generic wrapper class
+          messageParameters = Map("clazz" -> "AlterTableDropColumnsCommand",
+            "msg" -> s"cannot drop partition column '$name' of table $ti"))
+      val idx = fields.indexWhere(f => resolver(f.name, name))
+      if (idx < 0) {
+        if (!ifExists) throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "AlterTableDropColumnsCommand",
+            "msg" -> s"column '$name' does not exist in table $ti"))
+      } else fields = fields.patch(idx, Nil, 1)
+    }
+    if (!fields.exists(f => !partCols.exists(resolver(_, f.name))))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableDropColumnsCommand",
+          "msg" -> s"cannot drop the last data column of table $ti"))
+    AlterColumns.commit(session, ti, meta.copy(schema = StructType(fields)))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` for v1 tables (the reference's
+  * `ALTER TABLE t CHANGE a b <same type>`): metadata-only rename. */
+case class AlterTableRenameColumnCommand(ident: Seq[String],
+                                         col: Seq[String], newName: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ti, meta) = AlterColumns.metadata(session, ident)
+    val resolver = session.sessionState.conf.resolver
+    val name = AlterColumns.topLevel(col, "RENAME COLUMN")
+    if (meta.partitionColumnNames.exists(resolver(_, name)))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableRenameColumnCommand",
+          "msg" -> s"cannot rename partition column '$name' of table $ti"))
+    val idx = meta.schema.fields.indexWhere(f => resolver(f.name, name))
+    if (idx < 0)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableRenameColumnCommand",
+          "msg" -> s"column '$name' does not exist in table $ti"))
+    if (meta.schema.fields.exists(f => resolver(f.name, newName)))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableRenameColumnCommand",
+          "msg" -> s"column '$newName' already exists in table $ti"))
+    val fields = meta.schema.fields.clone()
+    fields(idx) = fields(idx).copy(name = newName)
+    AlterColumns.commit(session, ti, meta.copy(schema = StructType(fields)))
+    Seq.empty
+  }
+}
+
+private[plans] object AlterColumns {
+  def metadata(session: SparkSession, ident: Seq[String]) = {
+    val ti = ident match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case other => throw new IllegalArgumentException(
+        s"unsupported table identifier: ${other.mkString(".")}")
+    }
+    (ti, session.sessionState.catalog.getTableMetadata(ti))
+  }
+
+  def topLevel(path: Seq[String], op: String): String = path match {
+    case Seq(n) => n
+    case nested => throw new IllegalArgumentException(
+      s"$op on nested field ${nested.mkString(".")} is not supported")
+  }
+
+  def commit(session: SparkSession, ti: TableIdentifier,
+             meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Unit = {
+    session.sessionState.catalog.alterTable(meta)
+    session.sessionState.catalog.refreshTable(ti)
+  }
+}
+
+/** Delegating parser that lowers the two v2-only column DDLs onto the v1
+  * commands above; everything else passes through to Spark's parser
+  * untouched. The rewrite happens at parse time (before analysis) because
+  * `ResolveSessionCatalog` rejects v1 targets inside the same fixed-point
+  * batch any injected resolution rule would run in. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case DropColumns(UnresolvedTable(ident, _, _), cols, ifExists) =>
+        AlterTableDropColumnsCommand(ident, cols.map(_.name), ifExists)
+      case RenameColumn(UnresolvedTable(ident, _, _), col, newName) =>
+        AlterTableRenameColumnCommand(ident, col.name, newName)
+      case other => other
+    }
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+}

@@ -288,6 +288,11 @@ object FunctionalDataset {
     "nullformat_custom" ->
       ("CREATE TABLE nullformat_custom (id INT, a BOOLEAN, b STRING, " +
         "c INT, d DOUBLE) USING CSV OPTIONS (nullValue 'xyz')"),
+    "jointbl_test" ->
+      ("CREATE TABLE jointbl_test (test_id BIGINT, test_name STRING, " +
+        "test_zip INT, alltypes_id INT) USING CSV " +
+        "OPTIONS (sep ',', nullValue '\\\\N') " +
+        s"LOCATION '$externalDir/jointbl_test'"),
     "insert_permutation_test.perm_nopart" ->
       ("CREATE TABLE insert_permutation_test.perm_nopart " +
         "(int_col1 INT, string_col STRING, int_col2 INT) USING PARQUET"),
@@ -425,6 +430,20 @@ object FunctionalDataset {
       "test_id BIGINT, test_name STRING, test_zip INT, alltypes_id INT",
       joinTblLines)
     regText("tinytable", "a STRING, b STRING", tinyTableLines)
+    // jointbl_test data file (test-unmatched-schema.test): the fixture's
+    // python driver creates an EXTERNAL table over jointbl's own data file
+    // and then evolves the table schema under it with ADD/DROP COLUMNS
+    // (tests/query_test/test_scanners_all_table_formats.py:94-120). The
+    // 4-field file is written once here; the external table over it lives
+    // in [[writableTables]] so SETUP `RESET jointbl_test` restores the
+    // original schema.
+    val jtDir = java.nio.file.Paths.get(externalDir, "jointbl_test")
+    if (!java.nio.file.Files.exists(jtDir)) {
+      java.nio.file.Files.createDirectories(jtDir)
+      java.nio.file.Files.write(jtDir.resolve("data.csv"),
+        joinTblLines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
     regText("tinyinttable", "int_col INT", tinyIntTableLines)
     regText("liketbl",
       "str_col STRING, match_like_col STRING, no_match_like_col STRING, " +

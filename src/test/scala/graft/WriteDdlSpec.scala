@@ -181,6 +181,43 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_fmt")
   }
 
+  test("ALTER TABLE DROP/RENAME COLUMN on v1 tables (metadata-only)") {
+    // The reference's AlterTableDropColStmt/AlterTableChangeColStmt
+    // (sql-parser.y:556-563) are catalog-metadata ops; Spark only offers
+    // them for v2 catalogs, so GraftSqlParser lowers them (AlterColumns).
+    spark.sql("DROP TABLE IF EXISTS graft_altcol")
+    spark.sql("CREATE TABLE graft_altcol (a INT, b STRING, c DOUBLE, p INT) " +
+      "USING PARQUET PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_altcol PARTITION (p=1) VALUES (1, 'x', 2.5)")
+
+    spark.sql("ALTER TABLE graft_altcol DROP COLUMN c")
+    assert(spark.table("graft_altcol").columns.toSeq == Seq("a", "b", "p"))
+    // data files still hold c; the scan just stops materializing it
+    assert(spark.sql("SELECT a, b FROM graft_altcol WHERE p = 1")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x")))
+
+    spark.sql("ALTER TABLE graft_altcol RENAME COLUMN b TO b2")
+    assert(spark.table("graft_altcol").columns.toSeq == Seq("a", "b2", "p"))
+
+    // error paths mirror the reference's analyzer checks
+    def failsWith(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(msg), s"'$msg' not in: ${e.getMessage}")
+    }
+    failsWith("ALTER TABLE graft_altcol DROP COLUMN p",
+      "cannot drop partition column")
+    failsWith("ALTER TABLE graft_altcol DROP COLUMN nope",
+      "does not exist")
+    failsWith("ALTER TABLE graft_altcol RENAME COLUMN a TO b2",
+      "already exists")
+    // IF EXISTS tolerates a missing column
+    spark.sql("ALTER TABLE graft_altcol DROP COLUMN IF EXISTS nope")
+    spark.sql("ALTER TABLE graft_altcol DROP COLUMN b2")
+    failsWith("ALTER TABLE graft_altcol DROP COLUMN a",
+      "cannot drop the last data column")
+    spark.sql("DROP TABLE graft_altcol")
+  }
+
   test("CREATE/DROP VIEW and WITH-clause queries") {
     Tables.registerViews(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW big_nations AS " +
