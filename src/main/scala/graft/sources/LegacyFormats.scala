@@ -83,10 +83,38 @@ object LegacyFormats {
 
   /** Read `sep`-delimited text files at `path` — the container-less text
     * table surface; same payload conventions as the container-backed
-    * readers. */
+    * readers. The reference's ROW FORMAT clause parameterizes all three
+    * delimiters (`fields terminated by X escaped by Y lines terminated by
+    * Z`, functional_schema_template.sql:755-800) and its text scanner is
+    * byte-oriented, so extended-ASCII delimiters like `þ`/`ê` arrive via
+    * `charset` (delimited-latin-text.test reads ISO-8859-1 bytes):
+    *  - `esc`: the escape character (default backslash);
+    *  - `lineSep`: the record terminator (default newline) — a non-default
+    *    terminator goes through Hadoop's TextInputFormat record-delimiter
+    *    support, so the read stays distributed and splittable;
+    *  - `charset`: byte decoding of each record. */
   def readDelimitedText(spark: SparkSession, path: String, schema: StructType,
-                        sep: String = "|"): DataFrame =
-    parseDelimited(spark, spark.sparkContext.textFile(path), schema, sep)
+                        sep: String = "|", esc: Char = '\\',
+                        lineSep: String = "\n",
+                        charset: String = "UTF-8"): DataFrame = {
+    val lines =
+      if (lineSep == "\n" && charset.equalsIgnoreCase("UTF-8"))
+        spark.sparkContext.textFile(path)
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)
+        conf.set("textinputformat.record.delimiter", lineSep)
+        val cs = charset // serializable capture (Charset itself is not)
+        spark.sparkContext.newAPIHadoopFile(path,
+            classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+            classOf[LongWritable], classOf[Text], conf)
+          .map { case (_, t) =>
+            new String(t.getBytes, 0, t.getLength,
+                       java.nio.charset.Charset.forName(cs)) }
+          .filter(_.nonEmpty) // a trailing terminator yields one empty record
+      }
+    parseDelimited(spark, lines, schema, sep, esc)
+  }
 
   /** Distributed delimited-text sink (same escape/`\N` conventions). */
   def writeDelimitedText(df: DataFrame, path: String, sep: String = "|"): Unit =
@@ -161,8 +189,10 @@ object LegacyFormats {
     * surface (`be/src/exec/delimited-text-parser.cc`), exposed for in-memory
     * payloads (e.g. fixture tables). */
   def readDelimitedLines(spark: SparkSession, lines: Seq[String],
-                         schema: StructType, sep: String = "|"): DataFrame =
-    parseDelimited(spark, spark.sparkContext.parallelize(lines), schema, sep)
+                         schema: StructType, sep: String = "|",
+                         esc: Char = '\\'): DataFrame =
+    parseDelimited(spark, spark.sparkContext.parallelize(lines), schema, sep,
+                   esc)
 
   /** Shared row-payload parser: `sep`-delimited text with NO quote handling
     * (a field that merely starts with '"' passes through verbatim) but WITH
@@ -174,14 +204,15 @@ object LegacyFormats {
     * then unescaped and cast to the schema. */
   private def parseDelimited(spark: SparkSession,
                              lines: org.apache.spark.rdd.RDD[String],
-                             schema: StructType, sep: String): DataFrame = {
+                             schema: StructType, sep: String,
+                             esc: Char = '\\'): DataFrame = {
     require(sep.length == 1, s"separator must be a single char, got '$sep'")
     val sepCh = sep.charAt(0)
     val n = schema.length
     val rows = lines.map { line =>
-      val raw = splitEscaped(line, sepCh)
-      Row.fromSeq((0 until n).map(i => if (i < raw.length) decodeField(raw(i))
-                                       else null))
+      val raw = splitEscaped(line, sepCh, esc)
+      Row.fromSeq((0 until n).map(i =>
+        if (i < raw.length) decodeField(raw(i), esc) else null))
     }
     val asStrings = StructType(schema.map(f =>
       StructField(f.name, StringType, nullable = true)))
@@ -191,15 +222,16 @@ object LegacyFormats {
       col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Split on `sep`, treating a backslash as escaping the next char (the
-    * escaped char is kept WITH its backslash for `decodeField`). */
-  private[sources] def splitEscaped(line: String, sep: Char): Array[String] = {
+  /** Split on `sep`, treating `esc` as escaping the next char (the
+    * escaped char is kept WITH its escape for `decodeField`). */
+  private[sources] def splitEscaped(line: String, sep: Char,
+                                    esc: Char = '\\'): Array[String] = {
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < line.length) {
       val ch = line.charAt(i)
-      if (ch == '\\' && i + 1 < line.length) {
+      if (ch == esc && i + 1 < line.length) {
         sb.append(ch).append(line.charAt(i + 1)); i += 2
       } else if (ch == sep) {
         fields += sb.toString; sb.setLength(0); i += 1
@@ -209,16 +241,17 @@ object LegacyFormats {
     fields.toArray
   }
 
-  /** `\N` -> NULL; otherwise strip one level of backslash escaping. */
-  private[sources] def decodeField(raw: String): String =
+  /** `\N` -> NULL; otherwise strip one level of `esc` escaping. */
+  private[sources] def decodeField(raw: String,
+                                   esc: Char = '\\'): String =
     if (raw == NullSentinel) null
-    else if (raw.indexOf('\\') < 0) raw
+    else if (raw.indexOf(esc.toInt) < 0) raw
     else {
       val sb = new java.lang.StringBuilder(raw.length)
       var i = 0
       while (i < raw.length) {
         val ch = raw.charAt(i)
-        if (ch == '\\' && i + 1 < raw.length) {
+        if (ch == esc && i + 1 < raw.length) {
           sb.append(raw.charAt(i + 1)); i += 2
         } else { sb.append(ch); i += 1 }
       }

@@ -507,6 +507,47 @@ object FunctionalDataset {
     spark.table("alltypesagg").drop("year", "month", "day")
       .createOrReplaceTempView("alltypesaggmultifilesnopart")
 
+    // Custom-delimiter text tables (functional_schema_template.sql:755-800;
+    // raw files reconstructed byte-for-byte from testdata/data/text-{comma-
+    // backslash-newline,dollar-hash-pipe,thorn-ecirc-newline}.txt), read
+    // through the parameterized delimited-text scanner: escape char, record
+    // terminator, and charset all vary. The thorn/ecirc pair are the
+    // extended-ASCII (ISO-8859-1) bytes 0xFE/0xEA.
+    val delimSchema =
+      StructType.fromDDL("col1 STRING, col2 STRING, col3 INT, col4 INT")
+    def rawTextTable(name: String, content: Array[Byte]): String = {
+      val d = java.nio.file.Paths.get(externalDir, name)
+      if (!java.nio.file.Files.exists(d)) {
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve("data.txt"), content)
+      }
+      d.toString
+    }
+    LegacyFormats.readDelimitedText(spark,
+        rawTextTable("text_comma_backslash_newline",
+          ("one,two,3,4\none\\,one,two,3,4\none\\\\,two,3,4\n" +
+            "one\\\\\\,one,two,3,4\none\\\\\\\\,two,3,4\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        delimSchema, ",")
+      .createOrReplaceTempView("text_comma_backslash_newline")
+    LegacyFormats.readDelimitedText(spark,
+        rawTextTable("text_dollar_hash_pipe",
+          ("one$two$3$4|one#$one$two$3$4|one##$two$3$4|" +
+            "one###$one$two$3$4|one####$two$3$4")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        delimSchema, "$", esc = '#', lineSep = "|")
+      .createOrReplaceTempView("text_dollar_hash_pipe")
+    LegacyFormats.readDelimitedText(spark,
+        rawTextTable("text_thorn_ecirc_newline",
+          ("oneþtwoþ3þ4\n" +
+            "oneêþoneþtwoþ3þ4\n" +
+            "oneêêþtwoþ3þ4\n" +
+            "oneêêêþoneþtwoþ3þ4\n" +
+            "oneêêêêþtwoþ3þ4\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+        delimSchema, "þ", esc = 'ê', charset = "ISO-8859-1")
+      .createOrReplaceTempView("text_thorn_ecirc_newline")
+
     // complex_view (functional_schema_template.sql:726-734): an agg-over-join
     // view with renamed columns, used by the with-clause/top-n fixtures.
     spark.sql(

@@ -186,6 +186,39 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
   }
 
+  test("delimited-text custom escape char, record terminator and charset") {
+    import org.apache.spark.sql.types._
+    // The reference's ROW FORMAT parameterizes all three delimiters
+    // (fields terminated by '$' escaped by '#' lines terminated by '|');
+    // extended-ASCII delimiters arrive as ISO-8859-1 bytes
+    // (delimited-text.test / delimited-latin-text.test).
+    val schema =
+      StructType.fromDDL("col1 STRING, col2 STRING, col3 INT, col4 INT")
+    val dir = tmp("graft_dollar_hash_pipe")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(dir, "data.txt"),
+      "one$two$3$4|one#$one$two$3$4|one##$two$3$4|\\N$x$1$2|#N$y$5$6"
+        .getBytes("UTF-8"))
+    val got = sources.LegacyFormats
+      .readDelimitedText(spark, dir, schema, "$", esc = '#', lineSep = "|")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    // '#$' escapes the separator, '##' the escape char; the null sentinel
+    // stays literal backslash-N under ANY escape char (Hive null format),
+    // while an escaped '#N' decodes to the one-char string "N".
+    assert(got == Set(("one", "two"), ("one$one", "two"), ("one#", "two"),
+                      (null, "x"), ("N", "y")))
+
+    val latinDir = tmp("graft_latin")
+    Files.createDirectories(java.nio.file.Paths.get(latinDir))
+    Files.write(java.nio.file.Paths.get(latinDir, "data.txt"),
+      "aþbþ1þ2\naêþbþcþ3þ4\n".getBytes("ISO-8859-1"))
+    val latin = sources.LegacyFormats
+      .readDelimitedText(spark, latinDir, schema, "þ", esc = 'ê',
+        charset = "ISO-8859-1")
+      .collect().map(_.getString(0)).toSet
+    assert(latin == Set("a", "aþb"))
+  }
+
   test("avro round-trip with a nullable union field") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
