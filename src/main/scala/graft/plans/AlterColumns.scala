@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, LogicalPlan, RenameColumn}
+import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, LoadData, LogicalPlan, RenameColumn}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Column-level ALTER TABLE for session-catalog (v1) tables.
   *
@@ -110,11 +111,29 @@ private[plans] object AlterColumns {
   }
 }
 
-/** Delegating parser that lowers the two v2-only column DDLs onto the v1
-  * commands above; everything else passes through to Spark's parser
-  * untouched. The rewrite happens at parse time (before analysis) because
-  * `ResolveSessionCatalog` rejects v1 targets inside the same fixed-point
-  * batch any injected resolution rule would run in. */
+/** `LOAD DATA INPATH ... [OVERWRITE] INTO TABLE t [PARTITION (...)]` for
+  * datasource tables (Spark only implements the statement for Hive-serde
+  * tables): delegates to [[graft.sources.LoadData]]'s file-move and returns
+  * the reference's one-line response (`Frontend.java:383`). */
+case class GraftLoadDataCommand(ident: Seq[String], path: String,
+                                overwrite: Boolean,
+                                partition: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("summary", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val r = graft.sources.LoadData.loadData(
+      session, path, ident.mkString("."), overwrite, partition)
+    Seq(Row("Loaded %d file(s). Total files in destination location: %d"
+      .format(r.moved, r.total)))
+  }
+}
+
+/** Delegating parser that lowers the v2-only column DDLs and LOAD DATA
+  * onto the v1 commands above; everything else passes through to Spark's
+  * parser untouched. The rewrite happens at parse time (before analysis)
+  * because `ResolveSessionCatalog` rejects v1 targets inside the same
+  * fixed-point batch any injected resolution rule would run in. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
@@ -122,6 +141,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         AlterTableDropColumnsCommand(ident, cols.map(_.name), ifExists)
       case RenameColumn(UnresolvedTable(ident, _, _), col, newName) =>
         AlterTableRenameColumnCommand(ident, col.name, newName)
+      case LoadData(UnresolvedTable(ident, _, _), path, _, isOverwrite, part) =>
+        GraftLoadDataCommand(ident, path, isOverwrite,
+          part.map(_.toSeq).getOrElse(Nil))
       case other => other
     }
 

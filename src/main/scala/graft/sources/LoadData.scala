@@ -1,55 +1,90 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** `LOAD DATA INPATH '<dir>' INTO TABLE t` — the reference's file-move DML
-  * (`fe/.../analysis/LoadDataStmt.java`, grammar `sql-parser.y:470`): data
-  * files are *moved* (not rewritten) into the table's directory, then the
-  * table metadata is refreshed. The files must already be in the table's
-  * storage format — exactly the reference's contract (LoadDataStmt only
-  * verifies access and moves).
+/** `LOAD DATA INPATH '<path>' [OVERWRITE] INTO TABLE t [PARTITION (...)]` —
+  * the reference's file-move DML (`fe/.../analysis/LoadDataStmt.java`,
+  * grammar `sql-parser.y:470`, response text `Frontend.java:383`): data
+  * files are *moved* (not rewritten) into the table's (or partition's)
+  * directory, then the table metadata is refreshed. The files must already
+  * be in the table's storage format — exactly the reference's contract
+  * (LoadDataStmt only verifies access and moves).
   */
 object LoadData {
 
-  /** Move every data file under `srcDir` into `table`'s location; with
-    * `overwrite`, existing data files are removed first (LOAD DATA ...
-    * OVERWRITE INTO). Returns the number of files moved. */
+  /** Outcome of a load: files moved in, and total data files now present
+    * in the destination directory (the two numbers in the reference's
+    * response line). */
+  case class LoadResult(moved: Int, total: Int)
+
+  /** Move every data file at `src` (a file or a directory) into `table`'s
+    * location — or its `partition` subdirectory — and return the counts.
+    *
+    * OVERWRITE follows the reference's staging order (`Frontend.java`
+    * loadTableData: sources are moved aside BEFORE the destination is
+    * cleared), so loading a directory onto itself replaces nothing and
+    * loses nothing — the fixture's self-load cases pin this. Name
+    * collisions on non-overwrite loads get a `_copy_N` suffix, as Hive
+    * spells it. */
   def loadData(spark: SparkSession, srcDir: String, table: String,
-               overwrite: Boolean = false): Int = {
+               overwrite: Boolean = false,
+               partition: Seq[(String, String)] = Nil): LoadResult = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident)
-      .location)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val conf = spark.sparkContext.hadoopConfiguration
+    // partition values land in canonical column order, whatever order the
+    // statement spelled them in
+    val partPath = meta.partitionColumnNames.flatMap { pc =>
+      partition.find(_._1.equalsIgnoreCase(pc)).map { case (_, v) => s"$pc=$v" }
+    }
+    val loc = partPath.foldLeft(new Path(meta.location)) { (p, seg) =>
+      new Path(p, seg)
+    }
     val fs = loc.getFileSystem(conf)
+    if (!fs.exists(loc)) fs.mkdirs(loc)
     val src = new Path(srcDir)
     val srcFs = src.getFileSystem(conf)
 
     def isData(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")
-
-    if (overwrite)
-      fs.listStatus(loc).map(_.getPath).filter(isData)
-        .foreach(p => require(fs.delete(p, true),
-          s"LOAD DATA OVERWRITE: failed to delete $p"))
+    def listData(f: FileSystem, d: Path): Seq[Path] =
+      if (f.getFileStatus(d).isFile) Seq(d)
+      else f.listStatus(d).map(_.getPath).filter(isData).toSeq
 
     // rename only works within one filesystem (it THROWS "Wrong FS" rather
     // than returning false across filesystems), so pick the strategy by URI.
     val sameFs = srcFs.getUri == fs.getUri
-    val files = srcFs.listStatus(src).map(_.getPath).filter(isData)
-    files.foreach { f =>
-      var target = new Path(loc, f.getName)
+    def moveTo(f: Path, dir: Path, from: FileSystem, fromSame: Boolean): Path = {
+      var target = new Path(dir, f.getName)
       var n = 0
       while (fs.exists(target)) { // collision: suffix like Hive's copy_N
         n += 1
-        target = new Path(loc, s"${f.getName}_copy_$n")
+        target = new Path(dir, s"${f.getName}_copy_$n")
       }
       val moved =
-        if (sameFs) fs.rename(f, target)
-        else org.apache.hadoop.fs.FileUtil.copy(srcFs, f, fs, target, true, conf)
+        if (fromSame) fs.rename(f, target)
+        else org.apache.hadoop.fs.FileUtil.copy(from, f, fs, target, true, conf)
       require(moved, s"failed to move $f to $target")
+      target
     }
+
+    val files = listData(srcFs, src)
+    if (overwrite) {
+      // stage sources inside the destination fs first, then clear, then
+      // promote — the self-load-with-overwrite order the reference uses
+      val staging = new Path(loc, ".graft_load_staging")
+      fs.mkdirs(staging)
+      val staged = files.map(f => moveTo(f, staging, srcFs, sameFs))
+      listData(fs, loc).foreach(p => require(fs.delete(p, true),
+        s"LOAD DATA OVERWRITE: failed to delete $p"))
+      staged.foreach(f => moveTo(f, loc, fs, fromSame = true))
+      fs.delete(staging, true)
+    } else
+      files.foreach(f => moveTo(f, loc, srcFs, sameFs))
+
+    val total = listData(fs, loc).length
     spark.sql(s"REFRESH TABLE $table")
-    files.length
+    LoadResult(files.length, total)
   }
 }

@@ -303,14 +303,33 @@ object FunctionalDataset {
     "insert_permutation_test.parquet_part" ->
       ("CREATE TABLE insert_permutation_test.parquet_part " +
         "(int_col1 INT, string_col STRING, p1 INT, p2 STRING) " +
-        "USING PARQUET PARTITIONED BY (p1, p2)"))
+        "USING PARQUET PARTITIONED BY (p1, p2)"),
+    // load.test targets: external at FIXED locations so the fixture's
+    // literal LOAD paths stay valid (the reference uses /test-warehouse).
+    "functional.test_load" ->
+      (s"CREATE TABLE functional.test_load ($allTypesCols, " +
+        "year INT, month INT) USING PARQUET PARTITIONED BY (year, month) " +
+        "LOCATION '/tmp/graft-load-fixture/test_load'"),
+    "functional.test_load_nopart" ->
+      (s"CREATE TABLE functional.test_load_nopart ($allTypesCols) " +
+        "USING PARQUET LOCATION '/tmp/graft-load-fixture/test_load_nopart'"))
+
+  /** External registry tables whose RESET also clears the files under their
+    * LOCATION (load.test's tables accumulate moved-in files; a reference
+    * RESET reloads base data from scratch). NOT the nullinsert pair: those
+    * two tables deliberately share one location — RESETting one must not
+    * destroy the files the other just wrote. */
+  private val wipeLocationOnReset =
+    Set("functional.test_load", "functional.test_load_nopart")
 
   /** Tables whose enclosing database is created by the fixture itself, so
     * they must NOT be pre-created at bootstrap (only recreated on RESET). */
   private val fixtureCreated = Set(
     "insert_permutation_test.perm_nopart",
     "insert_permutation_test.perm_part",
-    "insert_permutation_test.parquet_part")
+    "insert_permutation_test.parquet_part",
+    "functional.test_load",
+    "functional.test_load_nopart")
 
   /** SETUP `RESET t` / `DROP PARTITIONS t`: drop and recreate from the
     * registry. The reference distinguishes the two (recreate vs drop all
@@ -321,6 +340,16 @@ object FunctionalDataset {
     val ddl = writableTables.getOrElse(name,
       throw new IllegalArgumentException(s"no writable table '$name' in registry"))
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    if (wipeLocationOnReset(name)) {
+      val Loc = "(?s).*LOCATION '([^']+)'.*".r
+      ddl match {
+        case Loc(path) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        case _ => ()
+      }
+    }
     spark.sql(ddl)
   }
 
@@ -334,7 +363,16 @@ object FunctionalDataset {
     registerViews(spark)
     if (spark.catalog.databaseExists("functional")) return
     spark.sql("CREATE DATABASE functional")
-    Seq("alltypes", "alltypessmall", "alltypestiny", "alltypesagg",
+    // alltypes is partitioned by (year, month) like the reference's table
+    // (functional_schema_template.sql:4-33) — CREATE TABLE LIKE must carry
+    // the partitioning (load.test) and partition pruning applies.
+    spark.table("alltypes").write.partitionBy("year", "month")
+      .saveAsTable("functional.alltypes")
+    // a partitioned catalog table has no cheap file-sum size — give the
+    // CBO real stats so broadcast decisions stay the same as the
+    // reference's planner expects (PlannerGoldenSpec)
+    spark.sql("ANALYZE TABLE functional.alltypes COMPUTE STATISTICS")
+    Seq("alltypessmall", "alltypestiny", "alltypesagg",
         "alltypesaggnonulls", "dimtbl", "jointbl", "emptytable",
         "decimal_tbl").foreach {
       t => spark.table(t).write.saveAsTable(s"functional.$t") }

@@ -282,7 +282,7 @@ object GoldenTestRunner {
     }
 
   private val InsertRe =
-    """(?is)\binsert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_][\w.]*)""".r
+    """(?is)\binsert\s+(into|overwrite)\s+(?:table\s+)?(?!directory\b)([A-Za-z_][\w.]*)""".r
 
   def run(spark: SparkSession, c: GoldenCase): Outcome = {
     try runSetup(spark, c.setup)

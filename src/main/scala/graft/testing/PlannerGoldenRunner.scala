@@ -218,9 +218,21 @@ object PlannerGoldenRunner {
         case _ => ()
       }
       // subquery plans (scalar / IN subqueries planned as expressions here,
-      // as joins in the reference)
+      // as joins in the reference) — but NOT dynamic-partition-pruning
+      // subqueries: DPP re-scans a join side purely to prune the other
+      // side's partitions, an execution artifact with no counterpart in the
+      // reference's logical shape (its scan counts would double-count).
+      val dpp = collection.mutable.Set.empty[Int]
       p.expressions.foreach(_.foreach {
-        case sub: ExecSubqueryExpression =>
+        case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => d.foreach {
+          case s: ExecSubqueryExpression =>
+            dpp.add(System.identityHashCode(s))
+          case _ => ()
+        }
+        case _ => ()
+      })
+      p.expressions.foreach(_.foreach {
+        case sub: ExecSubqueryExpression if !dpp(System.identityHashCode(sub)) =>
           if (seen.add(System.identityHashCode(sub))) walk(sub.plan)
         case _ => ()
       })

@@ -258,7 +258,7 @@ class FormatsSpec extends SparkSpec {
     nation.write.saveAsTable("ld_nation")
     val extra = tmp("graft_ld")
     nation.write.mode("overwrite").parquet(extra)
-    val moved = sources.LoadData.loadData(spark, extra, "ld_nation")
+    val moved = sources.LoadData.loadData(spark, extra, "ld_nation").moved
     assert(moved > 0)
     assert(spark.table("ld_nation").count() == 2 * nation.count())
     // source files are gone (moved, not copied)
