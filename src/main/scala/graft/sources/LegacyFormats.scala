@@ -260,21 +260,37 @@ object LegacyFormats {
 
   // ---- Avro object container files (reference: hdfs-avro-scanner.cc) ----
 
-  /** Read Avro container files; the writer schema is taken from the first
-    * file's header (as the reference's schema-resolution default). */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Read Avro container files. Without `readerSchemaJson`, the schema is
+    * taken from the first file's header (the reference's schema-resolution
+    * default). With it, each file's WRITER schema is resolved against the
+    * given READER schema — Avro's standard resolution, the same rules
+    * `hdfs-avro-scanner.cc` implements: fields matched by name in any
+    * order, missing fields filled from reader defaults, extra writer
+    * fields skipped, and int→long/float/double type promotion
+    * (avro-schema-resolution.test runs files of two different writer
+    * schemas through one reader schema). */
+  def readAvro(spark: SparkSession, path: String,
+               readerSchemaJson: Option[String] = None): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val first = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
-      .getOrElse(throw new IllegalArgumentException(s"no .avro files in $path"))
-    val in = fs.open(first)
-    val avroSchema =
-      try {
-        val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-        try s.getSchema finally s.close()
-      } finally in.close()
+    val avroSchema = readerSchemaJson match {
+      case Some(json) => new Schema.Parser().parse(json)
+      case None =>
+        val first = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
+          .getOrElse(
+            throw new IllegalArgumentException(s"no .avro files in $path"))
+        val in = fs.open(first)
+        try {
+          val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+          try s.getSchema finally s.close()
+        } finally in.close()
+    }
+    // the reader schema rides the same key AvroJob.setInputKeySchema sets;
+    // AvroKeyRecordReader then resolves each file's writer schema to it
+    readerSchemaJson.foreach(j => conf.set("avro.schema.input.key", j))
     val sparkSchema = toStructType(avroSchema)
     val schemaJson = avroSchema.toString
     val rows = spark.sparkContext.newAPIHadoopFile(
@@ -282,14 +298,28 @@ object LegacyFormats {
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
       .mapPartitions { it =>
+        // per-field converters: decimal fields carry their scale (the
+        // unscaled value arrives as bytes), everything else is generic
         val fields = new Schema.Parser().parse(schemaJson).getFields.asScala
-          .map(_.name).toArray
+          .map(f => (f.name, decimalScale(f.schema()))).toArray
         it.map { case (k, _) =>
           val rec = k.datum()
-          Row.fromSeq(fields.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+          Row.fromSeq(fields.toIndexedSeq.map { case (n, scale) =>
+            fromAvro(rec.get(n), scale) })
         }
       }
     spark.createDataFrame(rows, sparkSchema)
+  }
+
+  /** Scale of an avro `decimal` logical type (unions unwrapped), or -1. */
+  private def decimalScale(s: Schema): Int = {
+    val base = if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+    base.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal => d.getScale
+      case _ => -1
+    }
   }
 
   /** Avro → Spark schema for the reference-era surface (flat records of
@@ -311,23 +341,35 @@ object LegacyFormats {
     case _ => (primitive(s), false)
   }
 
-  private def primitive(s: Schema): DataType = s.getType match {
-    case Schema.Type.STRING => StringType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES => BinaryType
-    case other => throw new IllegalArgumentException(
-      s"unsupported avro type $other (reference-era schemas are flat primitives)")
+  private def primitive(s: Schema): DataType = s.getLogicalType match {
+    case d: org.apache.avro.LogicalTypes.Decimal =>
+      // bytes/fixed + `decimal` logical type (hdfs-avro-scanner.cc's
+      // decimal path; avro_decimal_tbl in the reference dataset)
+      DecimalType(d.getPrecision, d.getScale)
+    case _ => s.getType match {
+      case Schema.Type.STRING => StringType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro type $other (reference-era schemas are flat primitives)")
+    }
   }
 
-  private def fromAvro(v: Any): Any = v match {
+  private def fromAvro(v: Any, decimalScale: Int = -1): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case bb: java.nio.ByteBuffer =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+      if (decimalScale >= 0)
+        new java.math.BigDecimal(new java.math.BigInteger(a), decimalScale)
+      else a
+    case f: org.apache.avro.generic.GenericFixed if decimalScale >= 0 =>
+      new java.math.BigDecimal(
+        new java.math.BigInteger(f.bytes()), decimalScale)
     case other => other
   }
 }

@@ -545,6 +545,96 @@ object FunctionalDataset {
     spark.table("alltypesagg").drop("year", "month", "day")
       .createOrReplaceTempView("alltypesaggmultifilesnopart")
 
+    // schema_resolution_test (testdata/avro_schema_resolution/
+    // create_table.sql + records{1,2}.avro, reconstructed): two avro files
+    // with DIFFERENT writer schemas — one holding none of the table's
+    // fields, one holding several in reverse order with int-typed values —
+    // resolved against the table's reader schema (by-name matching,
+    // reader defaults, int→long/float/double promotion): the reference's
+    // hdfs-avro-scanner.cc schema-resolution path.
+    val avroResDir = java.nio.file.Paths.get(externalDir,
+      "schema_resolution_test")
+    if (!java.nio.file.Files.exists(avroResDir)) {
+      java.nio.file.Files.createDirectories(avroResDir)
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      def writeOne(file: String, schemaJson: String,
+                   fill: GenericData.Record => Unit): Unit = {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, avroResDir.resolve(file).toFile)
+        val rec = new GenericData.Record(schema)
+        fill(rec)
+        w.append(rec)
+        w.close()
+      }
+      // file_schema1.avsc: a field the table never declares, nothing else
+      writeOne("records1.avro",
+        """{"name":"a","type":"record","fields":[
+          |{"name":"boolean2","type":"boolean"}]}""".stripMargin,
+        r => r.put("boolean2", false))
+      // file_schema2.avsc: several table fields, reverse order, int-typed
+      writeOne("records2.avro",
+        """{"name":"a","type":"record","fields":[
+          |{"name":"boolean2","type":"boolean"},
+          |{"name":"string1","type":"string"},
+          |{"name":"double1","type":"int"},
+          |{"name":"float1","type":"int"},
+          |{"name":"long1","type":"int"},
+          |{"name":"int1","type":"int"},
+          |{"name":"boolean1","type":"boolean"}]}""".stripMargin,
+        { r =>
+          r.put("boolean2", false); r.put("string1", "serialized string")
+          r.put("double1", 2); r.put("float1", 2); r.put("long1", 2)
+          r.put("int1", 2); r.put("boolean1", false)
+        })
+    }
+    // the table's avro reader schema (create_table.sql SERDEPROPERTIES)
+    LegacyFormats.readAvro(spark, avroResDir.toString, Some(
+      """{"name":"a","type":"record","fields":[
+        |{"name":"boolean1","type":"boolean","default":true},
+        |{"name":"int1","type":"int","default":1},
+        |{"name":"long1","type":"long","default":1},
+        |{"name":"float1","type":"float","default":1.0},
+        |{"name":"double1","type":"double","default":1.0},
+        |{"name":"string1","type":"string","default":"default string"},
+        |{"name":"string2","type":["string","null"],"default":""},
+        |{"name":"string3","type":["null","string"],"default":null}]}"""
+        .stripMargin))
+      .createOrReplaceTempView("schema_resolution_test")
+
+    // avro_decimal_tbl (functional_schema_template.sql:1387-1393,
+    // data/avro_decimal_tbl.avro reconstructed): name STRING, value
+    // DECIMAL(5,2) as avro bytes + `decimal` logical type.
+    val avroDecDir = java.nio.file.Paths.get(externalDir, "avro_decimal_tbl")
+    if (!java.nio.file.Files.exists(avroDecDir)) {
+      java.nio.file.Files.createDirectories(avroDecDir)
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val schema = new Schema.Parser().parse(
+        """{"name":"a","type":"record","fields":[
+          |{"name":"name","type":"string"},
+          |{"name":"value","type":{"type":"bytes","logicalType":"decimal",
+          |"precision":5,"scale":2}}]}""".stripMargin)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, avroDecDir.resolve("data.avro").toFile)
+      Seq("Tom" -> "234.79", "Beck" -> "77.34", "Snow" -> "55.71",
+          "Mary" -> "4.33", "Cluck" -> "5.96", "Tom" -> "12.25",
+          "Mary" -> "33.33", "Tom" -> "19.00", "Beck" -> "3.15",
+          "Beck" -> "79.90").foreach { case (n, v) =>
+        val rec = new GenericData.Record(schema)
+        rec.put("name", n)
+        rec.put("value", java.nio.ByteBuffer.wrap(
+          new java.math.BigDecimal(v).unscaledValue.toByteArray))
+        w.append(rec)
+      }
+      w.close()
+    }
+    LegacyFormats.readAvro(spark, avroDecDir.toString)
+      .createOrReplaceTempView("avro_decimal_tbl")
+
     // Custom-delimiter text tables (functional_schema_template.sql:755-800;
     // raw files reconstructed byte-for-byte from testdata/data/text-{comma-
     // backslash-newline,dollar-hash-pipe,thorn-ecirc-newline}.txt), read
