@@ -20,4 +20,52 @@ object HiveUdf {
       args => org.apache.spark.sql.hive.graft.HiveUdfBridge
         .hiveUdf(name, className, args),
       "scala_udf")
+
+  /** Db-qualified (persistent-style) registration — the reference's
+    * `CREATE FUNCTION db.name(...) RETURNS t LOCATION '<jar>'
+    * SYMBOL='<class>'` surface (CreateUdfStmt, `sql-parser.y:694-704`):
+    * the function resolves as `db.name` in SQL. Overloads per signature
+    * collapse onto one registry entry (Hive's own reflection picks the
+    * evaluate method by argument types at call sites). */
+  def registerQualified(spark: SparkSession, db: String, name: String,
+                        className: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogFunction
+    val (dbL, nameL) = (db.toLowerCase, name.toLowerCase)
+    // Two registrations, both load-bearing:
+    //  1. the EXTERNAL catalog entry — the analyzer's LookupFunctions
+    //     existence check goes through the v2 session catalog, which
+    //     consults only the external catalog (must land first: the
+    //     catalog-level createFunction no-ops once the registry has the
+    //     name);
+    //  2. the function-registry builder under the fully qualified
+    //     (catalog.db.name) key resolvePersistentFunction builds at call
+    //     sites — carrying the Hive-UDF bridge expression the in-memory
+    //     catalog's own class loader cannot construct.
+    val external = spark.sessionState.catalog.externalCatalog
+    if (!external.functionExists(dbL, nameL))
+      external.createFunction(dbL,
+        CatalogFunction(FunctionIdentifier(nameL, Some(dbL)), className, Nil))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(nameL, Some(dbL), Some("spark_catalog")),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        className, db, name),
+      args => org.apache.spark.sql.hive.graft.HiveUdfBridge
+        .hiveUdf(name, className, args))
+  }
+
+  /** DROP FUNCTION counterpart; returns whether the name was registered. */
+  def unregister(spark: SparkSession, db: Option[String],
+                 name: String): Boolean = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val dbL = db.getOrElse(spark.catalog.currentDatabase).toLowerCase
+    val nameL = name.toLowerCase
+    val external = spark.sessionState.catalog.externalCatalog
+    val inExternal = spark.catalog.databaseExists(dbL) &&
+      external.functionExists(dbL, nameL)
+    if (inExternal) external.dropFunction(dbL, nameL)
+    val inRegistry = spark.sessionState.functionRegistry.dropFunction(
+      FunctionIdentifier(nameL, Some(dbL), Some("spark_catalog")))
+    inExternal || inRegistry
+  }
 }

@@ -129,14 +129,77 @@ case class GraftLoadDataCommand(ident: Seq[String], path: String,
   }
 }
 
-/** Delegating parser that lowers the v2-only column DDLs and LOAD DATA
-  * onto the v1 commands above; everything else passes through to Spark's
-  * parser untouched. The rewrite happens at parse time (before analysis)
-  * because `ResolveSessionCatalog` rejects v1 targets inside the same
-  * fixed-point batch any injected resolution rule would run in. */
+/** The reference's `CREATE FUNCTION db.name(args) RETURNS t LOCATION
+  * '<jar>' SYMBOL='<class>'` (CreateUdfStmt, `sql-parser.y:694-704`):
+  * registers a compiled Hive UDF class under the db-qualified SQL name via
+  * [[graft.functions.HiveUdf]]. A class already on the session classpath
+  * wins; otherwise the jar is pulled in with ADD JAR first. The declared
+  * argument/return types are not recorded — Hive's own method resolution
+  * picks the evaluate overload per call site, so Impala's per-signature
+  * function entries collapse onto one name (same class either way). */
+case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
+                                     className: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (db, fn) = ident match {
+      case Seq(f) => (session.catalog.currentDatabase, f)
+      case Seq(d, f) => (d, f)
+      case other => throw new IllegalArgumentException(
+        s"unsupported function identifier: ${other.mkString(".")}")
+    }
+    val loader = Option(Thread.currentThread.getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    try loader.loadClass(className)
+    catch {
+      case _: ClassNotFoundException => session.sql(s"ADD JAR '$jar'")
+    }
+    graft.functions.HiveUdf.registerQualified(session, db, fn, className)
+    Seq.empty
+  }
+}
+
+/** `DROP FUNCTION [IF EXISTS] db.name(args)` — the signature-suffixed
+  * spelling Spark's parser rejects. */
+case class DropHiveFunctionCommand(ident: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (db, fn) = ident match {
+      case Seq(f) => (None, f)
+      case Seq(d, f) => (Some(d), f)
+      case other => throw new IllegalArgumentException(
+        s"unsupported function identifier: ${other.mkString(".")}")
+    }
+    val found = graft.functions.HiveUdf.unregister(session, db, fn)
+    if (!found && !ifExists)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "DropHiveFunctionCommand",
+          "msg" -> s"function ${ident.mkString(".")} does not exist"))
+    Seq.empty
+  }
+}
+
+/** Delegating parser that lowers the v2-only column DDLs, LOAD DATA and
+  * the reference's CREATE/DROP FUNCTION dialect onto the commands above;
+  * everything else passes through to Spark's parser untouched. The
+  * rewrite happens at parse time (before analysis) because
+  * `ResolveSessionCatalog` rejects v1 targets inside the same fixed-point
+  * batch any injected resolution rule would run in — and the CREATE
+  * FUNCTION dialect does not parse under Spark's grammar at all. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+  private val CreateFnRe =
+    ("""(?is)\s*create\s+function\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*""" +
+      """\([^)]*\)\s+returns\s+[\w]+(?:\([^)]*\))?\s+""" +
+      """location\s+'([^']+)'\s+symbol\s*=\s*'([^']+)'\s*;?\s*""").r
+  private val DropFnRe =
+    """(?is)\s*drop\s+function\s+(if\s+exists\s+)?([\w.]+)\s*\([^)]*\)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateFnRe(ident, jar, className) =>
+      CreateHiveFunctionCommand(ident.split('.').toIndexedSeq, jar, className)
+    case DropFnRe(ifExists, ident) =>
+      DropHiveFunctionCommand(ident.split('.').toIndexedSeq, ifExists != null)
+    case _ => delegate.parsePlan(sqlText) match {
       case DropColumns(UnresolvedTable(ident, _, _), cols, ifExists) =>
         AlterTableDropColumnsCommand(ident, cols.map(_.name), ifExists)
       case RenameColumn(UnresolvedTable(ident, _, _), col, newName) =>
@@ -146,6 +209,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           part.map(_.toSeq).getOrElse(Nil))
       case other => other
     }
+  }
 
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)

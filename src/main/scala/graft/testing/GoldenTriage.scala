@@ -25,6 +25,7 @@ object GoldenTriage {
     spark.sparkContext.setLogLevel("ERROR")
     Engine.openCatalog(spark, sfDir)
     FunctionalDataset.ensureFunctionalDb(spark)
+    TpchDb.ensure(spark, sfDir)
     val cases = GoldenTestRunner.parseFile(args(0))
     var failures = 0
     cases.zipWithIndex.foreach { case (c, i) =>
