@@ -87,6 +87,72 @@ case class AlterTableRenameColumnCommand(ident: Seq[String],
   }
 }
 
+/** `ALTER TABLE t REPLACE COLUMNS (...)` for v1 tables (the reference's
+  * AlterTableReplaceColsStmt): the whole DATA schema is replaced in one
+  * metadata operation — files are untouched, partition columns kept. */
+case class AlterTableReplaceColumnsCommand(
+    ident: Seq[String], cols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Option[String])])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ti, meta) = AlterColumns.metadata(session, ident)
+    val resolver = session.sessionState.conf.resolver
+    val partCols = meta.schema.fields.filter(f =>
+      meta.partitionColumnNames.exists(resolver(_, f.name)))
+    val dataCols = cols.map { case (n, dt, comment) =>
+      if (partCols.exists(f => resolver(f.name, n)))
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "AlterTableReplaceColumnsCommand",
+            "msg" -> s"cannot replace partition column '$n' of table $ti"))
+      val f = StructField(n, dt)
+      comment.map(f.withComment).getOrElse(f)
+    }
+    AlterColumns.commit(session, ti,
+      meta.copy(schema = StructType(dataCols ++ partCols)))
+    Seq.empty
+  }
+}
+
+/** The reference's `ALTER TABLE t CHANGE [COLUMN] old new type [COMMENT c]`
+  * (AlterTableChangeColStmt, `sql-parser.y:561-563`): rename, retype and
+  * recomment one column in a single metadata operation. Spark's grammar
+  * only parses the same-name form, so [[GraftSqlParser]] recognizes the
+  * statement text. */
+case class AlterTableChangeColumnCommand(ident: Seq[String], oldName: String,
+                                         newName: String, dataTypeDdl: String,
+                                         comment: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ti, meta) = AlterColumns.metadata(session, ident)
+    val resolver = session.sessionState.conf.resolver
+    if (meta.partitionColumnNames.exists(resolver(_, oldName)))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableChangeColumnCommand",
+          "msg" -> s"cannot change partition column '$oldName' of table $ti"))
+    val idx = meta.schema.fields.indexWhere(f => resolver(f.name, oldName))
+    if (idx < 0)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableChangeColumnCommand",
+          "msg" -> s"column '$oldName' does not exist in table $ti"))
+    if (!resolver(oldName, newName) &&
+        meta.schema.fields.exists(f => resolver(f.name, newName)))
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterTableChangeColumnCommand",
+          "msg" -> s"column '$newName' already exists in table $ti"))
+    val dt = session.sessionState.sqlParser.parseDataType(dataTypeDdl)
+    val fields = meta.schema.fields.clone()
+    val base = StructField(newName, dt, fields(idx).nullable)
+    fields(idx) = comment.orElse(fields(idx).getComment())
+      .map(base.withComment).getOrElse(base)
+    AlterColumns.commit(session, ti, meta.copy(schema = StructType(fields)))
+    Seq.empty
+  }
+}
+
 private[plans] object AlterColumns {
   def metadata(session: SparkSession, ident: Seq[String]) = {
     val ti = ident match {
@@ -193,12 +259,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """location\s+'([^']+)'\s+symbol\s*=\s*'([^']+)'\s*;?\s*""").r
   private val DropFnRe =
     """(?is)\s*drop\s+function\s+(if\s+exists\s+)?([\w.]+)\s*\([^)]*\)\s*;?\s*""".r
+  private val ChangeColRe =
+    ("""(?is)\s*alter\s+table\s+([\w.]+)\s+change\s+(?:column\s+)?""" +
+      """(\w+)\s+(\w+)\s+(\w+(?:\s*\([^)]*\))?)""" +
+      """(?:\s+comment\s+'([^']*)')?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CreateFnRe(ident, jar, className) =>
       CreateHiveFunctionCommand(ident.split('.').toIndexedSeq, jar, className)
     case DropFnRe(ifExists, ident) =>
       DropHiveFunctionCommand(ident.split('.').toIndexedSeq, ifExists != null)
+    case ChangeColRe(table, oldName, newName, dt, comment) =>
+      AlterTableChangeColumnCommand(table.split('.').toIndexedSeq,
+        oldName, newName, dt, Option(comment))
     case _ => delegate.parsePlan(sqlText) match {
       case DropColumns(UnresolvedTable(ident, _, _), cols, ifExists) =>
         AlterTableDropColumnsCommand(ident, cols.map(_.name), ifExists)
@@ -207,6 +280,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case LoadData(UnresolvedTable(ident, _, _), path, _, isOverwrite, part) =>
         GraftLoadDataCommand(ident, path, isOverwrite,
           part.map(_.toSeq).getOrElse(Nil))
+      case org.apache.spark.sql.catalyst.plans.logical.ReplaceColumns(
+          UnresolvedTable(ident, _, _), cols) =>
+        AlterTableReplaceColumnsCommand(ident,
+          cols.map(c => (c.colName, c.dataType, c.comment)))
       case other => other
     }
   }

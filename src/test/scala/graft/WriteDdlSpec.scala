@@ -218,6 +218,41 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_altcol")
   }
 
+  test("ALTER TABLE CHANGE/REPLACE COLUMNS on v1 tables (metadata-only)") {
+    // AlterTableChangeColStmt / AlterTableReplaceColsStmt
+    // (sql-parser.y:561-563, 602) — rename+retype+recomment one column,
+    // or swap the whole data schema, without touching files.
+    spark.sql("DROP TABLE IF EXISTS graft_chgcol")
+    spark.sql("CREATE TABLE graft_chgcol (a INT, b STRING, p INT) " +
+      "USING CSV PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_chgcol PARTITION (p=1) VALUES (7, '42')")
+
+    spark.sql("ALTER TABLE graft_chgcol CHANGE COLUMN b b2 INT COMMENT 'now int'")
+    val f = spark.table("graft_chgcol").schema("b2")
+    assert(f.dataType == org.apache.spark.sql.types.IntegerType)
+    assert(f.getComment().contains("now int"))
+    // the text data re-parses under the new type
+    assert(spark.sql("SELECT b2 FROM graft_chgcol").head().getInt(0) == 42)
+
+    def failsWith(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(msg), s"'$msg' not in: ${e.getMessage}")
+    }
+    failsWith("ALTER TABLE graft_chgcol CHANGE COLUMN p p2 INT",
+      "cannot change partition column")
+    failsWith("ALTER TABLE graft_chgcol CHANGE COLUMN nope x INT",
+      "does not exist")
+    failsWith("ALTER TABLE graft_chgcol CHANGE COLUMN a b2 INT",
+      "already exists")
+
+    spark.sql("ALTER TABLE graft_chgcol REPLACE COLUMNS " +
+      "(c1 BIGINT COMMENT 'id col', c2 STRING)")
+    assert(spark.table("graft_chgcol").columns.toSeq == Seq("c1", "c2", "p"))
+    failsWith("ALTER TABLE graft_chgcol REPLACE COLUMNS (p INT)",
+      "cannot replace partition column")
+    spark.sql("DROP TABLE graft_chgcol")
+  }
+
   test("CREATE/DROP VIEW and WITH-clause queries") {
     Tables.registerViews(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW big_nations AS " +
