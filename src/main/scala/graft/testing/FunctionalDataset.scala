@@ -372,6 +372,10 @@ object FunctionalDataset {
     // CBO real stats so broadcast decisions stay the same as the
     // reference's planner expects (PlannerGoldenSpec)
     spark.sql("ANALYZE TABLE functional.alltypes COMPUTE STATISTICS")
+    // the reference's schema template comments alltypes.id ('Add a
+    // comment', functional_schema_template.sql) — describe.test pins it
+    spark.sql("ALTER TABLE functional.alltypes " +
+      "ALTER COLUMN id COMMENT 'Add a comment'")
     Seq("alltypessmall", "alltypestiny", "alltypesagg",
         "alltypesaggnonulls", "dimtbl", "jointbl", "emptytable",
         "decimal_tbl").foreach {
