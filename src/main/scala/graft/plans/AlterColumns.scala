@@ -245,6 +245,32 @@ case class DropHiveFunctionCommand(ident: Seq[String], ifExists: Boolean)
   }
 }
 
+/** The reference's `CREATE TABLE t LIKE <format> FILE '<path>'` spelling
+  * (CreateTableLikeFileStmt, `sql-parser.y:637-655`): derive the schema
+  * from a data file's own footer and create an empty table with it.
+  * Delegates to [[graft.sources.Ddl.createTableLikeFile]]. */
+case class CreateTableLikeFileCommand(ident: Seq[String], ifNotExists: Boolean,
+                                      format: String, schemaFile: String,
+                                      location: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = ident.mkString(".")
+    val exists = try {
+      val (_, _) = AlterColumns.metadata(session, ident); true
+    } catch { case _: Exception => false }
+    if (exists) {
+      if (ifNotExists) return Seq.empty
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "CreateTableLikeFileCommand",
+          "msg" -> s"table $table already exists"))
+    }
+    graft.sources.Ddl.createTableLikeFile(
+      session, table, schemaFile, format, location)
+    Seq.empty
+  }
+}
+
 /** Delegating parser that lowers the v2-only column DDLs, LOAD DATA and
   * the reference's CREATE/DROP FUNCTION dialect onto the commands above;
   * everything else passes through to Spark's parser untouched. The
@@ -263,8 +289,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*alter\s+table\s+([\w.]+)\s+change\s+(?:column\s+)?""" +
       """(\w+)\s+(\w+)\s+(\w+(?:\s*\([^)]*\))?)""" +
       """(?:\s+comment\s+'([^']*)')?\s*;?\s*""").r
+  private val LikeFileRe =
+    ("""(?is)\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([\w.]+)\s+like\s+(parquet)\s+'([^']+)'""" +
+      """(?:\s+stored\s+as\s+\w+)?(?:\s+location\s+'([^']+)')?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case LikeFileRe(ifNotExists, ident, format, file, location) =>
+      CreateTableLikeFileCommand(ident.split('.').toIndexedSeq,
+        ifNotExists != null, format.toLowerCase, file, Option(location))
     case CreateFnRe(ident, jar, className) =>
       CreateHiveFunctionCommand(ident.split('.').toIndexedSeq, jar, className)
     case DropFnRe(ifExists, ident) =>
