@@ -39,6 +39,7 @@ object GoldenTestRunner {
                         results: Option[Seq[String]], catchErr: Option[String],
                         ordered: Boolean,
                         multisetSep: Option[String] = None,
+                        subset: Boolean = false,
                         setup: Seq[String] = Nil)
 
   def parseFile(path: String): Seq[GoldenCase] = {
@@ -71,6 +72,10 @@ object GoldenTestRunner {
           ordered = hasTopLevelOrderBy(query),
           multisetSep = tags.get("RESULTS").collect {
             case MultisetTag(sep) => sep },
+          // the reference verifier's VERIFY_IS_SUBSET: every expected row
+          // must appear in the actual results (used where the full listing
+          // is environment-dependent, e.g. SHOW TABLES '*')
+          subset = tags.get("RESULTS").exists(_.contains("VERIFY_IS_SUBSET")),
           setup = sections.get("SETUP")
             .map(_.map(_.trim).filter(_.nonEmpty)
               .filterNot(_.startsWith("#"))).getOrElse(Nil))
@@ -323,12 +328,20 @@ object GoldenTestRunner {
         }
         c.results.foreach { expected =>
           val got = rows.map(renderRow(_, df.schema)).toSeq
-          val (g, e) = if (c.ordered) (got, expected)
-                       else (got.sorted, expected.sorted)
-          if (g.length != e.length ||
-              !g.zip(e).forall { case (gr, er) =>
-                rowMatches(er, gr, df.schema, c.multisetSep) })
-            return Fail(s"results mismatch:\n expected: $e\n got:      $g")
+          if (c.subset) {
+            val missing = expected.filterNot(er =>
+              got.exists(gr => rowMatches(er, gr, df.schema, c.multisetSep)))
+            if (missing.nonEmpty)
+              return Fail(s"subset rows missing:\n missing: $missing\n " +
+                s"got: ${got.sorted}")
+          } else {
+            val (g, e) = if (c.ordered) (got, expected)
+                         else (got.sorted, expected.sorted)
+            if (g.length != e.length ||
+                !g.zip(e).forall { case (gr, er) =>
+                  rowMatches(er, gr, df.schema, c.multisetSep) })
+              return Fail(s"results mismatch:\n expected: $e\n got:      $g")
+          }
         }
         Pass
     }
