@@ -172,7 +172,16 @@ private[plans] object AlterColumns {
 
   def commit(session: SparkSession, ti: TableIdentifier,
              meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Unit = {
-    session.sessionState.catalog.alterTable(meta)
+    // write the DATA schema through the external catalog directly:
+    // SessionCatalog.alterTable does not carry schema changes on a Hive
+    // metastore (HiveExternalCatalog preserves the old schema there), and
+    // SessionCatalog.alterTableDataSchema refuses drops/renames. Partition
+    // columns are never touched by these commands.
+    val resolver = session.sessionState.conf.resolver
+    val dataSchema = StructType(meta.schema.fields.filterNot(f =>
+      meta.partitionColumnNames.exists(resolver(_, f.name))))
+    session.sharedState.externalCatalog.alterTableDataSchema(
+      meta.database, meta.identifier.table, dataSchema)
     session.sessionState.catalog.refreshTable(ti)
   }
 }
@@ -183,13 +192,14 @@ private[plans] object AlterColumns {
   * the reference's one-line response (`Frontend.java:383`). */
 case class GraftLoadDataCommand(ident: Seq[String], path: String,
                                 overwrite: Boolean,
-                                partition: Seq[(String, String)])
+                                partition: Seq[(String, String)],
+                                isLocal: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("summary", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val r = graft.sources.LoadData.loadData(
-      session, path, ident.mkString("."), overwrite, partition)
+      session, path, ident.mkString("."), overwrite, partition, isLocal)
     Seq(Row("Loaded %d file(s). Total files in destination location: %d"
       .format(r.moved, r.total)))
   }
@@ -204,7 +214,8 @@ case class GraftLoadDataCommand(ident: Seq[String], path: String,
   * picks the evaluate overload per call site, so Impala's per-signature
   * function entries collapse onto one name (same class either way). */
 case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
-                                     className: String)
+                                     className: String,
+                                     ifNotExists: Boolean)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val (db, fn) = ident match {
@@ -213,11 +224,25 @@ case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
       case other => throw new IllegalArgumentException(
         s"unsupported function identifier: ${other.mkString(".")}")
     }
+    // the reference errors on a duplicate CREATE without IF NOT EXISTS
+    // (CreateUdfStmt analysis); IF NOT EXISTS makes it a no-op
+    if (session.catalog.databaseExists(db.toLowerCase) &&
+        session.sharedState.externalCatalog
+          .functionExists(db.toLowerCase, fn.toLowerCase)) {
+      if (ifNotExists) return Seq.empty
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "CreateHiveFunctionCommand",
+          "msg" -> s"function $db.$fn already exists"))
+    }
     val loader = Option(Thread.currentThread.getContextClassLoader)
       .getOrElse(getClass.getClassLoader)
     try loader.loadClass(className)
     catch {
-      case _: ClassNotFoundException => session.sql(s"ADD JAR '$jar'")
+      // pull the jar in through the resource loader — not via re-parsed
+      // SQL text, which a quote in the path would break
+      case _: ClassNotFoundException =>
+        session.sessionState.resourceLoader.addJar(jar)
     }
     graft.functions.HiveUdf.registerQualified(session, db, fn, className)
     Seq.empty
@@ -280,7 +305,7 @@ case class CreateTableLikeFileCommand(ident: Seq[String], ifNotExists: Boolean,
   * FUNCTION dialect does not parse under Spark's grammar at all. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateFnRe =
-    ("""(?is)\s*create\s+function\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*""" +
+    ("""(?is)\s*create\s+function\s+(if\s+not\s+exists\s+)?([\w.]+)\s*""" +
       """\([^)]*\)\s+returns\s+[\w]+(?:\([^)]*\))?\s+""" +
       """location\s+'([^']+)'\s+symbol\s*=\s*'([^']+)'\s*;?\s*""").r
   private val DropFnRe =
@@ -298,23 +323,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case LikeFileRe(ifNotExists, ident, format, file, location) =>
       CreateTableLikeFileCommand(ident.split('.').toIndexedSeq,
         ifNotExists != null, format.toLowerCase, file, Option(location))
-    case CreateFnRe(ident, jar, className) =>
-      CreateHiveFunctionCommand(ident.split('.').toIndexedSeq, jar, className)
+    case CreateFnRe(ifNotExists, ident, jar, className) =>
+      CreateHiveFunctionCommand(ident.split('.').toIndexedSeq, jar, className,
+        ifNotExists != null)
     case DropFnRe(ifExists, ident) =>
       DropHiveFunctionCommand(ident.split('.').toIndexedSeq, ifExists != null)
     case ChangeColRe(table, oldName, newName, dt, comment) =>
       AlterTableChangeColumnCommand(table.split('.').toIndexedSeq,
         oldName, newName, dt, Option(comment))
     case _ => delegate.parsePlan(sqlText) match {
-      case DropColumns(UnresolvedTable(ident, _, _), cols, ifExists) =>
+      // Only 1- and 2-part identifiers are lowered: a 3-part (explicit
+      // catalog) spelling belongs to Spark's own v2 path, which supports
+      // these statements natively.
+      case DropColumns(UnresolvedTable(ident, _, _), cols, ifExists)
+          if ident.length <= 2 =>
         AlterTableDropColumnsCommand(ident, cols.map(_.name), ifExists)
-      case RenameColumn(UnresolvedTable(ident, _, _), col, newName) =>
+      case RenameColumn(UnresolvedTable(ident, _, _), col, newName)
+          if ident.length <= 2 =>
         AlterTableRenameColumnCommand(ident, col.name, newName)
-      case LoadData(UnresolvedTable(ident, _, _), path, _, isOverwrite, part) =>
+      case LoadData(UnresolvedTable(ident, _, _), path, isLocal, isOverwrite,
+                    part) if ident.length <= 2 =>
         GraftLoadDataCommand(ident, path, isOverwrite,
-          part.map(_.toSeq).getOrElse(Nil))
+          part.map(_.toSeq).getOrElse(Nil), isLocal)
       case org.apache.spark.sql.catalyst.plans.logical.ReplaceColumns(
-          UnresolvedTable(ident, _, _), cols) =>
+          UnresolvedTable(ident, _, _), cols) if ident.length <= 2 =>
         AlterTableReplaceColumnsCommand(ident,
           cols.map(c => (c.colName, c.dataType, c.comment)))
       case other => other

@@ -101,17 +101,26 @@ object LegacyFormats {
       if (lineSep == "\n" && charset.equalsIgnoreCase("UTF-8"))
         spark.sparkContext.textFile(path)
       else {
+        // Hadoop encodes the record delimiter as UTF-8 bytes, so only
+        // ASCII terminators match single-byte-charset files byte-for-byte
+        // (an extended-ASCII FIELD delimiter is fine — fields are split
+        // after decoding). A terminator >0x7F would need a byte-level
+        // record reader; nothing in the reference corpus uses one.
+        require(lineSep.forall(_ < 0x80),
+          s"record terminator must be ASCII, got '$lineSep'")
         val conf = new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)
         conf.set("textinputformat.record.delimiter", lineSep)
         val cs = charset // serializable capture (Charset itself is not)
+        // NOTE: Hadoop swallows a trailing terminator itself and interior
+        // empty records are legitimate rows — no filtering here, matching
+        // the default textFile branch.
         spark.sparkContext.newAPIHadoopFile(path,
             classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
             classOf[LongWritable], classOf[Text], conf)
           .map { case (_, t) =>
             new String(t.getBytes, 0, t.getLength,
                        java.nio.charset.Charset.forName(cs)) }
-          .filter(_.nonEmpty) // a trailing terminator yields one empty record
       }
     parseDelimited(spark, lines, schema, sep, esc)
   }

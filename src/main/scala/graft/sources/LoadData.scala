@@ -26,24 +26,46 @@ object LoadData {
     * cleared), so loading a directory onto itself replaces nothing and
     * loses nothing — the fixture's self-load cases pin this. Name
     * collisions on non-overwrite loads get a `_copy_N` suffix, as Hive
-    * spells it. */
+    * spells it. With `isLocal` (LOAD DATA LOCAL), the source resolves on
+    * the LOCAL filesystem and files are COPIED, not moved — Hive's LOCAL
+    * contract (the reference has no LOCAL variant; its loads are HDFS
+    * moves). */
   def loadData(spark: SparkSession, srcDir: String, table: String,
                overwrite: Boolean = false,
-               partition: Seq[(String, String)] = Nil): LoadResult = {
+               partition: Seq[(String, String)] = Nil,
+               isLocal: Boolean = false): LoadResult = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val conf = spark.sparkContext.hadoopConfiguration
+    // the spec must name partition columns only, and all of them — the
+    // reference's LoadDataStmt analyzer errors on anything else (a bad
+    // spec must not silently drop files into the table root)
+    val partCols = meta.partitionColumnNames
+    partition.foreach { case (k, _) =>
+      require(partCols.exists(_.equalsIgnoreCase(k)),
+        s"'$k' is not a partition column of $table " +
+          s"(partition columns: ${partCols.mkString(", ")})")
+    }
+    require(partition.isEmpty || partition.size == partCols.size,
+      s"LOAD DATA must specify all ${partCols.size} partition column(s) " +
+        s"of $table")
     // partition values land in canonical column order, whatever order the
-    // statement spelled them in
-    val partPath = meta.partitionColumnNames.flatMap { pc =>
-      partition.find(_._1.equalsIgnoreCase(pc)).map { case (_, v) => s"$pc=$v" }
+    // statement spelled them in, with Hive path escaping — the same dirs
+    // Spark's own partitioned writes produce
+    val partPath = partCols.flatMap { pc =>
+      partition.find(_._1.equalsIgnoreCase(pc)).map { case (_, v) =>
+        s"$pc=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)}"
+      }
     }
     val loc = partPath.foldLeft(new Path(meta.location)) { (p, seg) =>
       new Path(p, seg)
     }
     val fs = loc.getFileSystem(conf)
     if (!fs.exists(loc)) fs.mkdirs(loc)
-    val src = new Path(srcDir)
+    val src = if (isLocal && new java.net.URI(srcDir).getScheme == null)
+      new Path("file", null, new Path(srcDir).toUri.getPath)
+    else new Path(srcDir)
     val srcFs = src.getFileSystem(conf)
 
     def isData(p: Path): Boolean =
@@ -54,7 +76,7 @@ object LoadData {
 
     // rename only works within one filesystem (it THROWS "Wrong FS" rather
     // than returning false across filesystems), so pick the strategy by URI.
-    val sameFs = srcFs.getUri == fs.getUri
+    val sameFs = !isLocal && srcFs.getUri == fs.getUri
     def moveTo(f: Path, dir: Path, from: FileSystem, fromSame: Boolean): Path = {
       var target = new Path(dir, f.getName)
       var n = 0
@@ -64,7 +86,8 @@ object LoadData {
       }
       val moved =
         if (fromSame) fs.rename(f, target)
-        else org.apache.hadoop.fs.FileUtil.copy(from, f, fs, target, true, conf)
+        else org.apache.hadoop.fs.FileUtil.copy(from, f, fs, target,
+          /* deleteSource = */ !isLocal, conf)
       require(moved, s"failed to move $f to $target")
       target
     }

@@ -253,6 +253,46 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_chgcol")
   }
 
+  test("LOAD DATA validates the partition spec and escapes values") {
+    spark.sql("DROP TABLE IF EXISTS graft_loadval")
+    spark.sql("CREATE TABLE graft_loadval (i INT) USING PARQUET " +
+      "PARTITIONED BY (p STRING)")
+    val src = tmp("graft_loadval_src")
+    spark.range(3).selectExpr("cast(id as int) i")
+      .write.mode("overwrite").parquet(src)
+    // misspelled / non-partition column must error, not drop files into
+    // the table root (the reference's LoadDataStmt analyzer check)
+    val e1 = intercept[Exception](spark.sql(
+      s"LOAD DATA INPATH '$src' INTO TABLE graft_loadval PARTITION (q='x')"))
+    assert(e1.getMessage.contains("not a partition column"),
+      e1.getMessage)
+    // slash in a partition value lands in the Hive-escaped directory the
+    // catalog partition points at
+    spark.sql("ALTER TABLE graft_loadval ADD PARTITION (p='a/b')")
+    spark.sql(s"LOAD DATA INPATH '$src' INTO TABLE graft_loadval " +
+      "PARTITION (p='a/b')")
+    assert(spark.sql("SELECT count(*) FROM graft_loadval WHERE p = 'a/b'")
+      .head().getLong(0) == 3)
+    spark.sql("DROP TABLE graft_loadval")
+  }
+
+  test("CREATE FUNCTION dialect: duplicate errors, IF NOT EXISTS no-ops") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_fn_db")
+    spark.sql("DROP FUNCTION IF EXISTS graft_fn_db.dup_fn()")
+    spark.sql("CREATE FUNCTION graft_fn_db.dup_fn() RETURNS double " +
+      "LOCATION '/nowhere.jar' SYMBOL='org.apache.hadoop.hive.ql.udf.UDFPI'")
+    val e = intercept[Exception](spark.sql(
+      "CREATE FUNCTION graft_fn_db.dup_fn() RETURNS double " +
+        "LOCATION '/nowhere.jar' SYMBOL='org.apache.hadoop.hive.ql.udf.UDFPI'"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // IF NOT EXISTS: silently keeps the existing registration
+    spark.sql("CREATE FUNCTION IF NOT EXISTS graft_fn_db.dup_fn() " +
+      "RETURNS double LOCATION '/nowhere.jar' SYMBOL='java.lang.String'")
+    assert(spark.sql("SELECT graft_fn_db.dup_fn()").head().getDouble(0) ==
+      math.Pi)
+    spark.sql("DROP FUNCTION graft_fn_db.dup_fn()")
+  }
+
   test("CREATE/DROP VIEW and WITH-clause queries") {
     Tables.registerViews(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW big_nations AS " +
