@@ -219,6 +219,37 @@ class FormatsSpec extends SparkSpec {
     assert(latin == Set("a", "aþb"))
   }
 
+  test("custom record terminator stays splittable; records straddle splits") {
+    import org.apache.spark.sql.types._
+    // At 100 TB a text table must split per block; Hadoop's record-
+    // delimiter reader guarantees a record straddling a split boundary is
+    // read exactly once (by the split that contains its START). Force
+    // many tiny splits over a '|'-terminated file and check no loss/dup.
+    val dir = tmp("graft_split_pipe")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val n = 5000
+    Files.write(java.nio.file.Paths.get(dir, "data.txt"),
+      (0 until n).map(i => s"$i$$row_$i").mkString("|").getBytes("UTF-8"))
+    val old = spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.input.fileinputformat.split.maxsize")
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.input.fileinputformat.split.maxsize", "4096")
+    try {
+      val df = sources.LegacyFormats.readDelimitedText(spark, dir,
+        StructType.fromDDL("k INT, v STRING"), "$", lineSep = "|")
+      assert(df.rdd.getNumPartitions > 1, "expected a multi-split read")
+      assert(df.count() == n)
+      val ks = df.collect().map(_.getInt(0)).sorted
+      assert(ks.toSeq == (0 until n), "records lost or duplicated at split boundaries")
+    } finally {
+      if (old == null)
+        spark.sparkContext.hadoopConfiguration
+          .unset("mapreduce.input.fileinputformat.split.maxsize")
+      else spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.input.fileinputformat.split.maxsize", old)
+    }
+  }
+
   test("avro round-trip with a nullable union field") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
