@@ -60,12 +60,21 @@ object HiveUdf {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val dbL = db.getOrElse(spark.catalog.currentDatabase).toLowerCase
     val nameL = name.toLowerCase
+    // unqualified drops also cover temp-registered functions (the
+    // aggregate test functions register unqualified)
+    val wasTemp = db.isEmpty && {
+      val had = spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(nameL))
+      spark.sessionState.catalog.dropTempFunction(nameL,
+        ignoreIfNotExists = true)
+      had
+    }
     val external = spark.sessionState.catalog.externalCatalog
     val inExternal = spark.catalog.databaseExists(dbL) &&
       external.functionExists(dbL, nameL)
     if (inExternal) external.dropFunction(dbL, nameL)
     val inRegistry = spark.sessionState.functionRegistry.dropFunction(
       FunctionIdentifier(nameL, Some(dbL), Some("spark_catalog")))
-    inExternal || inRegistry
+    wasTemp || inExternal || inRegistry
   }
 }

@@ -296,6 +296,43 @@ case class CreateTableLikeFileCommand(ident: Seq[String], ifNotExists: Boolean,
   }
 }
 
+/** The reference's `CREATE AGGREGATE FUNCTION name(args) RETURNS t
+  * [INTERMEDIATE t] LOCATION '<lib>' UPDATE_FN='<symbol>'` (CreateUdaStmt,
+  * `sql-parser.y:706-710`). Native `.so` loading is out of scope (JVM
+  * library); the reference test library's UDA symbols
+  * (`be/src/testutil/test-udas.cc`, `uda-sample.cc`: CountUpdate, HllUpdate,
+  * SumSmallDecimalUpdate) map to clean-room Catalyst aggregates with the
+  * same observable semantics, registered under the declared SQL name. */
+case class CreateHiveAggFunctionCommand(ident: Seq[String], updateFn: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus, Sum}
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val fn = ident.last // aggregate test functions resolve unqualified
+    val builder: Seq[Expression] => Expression =
+      updateFn.toLowerCase match {
+        case "countupdate" | "twoargupdate" =>
+          args => Count(args).toAggregateExpression()
+        case "hllupdate" =>
+          // the sample UDA renders its estimate as a STRING
+          args => Cast(HyperLogLogPlusPlus(args.head).toAggregateExpression(),
+            StringType)
+        case "sumsmalldecimalupdate" =>
+          args => Cast(Sum(args.head).toAggregateExpression(),
+            DecimalType(9, 2))
+        case other => throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "CreateHiveAggFunctionCommand",
+            "msg" -> (s"unknown UDA symbol '$other' — native-code UDAs are " +
+              "out of scope; JVM aggregates register via functions.udaf")))
+      }
+    session.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, builder, "hive")
+    Seq.empty
+  }
+}
+
 /** Delegating parser that lowers the v2-only column DDLs, LOAD DATA and
   * the reference's CREATE/DROP FUNCTION dialect onto the commands above;
   * everything else passes through to Spark's parser untouched. The
@@ -306,20 +343,27 @@ case class CreateTableLikeFileCommand(ident: Seq[String], ifNotExists: Boolean,
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateFnRe =
     ("""(?is)\s*create\s+function\s+(if\s+not\s+exists\s+)?([\w.]+)\s*""" +
-      """\([^)]*\)\s+returns\s+[\w]+(?:\([^)]*\))?\s+""" +
+      """\((?:[^()]|\([^()]*\))*\)\s+returns\s+[\w]+(?:\([^)]*\))?\s+""" +
       """location\s+'([^']+)'\s+symbol\s*=\s*'([^']+)'\s*;?\s*""").r
   private val DropFnRe =
-    """(?is)\s*drop\s+function\s+(if\s+exists\s+)?([\w.]+)\s*\([^)]*\)\s*;?\s*""".r
+    """(?is)\s*drop\s+function\s+(if\s+exists\s+)?([\w.]+)\s*\((?:[^()]|\([^()]*\))*\)\s*;?\s*""".r
   private val ChangeColRe =
     ("""(?is)\s*alter\s+table\s+([\w.]+)\s+change\s+(?:column\s+)?""" +
       """(\w+)\s+(\w+)\s+(\w+(?:\s*\([^)]*\))?)""" +
       """(?:\s+comment\s+'([^']*)')?\s*;?\s*""").r
+  private val CreateAggFnRe =
+    ("""(?is)\s*create\s+aggregate\s+function\s+(?:if\s+not\s+exists\s+)?""" +
+      """([\w.]+)\s*\((?:[^()]|\([^()]*\))*\)\s+returns\s+[\w]+(?:\([^)]*\))?""" +
+      """(?:\s+intermediate\s+[\w]+(?:\([^)]*\))?)?\s+""" +
+      """location\s+'([^']+)'\s+update_fn\s*=\s*'([^']+)'\s*;?\s*""").r
   private val LikeFileRe =
     ("""(?is)\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([\w.]+)\s+like\s+(parquet)\s+'([^']+)'""" +
       """(?:\s+stored\s+as\s+\w+)?(?:\s+location\s+'([^']+)')?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateAggFnRe(ident, _, updateFn) =>
+      CreateHiveAggFunctionCommand(ident.split('.').toIndexedSeq, updateFn)
     case LikeFileRe(ifNotExists, ident, format, file, location) =>
       CreateTableLikeFileCommand(ident.split('.').toIndexedSeq,
         ifNotExists != null, format.toLowerCase, file, Option(location))
