@@ -235,6 +235,22 @@ case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
         messageParameters = Map("clazz" -> "CreateHiveFunctionCommand",
           "msg" -> s"function $db.$fn already exists"))
     }
+    // a dotless SYMBOL names a native function, not a Java class: the
+    // reference test library's symbols (be/src/testutil/test-udfs.cc) map
+    // to equivalent Catalyst expressions, registered under the SQL name
+    if (!className.contains('.')) {
+      CreateHiveFunctionCommand.nativeBuilder(className) match {
+        case Some(builder) =>
+          session.sessionState.functionRegistry
+            .createOrReplaceTempFunction(fn.toLowerCase, builder, "hive")
+          return Seq.empty
+        case None => throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "CreateHiveFunctionCommand",
+            "msg" -> (s"unknown native symbol '$className' — native-code " +
+              "UDFs are out of scope; JVM classes register by class name")))
+      }
+    }
     val loader = Option(Thread.currentThread.getContextClassLoader)
       .getOrElse(getClass.getClassLoader)
     try loader.loadClass(className)
@@ -246,6 +262,70 @@ case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
     }
     graft.functions.HiveUdf.registerQualified(session, db, fn, className)
     Seq.empty
+  }
+}
+
+object CreateHiveFunctionCommand {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  /** Clean-room Catalyst equivalents of the reference test library's
+    * native UDF symbols (`be/src/testutil/test-udfs.cc`), for the ported
+    * udf.test fixture. Timestamp granularity divergence: this engine's
+    * timestamps are microseconds, so ConstantTimestamp's 1ns becomes 1µs. */
+  def nativeBuilder(symbol: String)
+      : Option[Seq[Expression] => Expression] = {
+    def anyNotNull(args: Seq[Expression]) =
+      args.map(IsNotNull(_): Expression).reduce(Or)
+    def sumSkipNull(args: Seq[Expression], zero: Expression): Expression = {
+      // Spark's own Add widening decides the output type (decimal p/s
+      // grows per addition); the all-null case coerces a NULL literal
+      val total = args.map(a => Coalesce(Seq(a, zero)): Expression)
+        .reduce((l, r) => Add(l, r))
+      If(anyNotNull(args), total, Literal.create(null, NullType))
+    }
+    symbol.toLowerCase match {
+      case "identity" => Some(args => args.head)
+      case "noargs" => Some(_ => Literal.create("string", StringType))
+      case "constanttimestamp" => Some(_ => Cast(
+        Literal.create("2013-10-09 00:00:00.000001", StringType),
+        TimestampType))
+      case "alltypes" => Some { args =>
+        // length(string) + bool + tiny + small + int + bigint +
+        // (int64)float + (int64)double + decimal-unscaled (scale-0 here)
+        val terms: Seq[Expression] = Seq(
+          Length(args(0)), Cast(args(1), IntegerType),
+          Cast(args(2), IntegerType), Cast(args(3), IntegerType),
+          Cast(args(4), IntegerType), Cast(args(5), IntegerType),
+          Cast(Cast(args(6), LongType), IntegerType),
+          Cast(Cast(args(7), LongType), IntegerType),
+          Cast(args(8), IntegerType))
+        terms.reduce((l, r) => Add(l, r): Expression)
+      }
+      case "varand" => Some(args => Coalesce(Seq(
+        args.reduce((l, r) => And(l, r): Expression), Literal(false))))
+      case "varsum" => Some { args =>
+        args.head.dataType match {
+          case StringType => // total length; never null
+            args.map(a =>
+                Coalesce(Seq(Length(a), Literal(0))): Expression)
+              .reduce((l, r) => Add(l, r))
+          case DoubleType => sumSkipNull(args, Literal(0.0d))
+          case _: DecimalType =>
+            sumSkipNull(args, Literal(Decimal(0), DecimalType(1, 0)))
+          case _ => sumSkipNull(args, Literal(0))
+        }
+      }
+      case "varsummultiply" => Some { args =>
+        val d = args.head
+        val rest = args.tail
+        val sum = sumSkipNull(rest, Literal(0))
+        If(IsNull(d), Literal(null, DoubleType),
+          Cast(Multiply(Cast(d, DoubleType), Cast(sum, DoubleType)),
+            DoubleType))
+      }
+      case _ => None
+    }
   }
 }
 

@@ -378,7 +378,7 @@ object FunctionalDataset {
       "ALTER COLUMN id COMMENT 'Add a comment'")
     Seq("alltypessmall", "alltypestiny", "alltypesagg",
         "alltypesaggnonulls", "dimtbl", "jointbl", "emptytable",
-        "decimal_tbl", "decimal_tiny").foreach {
+        "decimal_tbl", "decimal_tiny", "tinytable").foreach {
       t => spark.table(t).write.saveAsTable(s"functional.$t") }
     // Empty tables the planner fixtures scan; neither has a LOAD section in
     // the reference template (functional_schema_template.sql:528,83).
