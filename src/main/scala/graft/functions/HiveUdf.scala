@@ -61,8 +61,13 @@ object HiveUdf {
     val dbL = db.getOrElse(spark.catalog.currentDatabase).toLowerCase
     val nameL = name.toLowerCase
     // unqualified drops also cover temp-registered functions (the
-    // aggregate test functions register unqualified)
-    val wasTemp = db.isEmpty && {
+    // aggregate test functions register unqualified) — but never a
+    // BUILTIN: the session registry is a clone of the builtin registry,
+    // so dropTempFunction on e.g. `abs` would remove the builtin itself
+    val isBuiltin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(nameL))
+    val wasTemp = db.isEmpty && !isBuiltin && {
       val had = spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(nameL))
       spark.sessionState.catalog.dropTempFunction(nameL,

@@ -56,12 +56,15 @@ case class AlterTableDropColumnsCommand(ident: Seq[String],
 }
 
 /** `ALTER TABLE t RENAME COLUMN a TO b` for v1 tables (the reference's
-  * `ALTER TABLE t CHANGE a b <same type>`): metadata-only rename. */
+  * `ALTER TABLE t CHANGE a b <same type>`): metadata-only rename. Only
+  * offered on positionally-resolved text formats — see
+  * [[AlterColumns.requirePositional]]. */
 case class AlterTableRenameColumnCommand(ident: Seq[String],
                                          col: Seq[String], newName: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = AlterColumns.metadata(session, ident)
+    AlterColumns.requirePositional(meta, ti, "RENAME COLUMN")
     val resolver = session.sessionState.conf.resolver
     val name = AlterColumns.topLevel(col, "RENAME COLUMN")
     if (meta.partitionColumnNames.exists(resolver(_, name)))
@@ -96,7 +99,17 @@ case class AlterTableReplaceColumnsCommand(
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = AlterColumns.metadata(session, ident)
+    AlterColumns.requirePositional(meta, ti, "REPLACE COLUMNS")
     val resolver = session.sessionState.conf.resolver
+    cols.map(_._1).zipWithIndex.foreach { case (n, i) =>
+      // the reference's analyzer rejects a duplicate name in the new list
+      // (a committed duplicate would corrupt the table metadata)
+      if (cols.take(i).exists(c => resolver(c._1, n)))
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "AlterTableReplaceColumnsCommand",
+            "msg" -> s"duplicate column name '$n' in REPLACE COLUMNS"))
+    }
     val partCols = meta.schema.fields.filter(f =>
       meta.partitionColumnNames.exists(resolver(_, f.name)))
     val dataCols = cols.map { case (n, dt, comment) =>
@@ -144,6 +157,11 @@ case class AlterTableChangeColumnCommand(ident: Seq[String], oldName: String,
         messageParameters = Map("clazz" -> "AlterTableChangeColumnCommand",
           "msg" -> s"column '$newName' already exists in table $ti"))
     val dt = session.sessionState.sqlParser.parseDataType(dataTypeDdl)
+    // a comment-only CHANGE (same name, same type) is harmless on any
+    // format; a rename or retype needs positional resolution to keep the
+    // existing files readable
+    if (!resolver(oldName, newName) || meta.schema.fields(idx).dataType != dt)
+      AlterColumns.requirePositional(meta, ti, "CHANGE COLUMN")
     val fields = meta.schema.fields.clone()
     val base = StructField(newName, dt, fields(idx).nullable)
     fields(idx) = comment.orElse(fields(idx).getComment())
@@ -162,6 +180,32 @@ private[plans] object AlterColumns {
         s"unsupported table identifier: ${other.mkString(".")}")
     }
     (ti, session.sessionState.catalog.getTableMetadata(ti))
+  }
+
+  /** Metadata renames/retypes only keep existing data readable when the
+    * scanner resolves columns by POSITION, re-parsing text under the new
+    * name/type — the reference scanner's contract
+    * (`be/src/exec/hdfs-text-scanner.cc`; exercised by
+    * test-unmatched-schema.test). Spark resolves parquet/orc/avro/json
+    * columns by NAME, so a renamed column would silently read NULL from
+    * every pre-existing file; refuse rather than orphan the data. */
+  def requirePositional(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                        ti: TableIdentifier, op: String): Unit = {
+    val provider = meta.provider.map(_.toLowerCase).getOrElse("hive")
+    val positional = provider match {
+      case "csv" | "text" | "textfile" => true
+      case "hive" => // hive text serde re-parses positionally too
+        meta.storage.serde.exists(_.toLowerCase.contains("lazysimple"))
+      case _ => false
+    }
+    if (!positional)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "AlterColumns",
+          "msg" -> (s"$op on table $ti is not supported: format '$provider' " +
+            "resolves columns by name, so a metadata-only rename/retype " +
+            "would make existing data unreadable (text/csv formats " +
+            "re-parse positionally and are supported)")))
   }
 
   def topLevel(path: Seq[String], op: String): String = path match {
@@ -239,10 +283,29 @@ case class CreateHiveFunctionCommand(ident: Seq[String], jar: String,
     // reference test library's symbols (be/src/testutil/test-udfs.cc) map
     // to equivalent Catalyst expressions, registered under the SQL name
     if (!className.contains('.')) {
+      // native symbols live in the temp registry only — a db-qualified
+      // name could not be resolved or dropped by that qualified spelling,
+      // so reject it rather than silently register the bare name
+      if (ident.length > 1) throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "CreateHiveFunctionCommand",
+          "msg" -> (s"native-symbol function ${ident.mkString(".")} cannot " +
+            "be db-qualified; native symbols register session-wide")))
       CreateHiveFunctionCommand.nativeBuilder(className) match {
         case Some(builder) =>
+          val fnL = fn.toLowerCase
+          val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(fnL)
+          // the reference errors on duplicate CREATE without IF NOT EXISTS
+          // (CreateUdfStmt analysis) — same check as the catalog path above
+          if (session.sessionState.functionRegistry.functionExists(fid)) {
+            if (ifNotExists) return Seq.empty
+            throw new AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3065",
+              messageParameters = Map("clazz" -> "CreateHiveFunctionCommand",
+                "msg" -> s"function $fn already exists"))
+          }
           session.sessionState.functionRegistry
-            .createOrReplaceTempFunction(fn.toLowerCase, builder, "hive")
+            .createOrReplaceTempFunction(fnL, builder, "hive")
           return Seq.empty
         case None => throw new AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3065",

@@ -49,6 +49,11 @@ object LoadData {
     require(partition.isEmpty || partition.size == partCols.size,
       s"LOAD DATA must specify all ${partCols.size} partition column(s) " +
         s"of $table")
+    // a partitioned target REQUIRES the spec (LoadDataStmt.java analysis) —
+    // otherwise the files would land in the table root, invisible to scans
+    require(partCols.isEmpty || partition.nonEmpty,
+      s"LOAD DATA into partitioned table $table requires a PARTITION clause " +
+        s"naming (${partCols.mkString(", ")})")
     // partition values land in canonical column order, whatever order the
     // statement spelled them in, with Hive path escaping — the same dirs
     // Spark's own partitioned writes produce
@@ -93,6 +98,20 @@ object LoadData {
     }
 
     val files = listData(srcFs, src)
+    // a self-load (source resolves to the destination directory itself):
+    // the files are already in place. The reference still reports them as
+    // loaded — load.test pins `Loaded 9 file(s). Total files in destination
+    // location: 9` for the non-overwrite self-load — so count them moved
+    // but do NOT rename them onto themselves (_copy_N churn).
+    val srcParent =
+      if (srcFs.getFileStatus(src).isFile) src.getParent else src
+    val selfLoad = sameFs &&
+      srcFs.makeQualified(srcParent) == fs.makeQualified(loc)
+    if (selfLoad && !overwrite) {
+      val total = listData(fs, loc).length
+      spark.sql(s"REFRESH TABLE $table")
+      return LoadResult(files.length, total)
+    }
     if (overwrite) {
       // stage sources inside the destination fs first, then clear, then
       // promote — the self-load-with-overwrite order the reference uses

@@ -196,26 +196,39 @@ class WriteDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT a, b FROM graft_altcol WHERE p = 1")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x")))
 
-    spark.sql("ALTER TABLE graft_altcol RENAME COLUMN b TO b2")
-    assert(spark.table("graft_altcol").columns.toSeq == Seq("a", "b2", "p"))
-
     // error paths mirror the reference's analyzer checks
     def failsWith(sql: String, msg: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains(msg), s"'$msg' not in: ${e.getMessage}")
     }
+    // parquet resolves columns by NAME: a metadata-only rename would make
+    // every existing file read NULL for the column, so it is refused (the
+    // reference's scanners resolve positionally and keep the data)
+    failsWith("ALTER TABLE graft_altcol RENAME COLUMN b TO b2",
+      "resolves columns by name")
     failsWith("ALTER TABLE graft_altcol DROP COLUMN p",
       "cannot drop partition column")
     failsWith("ALTER TABLE graft_altcol DROP COLUMN nope",
       "does not exist")
-    failsWith("ALTER TABLE graft_altcol RENAME COLUMN a TO b2",
-      "already exists")
     // IF EXISTS tolerates a missing column
     spark.sql("ALTER TABLE graft_altcol DROP COLUMN IF EXISTS nope")
-    spark.sql("ALTER TABLE graft_altcol DROP COLUMN b2")
+    spark.sql("ALTER TABLE graft_altcol DROP COLUMN b")
     failsWith("ALTER TABLE graft_altcol DROP COLUMN a",
       "cannot drop the last data column")
     spark.sql("DROP TABLE graft_altcol")
+
+    // on a positionally-resolved (CSV) table the rename IS offered, and —
+    // the point of the restriction — pre-existing DATA survives it
+    spark.sql("DROP TABLE IF EXISTS graft_rencol")
+    spark.sql("CREATE TABLE graft_rencol (a INT, b STRING) USING CSV")
+    spark.sql("INSERT INTO graft_rencol VALUES (1, 'x')")
+    spark.sql("ALTER TABLE graft_rencol RENAME COLUMN b TO b2")
+    assert(spark.table("graft_rencol").columns.toSeq == Seq("a", "b2"))
+    assert(spark.sql("SELECT b2 FROM graft_rencol").head().getString(0) == "x",
+      "data written before the rename must stay readable under the new name")
+    failsWith("ALTER TABLE graft_rencol RENAME COLUMN a TO b2",
+      "already exists")
+    spark.sql("DROP TABLE graft_rencol")
   }
 
   test("ALTER TABLE CHANGE/REPLACE COLUMNS on v1 tables (metadata-only)") {
@@ -250,7 +263,24 @@ class WriteDdlSpec extends SparkSpec {
     assert(spark.table("graft_chgcol").columns.toSeq == Seq("c1", "c2", "p"))
     failsWith("ALTER TABLE graft_chgcol REPLACE COLUMNS (p INT)",
       "cannot replace partition column")
+    // a case-colliding duplicate in the new list must not commit
+    failsWith("ALTER TABLE graft_chgcol REPLACE COLUMNS (a INT, A STRING)",
+      "duplicate column name")
+    assert(spark.table("graft_chgcol").columns.toSeq == Seq("c1", "c2", "p"),
+      "failed REPLACE must leave the schema untouched")
     spark.sql("DROP TABLE graft_chgcol")
+
+    // rename/retype via CHANGE is refused on name-resolved formats
+    // (comment-only CHANGE stays allowed — it never touches resolution)
+    spark.sql("DROP TABLE IF EXISTS graft_chgpq")
+    spark.sql("CREATE TABLE graft_chgpq (a INT, b STRING) USING PARQUET")
+    failsWith("ALTER TABLE graft_chgpq CHANGE COLUMN b b2 STRING",
+      "resolves columns by name")
+    failsWith("ALTER TABLE graft_chgpq CHANGE COLUMN b b BIGINT",
+      "resolves columns by name")
+    spark.sql("ALTER TABLE graft_chgpq CHANGE COLUMN b b STRING COMMENT 'ok'")
+    assert(spark.table("graft_chgpq").schema("b").getComment().contains("ok"))
+    spark.sql("DROP TABLE graft_chgpq")
   }
 
   test("LOAD DATA validates the partition spec and escapes values") {
@@ -273,6 +303,14 @@ class WriteDdlSpec extends SparkSpec {
       "PARTITION (p='a/b')")
     assert(spark.sql("SELECT count(*) FROM graft_loadval WHERE p = 'a/b'")
       .head().getLong(0) == 3)
+    // a partitioned target without a PARTITION clause must error too —
+    // the files would land in the table root, invisible to every scan
+    spark.range(3).selectExpr("cast(id as int) i")
+      .write.mode("overwrite").parquet(src)
+    val e2 = intercept[Exception](spark.sql(
+      s"LOAD DATA INPATH '$src' INTO TABLE graft_loadval"))
+    assert(e2.getMessage.contains("requires a PARTITION clause"),
+      e2.getMessage)
     spark.sql("DROP TABLE graft_loadval")
   }
 
@@ -291,6 +329,35 @@ class WriteDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_fn_db.dup_fn()").head().getDouble(0) ==
       math.Pi)
     spark.sql("DROP FUNCTION graft_fn_db.dup_fn()")
+
+    // the signature-suffixed DROP must never remove a BUILTIN: the session
+    // registry is a clone of the builtin registry, so an unguarded
+    // dropTempFunction('abs') would delete the builtin itself
+    val eAbs = intercept[Exception](spark.sql("DROP FUNCTION abs(double)"))
+    assert(eAbs.getMessage.contains("does not exist"), eAbs.getMessage)
+    assert(spark.sql("SELECT abs(cast(-1.5 as double))").head().getDouble(0)
+      == 1.5, "builtin abs must survive the drop attempt")
+    spark.sql("DROP FUNCTION IF EXISTS abs(double)") // no-op, not a removal
+    assert(spark.sql("SELECT abs(cast(-2.5 as double))").head().getDouble(0)
+      == 2.5)
+
+    // native symbols: db-qualified registration is refused (they live in
+    // the session registry only), duplicates error like the catalog path
+    val eq = intercept[Exception](spark.sql(
+      "CREATE FUNCTION graft_fn_db.native_id(int) RETURNS int " +
+        "LOCATION '/test-warehouse/libTestUdfs.so' SYMBOL='Identity'"))
+    assert(eq.getMessage.contains("cannot be db-qualified"), eq.getMessage)
+    spark.sql("DROP FUNCTION IF EXISTS native_id(int)")
+    spark.sql("CREATE FUNCTION native_id(int) RETURNS int " +
+      "LOCATION '/test-warehouse/libTestUdfs.so' SYMBOL='Identity'")
+    val edup = intercept[Exception](spark.sql(
+      "CREATE FUNCTION native_id(int) RETURNS int " +
+        "LOCATION '/test-warehouse/libTestUdfs.so' SYMBOL='Identity'"))
+    assert(edup.getMessage.contains("already exists"), edup.getMessage)
+    spark.sql("CREATE FUNCTION IF NOT EXISTS native_id(int) RETURNS int " +
+      "LOCATION '/test-warehouse/libTestUdfs.so' SYMBOL='Identity'") // no-op
+    assert(spark.sql("SELECT native_id(7)").head().getInt(0) == 7)
+    spark.sql("DROP FUNCTION native_id(int)")
   }
 
   test("CREATE/DROP VIEW and WITH-clause queries") {
