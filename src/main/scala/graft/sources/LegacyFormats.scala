@@ -226,9 +226,43 @@ object LegacyFormats {
     val asStrings = StructType(schema.map(f =>
       StructField(f.name, StringType, nullable = true)))
     val strDf = spark.createDataFrame(rows, asStrings)
-    // Non-ANSI cast semantics (malformed -> NULL), same as the CSV scanner.
     strDf.select(schema.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      scanCast(col(f.name), f.dataType).as(f.name)): _*)
+  }
+
+  /** Scan-time conversion with the reference's overflow policy: its text
+    * parser caps an out-of-range INTEGER at the type's min/max
+    * (`be/src/util/string-parser.h:43-44` — "following the mysql behavior,
+    * to cap values at the max/min value for that data type. This is
+    * different from hive, which returns NULL"; overflow.test pins the
+    * capped rows). A malformed field stays NULL (PARSE_FAILURE), and
+    * float/double overflow follows IEEE to ±inf through the plain cast.
+    * Entirely built-in expressions, so the conversion stays inside
+    * whole-stage codegen. */
+  private def scanCast(c: org.apache.spark.sql.Column,
+                       dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{trim, when}
+    def clamped(mn: Long, mx: Long) = {
+      val t = trim(c)
+      val isInt = t.rlike("^[+-]?[0-9]+$")
+      val dec = t.cast(DecimalType(38, 0))
+      when(isInt && dec.isNotNull && dec > mx, mx)
+        .when(isInt && dec.isNotNull && dec < mn, mn)
+        // 39+ digits overflow DECIMAL(38,0) itself: the sign picks the cap
+        .when(isInt && dec.isNull && t.startsWith("-"), mn)
+        .when(isInt && dec.isNull, mx)
+        .otherwise(c.cast(dt))
+        .cast(dt)
+    }
+    dt match {
+      case ByteType => clamped(Byte.MinValue, Byte.MaxValue)
+      case ShortType => clamped(Short.MinValue, Short.MaxValue)
+      case IntegerType => clamped(Int.MinValue, Int.MaxValue)
+      case LongType => clamped(Long.MinValue, Long.MaxValue)
+      // non-integer types: non-ANSI cast (malformed -> NULL), same as the
+      // CSV scanner
+      case _ => c.cast(dt)
+    }
   }
 
   /** Split on `sep`, treating `esc` as escaping the next char (the

@@ -33,11 +33,6 @@ import graft.sources.LegacyFormats
   *    `testdata/data/overflow.txt`), fed through [[LegacyFormats]]'s
   *    delimited-text parser so the text-scanner conventions (escapes, `\N`,
   *    empty-vs-NULL) are exercised from SQL.
-  *
-  * Divergence: `overflow` — the reference's text scanner saturates
-  * out-of-range numerics to the type's min/max (`overflow.test`); this
-  * engine's permissive text path yields NULL (same policy as the CSV
-  * scanner's PERMISSIVE mode). The ported fixture pins OUR semantics.
   */
 object FunctionalDataset {
 

@@ -80,6 +80,31 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("text scanner saturates out-of-range integers (string-parser.h cap)") {
+    // the reference's parser caps an overflowing integer at the type's
+    // min/max (be/src/util/string-parser.h:43-44; overflow.test) while a
+    // malformed field stays NULL and float overflow follows IEEE to ±inf
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(
+      "t TINYINT, s SMALLINT, i INT, b BIGINT, f FLOAT, d DOUBLE")
+    val df = sources.LegacyFormats.readDelimitedLines(spark, Seq(
+      "1|2|3|4|5.5|6.6",
+      "1000|100000|10000000000000000|10000000000000000000|1e1000000|1e10000",
+      "-1000|-100000|-10000000000000000|-10000000000000000000" +
+        "|-1e1000000|-1e10000",
+      // 39+ digits overflow even DECIMAL(38,0): the sign still picks the
+      // cap; non-numeric junk parses to NULL as before
+      ("9" * 40) + "|junk|+7|-" + ("9" * 40) + "|nope|8.25"), schema)
+    val rows = df.collect()
+    assert(rows(0).toSeq == Seq(1.toByte, 2.toShort, 3, 4L, 5.5f, 6.6))
+    assert(rows(1).toSeq == Seq(Byte.MaxValue, Short.MaxValue, Int.MaxValue,
+      Long.MaxValue, Float.PositiveInfinity, Double.PositiveInfinity))
+    assert(rows(2).toSeq == Seq(Byte.MinValue, Short.MinValue, Int.MinValue,
+      Long.MinValue, Float.NegativeInfinity, Double.NegativeInfinity))
+    assert(rows(3).toSeq == Seq(Byte.MaxValue, null, 7, Long.MinValue,
+      null, 8.25))
+  }
+
   test("sequencefile round-trip (delimited text payload)") {
     val dir = tmp("graft_seq") + "/data"
     sources.LegacyFormats.writeSequenceText(nation, dir)
