@@ -81,20 +81,64 @@ object AllPairs {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hard fence on the exact tier's quadratic contract: above this many
+    * vectors the n² arithmetic is no longer an affordable "exact pass" and
+    * callers must move to the approximate tier (LSH / IVF) or raise the
+    * bound explicitly. 2M vectors ≈ 2·10¹² candidate pairs — the knee past
+    * which even a 1000-executor cluster spends hours on arithmetic. */
+  val DefaultMaxExactRows: Long = 2000000L
+
+  /** Per-chunk byte budget for [[embeddingPairs]]. Each chunk travels as
+    * ONE row, so this must sit far under Spark's 2 GB single-row limit
+    * while staying large enough that the inner loop amortizes; 64 MB of
+    * packed vectors per work item is both. */
+  val DefaultChunkBytes: Long = 64L << 20
+
+  /** Chunk count for n vectors of dim floats: enough chunks that a chunk's
+    * packed payload stays under `chunkBytes` (the 2 GB row limit is the
+    * hazard), and never fewer than the session can parallelize. Pure —
+    * unit-tested directly. */
+  private[graft] def chunkCount(n: Long, dim: Int, chunkBytes: Long,
+                                parallelism: Int): Int = {
+    val bytesPerRow = 64L + 4L * math.max(dim, 1) // id + object headers + floats
+    val byteDriven = (n * bytesPerRow + chunkBytes - 1) / chunkBytes
+    math.max(math.max(parallelism, 8), byteDriven).toInt
+  }
+
   /** All vector pairs with round6(cosine) ≥ threshold, `vec_a < vec_b`.
     * Input frame must carry (vec_id: long, embedding: array<float>).
     *
-    * Blocks default to the session's parallelism; each (block_i ≤ block_j)
-    * pair is one executor-side work item, so no per-pair row is ever
-    * shuffled and the driver holds only block *indices*. */
+    * The corpus is hashed into chunks sized by BYTES ([[chunkCount]]), not
+    * by core count — a chunk is one shuffled row, so its payload must stay
+    * far below the 2 GB row limit however large the corpus grows. Each
+    * (chunk_i ≤ chunk_j) pair is one executor-side work item; no per-pair
+    * row is ever shuffled and the driver holds only chunk *indices*. The
+    * quadratic COMPUTE contract is fenced by `maxRows`
+    * ([[DefaultMaxExactRows]]): past it, callers get an error pointing at
+    * the approximate tier instead of a silent week-long job. */
   def embeddingPairs(spark: SparkSession, e: DataFrame,
-                     threshold: Double): DataFrame = {
+                     threshold: Double,
+                     chunkBytes: Long = DefaultChunkBytes,
+                     maxRows: Long = DefaultMaxExactRows): DataFrame = {
     import spark.implicits._
-    val nBlocks = math.max(spark.sparkContext.defaultParallelism, 8)
     val typed = e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    // one stat pass: corpus size + vector width size the chunking
+    val stats = e.select(count(lit(1)), first(size(col("embedding"))))
+      .head()
+    val n = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    require(n <= maxRows,
+      s"AllPairs.embeddingPairs: $n vectors exceed the exact tier's " +
+      s"$maxRows-row fence (O(n²) compute); use the approximate tier " +
+      "(SimilarityQueries LSH / IvfAnn) or raise maxRows explicitly")
+    val nBlocks = chunkCount(n, dim, chunkBytes,
+      spark.sparkContext.defaultParallelism)
     val blocked = typed
-      .groupByKey { case (id, _) => math.floorMod(id, nBlocks.toLong).toInt }
+      // byteswap64 decorrelates patterned ids (all-even, strided) so chunk
+      // payloads stay near the byte budget instead of doubling on a stride
+      .groupByKey { case (id, _) =>
+        math.floorMod(scala.util.hashing.byteswap64(id), nBlocks.toLong).toInt }
       .mapGroups { (b, it) => (b, it.toArray) }
     val pairIdx = spark.createDataset(
       for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))

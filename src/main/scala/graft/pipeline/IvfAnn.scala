@@ -83,14 +83,25 @@ object IvfAnn {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell_id"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    probed.join(index, Seq("cell_id"))
+    // Final per-query top-k through the bounded-heap operator
+    // (plans/TopKPerGroup), NOT a row_number window: the window variant
+    // funnels each query's whole candidate set (∝ corpus·nprobe/nlist)
+    // into one task for a full sort. The heap pass reduces map-side, so
+    // the shuffle carries ≤ k rows per query; the rank is then a window
+    // over that already-k-bounded result (k·|queries| rows total).
+    val scored = probed.join(index, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cosine"))
+    val top = graft.plans.TopKPerGroup.topK(
+      scored, Seq(col("query_id")),
+      // ties (rounded cosine) break toward the lowest vec_id, same as the
+      // previous ORDER BY cosine DESC, vec_id — negate for descending
+      struct(col("cosine"), (-col("vec_id")).as("tb")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    top
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))
   }

@@ -82,6 +82,38 @@ class DedupSpec extends SparkSpec {
     assert(oracle.nonEmpty, "corpus should contain at least one similar pair")
   }
 
+  test("block-pair cosine chunks by byte budget; results invariant to it") {
+    import spark.implicits._
+    val e = Tables.table(spark, sfDir, "embeddings")
+    // a deliberately tiny budget forces many chunks — results must not move
+    val tiny = pipeline.AllPairs.embeddingPairs(spark, e, 0.4,
+        chunkBytes = 16L << 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val oracle = pipeline.AllPairs.embeddingPairsKernel(spark, e, 0.4)
+    assert(tiny == oracle, s"chunked n=${tiny.size} oracle n=${oracle.size}")
+
+    // the chunk-count rule itself: payload per chunk stays under budget
+    // (64-byte row overhead + 4 bytes per float), and small corpora still
+    // get enough chunks to parallelize
+    val cb = 64L << 20
+    for ((n, dim) <- Seq((1000000L, 128), (50000000L, 768), (123L, 4))) {
+      val c = pipeline.AllPairs.chunkCount(n, dim, cb, parallelism = 32)
+      val perChunkBytes = (n.toDouble / c) * (64L + 4L * dim)
+      assert(perChunkBytes <= cb.toDouble,
+        s"n=$n dim=$dim: $perChunkBytes bytes/chunk exceeds the budget")
+      assert(c >= 32, s"n=$n dim=$dim: $c chunks under-parallelizes")
+    }
+    // 2 GB hazard case from the round-8 review: a billion 768-dim vectors
+    // must spread over enough chunks that no single row approaches 2 GB
+    val cBig = pipeline.AllPairs.chunkCount(1000000000L, 768, cb, 32)
+    assert((1000000000.0 / cBig) * (64 + 4 * 768) <= cb.toDouble)
+
+    // the quadratic contract is fenced: past maxRows the exact tier refuses
+    val eFence = intercept[IllegalArgumentException](
+      pipeline.AllPairs.embeddingPairs(spark, e, 0.4, maxRows = 3))
+    assert(eFence.getMessage.contains("approximate tier"), eFence.getMessage)
+  }
+
   test("minhash candidates cover all true jaccard>=0.5 pairs on real corpus") {
     // LSH with 8 bands x 4 rows has collision prob 1-(1-j^4)^8 ≈ 0.96 at
     // j=0.7, ≈0.70 at j=0.5. The corpus' near-dup pairs are j≈0.99 — all

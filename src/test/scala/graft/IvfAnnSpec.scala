@@ -22,7 +22,12 @@ class IvfAnnSpec extends SparkSpec {
   }
 
   test("IVF search returns descending cosine per query and decent recall") {
-    val ivf = IvfAnn.annIvf(spark, sfDir).collect()
+    val df = IvfAnn.annIvf(spark, sfDir)
+    // the candidate top-k must run through the bounded-heap operator, not
+    // a per-query row_number window over the full candidate set
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "IVF final top-k should plan as TopKPerGroupExec")
+    val ivf = df.collect()
     val byQuery = ivf.groupBy(_.getLong(0))
     byQuery.foreach { case (q, rs) =>
       val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
