@@ -503,8 +503,73 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([\w.]+)\s+like\s+(parquet)\s+'([^']+)'""" +
       """(?:\s+stored\s+as\s+\w+)?(?:\s+location\s+'([^']+)')?\s*;?\s*""").r
+  private val ComputeStatsRe =
+    """(?is)\s*compute\s+stats\s+([\w.]+)\s*;?\s*""".r
+  private val ShowTableStatsRe =
+    """(?is)\s*show\s+table\s+stats\s+([\w.]+)\s*;?\s*""".r
+  private val ShowColumnStatsRe =
+    """(?is)\s*show\s+column\s+stats\s+([\w.]+)\s*;?\s*""".r
+  private val ShowCreateTableRe =
+    """(?is)\s*show\s+create\s+table\s+([\w.]+)\s*;?\s*""".r
+  private val StoredAsRe =
+    """(?is)\bstored\s+as\s+(textfile|parquet)\b""".r
+  private val RowFormatRe =
+    ("""(?is)\brow\s+format\s+delimited""" +
+      """(?:\s+fields\s+terminated\s+by\s+'([^']*)')?""" +
+      """(?:\s+escaped\s+by\s+'([^']*)')?""" +
+      """(?:\s+lines\s+terminated\s+by\s+'([^']*)')?""").r
+
+  /** The reference's CREATE TABLE storage clauses lowered onto datasource
+    * tables (`sql-parser.y` file_format_create_table_params): `STORED AS
+    * TEXTFILE|PARQUET` becomes the provider (inserted at Spark's USING
+    * position, right after the column list) and `ROW FORMAT DELIMITED
+    * FIELDS TERMINATED BY .. ESCAPED BY .. LINES TERMINATED BY ..` becomes
+    * the CSV options. Quoted delimiter spellings pass through verbatim —
+    * Spark's own literal unescaping applies either way. The inverse
+    * rendering is [[GraftShowCreateTableCommand]]. */
+  private def rewriteCreateDialect(sql: String): Option[String] = {
+    val lower = sql.toLowerCase
+    if (!lower.trim.startsWith("create") || lower.contains(" using "))
+      return None
+    val stored = StoredAsRe.findFirstMatchIn(sql).getOrElse(return None)
+    val fmt =
+      if (stored.group(1).equalsIgnoreCase("parquet")) "parquet" else "csv"
+    var s = StoredAsRe.replaceFirstIn(sql, " ")
+    val opts = RowFormatRe.findFirstMatchIn(s).map { rm =>
+      val o = Seq("sep" -> Option(rm.group(1)), "escape" -> Option(rm.group(2)),
+        "lineSep" -> Option(rm.group(3))).collect { case (k, Some(v)) =>
+        s"$k '$v'" }
+      s = RowFormatRe.replaceFirstIn(s, " ")
+      o
+    }.getOrElse(Nil)
+    // the provider lands right after the column list's closing paren
+    val open = s.indexOf('(')
+    if (open < 0) return None
+    var depth = 0; var i = open; var close = -1
+    while (i < s.length && close < 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (close < 0) return None
+    val optStr =
+      if (opts.isEmpty) "" else opts.mkString(" OPTIONS (", ", ", ")")
+    Some(s.substring(0, close + 1) + s" USING $fmt$optStr " +
+      s.substring(close + 1))
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ComputeStatsRe(ident) =>
+      GraftComputeStatsCommand(ident.split('.').toIndexedSeq)
+    case ShowTableStatsRe(ident) =>
+      GraftShowTableStatsCommand(ident.split('.').toIndexedSeq)
+    case ShowColumnStatsRe(ident) =>
+      GraftShowColumnStatsCommand(ident.split('.').toIndexedSeq)
+    case ShowCreateTableRe(ident) if ident.count(_ == '.') <= 1 =>
+      GraftShowCreateTableCommand(ident.split('.').toIndexedSeq)
     case CreateAggFnRe(ident, _, updateFn) =>
       CreateHiveAggFunctionCommand(ident.split('.').toIndexedSeq, updateFn)
     case LikeFileRe(ifNotExists, ident, format, file, location) =>
@@ -518,6 +583,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ChangeColRe(table, oldName, newName, dt, comment) =>
       AlterTableChangeColumnCommand(table.split('.').toIndexedSeq,
         oldName, newName, dt, Option(comment))
+    case _ if rewriteCreateDialect(sqlText).isDefined =>
+      delegate.parsePlan(rewriteCreateDialect(sqlText).get)
     case _ => delegate.parsePlan(sqlText) match {
       // Only 1- and 2-part identifiers are lowered: a 3-part (explicit
       // catalog) spelling belongs to Spark's own v2 path, which supports

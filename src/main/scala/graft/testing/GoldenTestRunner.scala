@@ -30,7 +30,12 @@ import org.apache.spark.sql.types._
   * MULTISET_CELLS(sep)` compares string cells that differ textually as
   * multisets of tokens split on `sep` — for group_concat cases, whose
   * within-group arrival order is engine-undefined across partitionings.
-  * `row_regex:` result lines and `$DATABASE` substitution are not needed by
+  * `row_regex: <pattern>` result lines (the reference verifier's
+  * environment-independent row escape, `test_result_verifier.py`) match a
+  * whole rendered row against the regex — used by the stats fixtures where
+  * file sizes/counts and NDV estimates are environment-specific. Literal
+  * lines claim rows first in the unordered compare, so a broad regex can't
+  * steal a row a literal needs. `$DATABASE` substitution is not needed by
   * our fixtures and unsupported.
   */
 object GoldenTestRunner {
@@ -40,7 +45,8 @@ object GoldenTestRunner {
                         ordered: Boolean,
                         multisetSep: Option[String] = None,
                         subset: Boolean = false,
-                        setup: Seq[String] = Nil)
+                        setup: Seq[String] = Nil,
+                        createTable: Boolean = false)
 
   def parseFile(path: String): Seq[GoldenCase] = {
     val src = Source.fromFile(path)(scala.io.Codec.UTF8)
@@ -53,8 +59,15 @@ object GoldenTestRunner {
     var sections = collection.mutable.Map.empty[String, Vector[String]]
     var tags = collection.mutable.Map.empty[String, String]
     def flush(): Unit = {
-      if (sections.contains("QUERY")) {
-        val query = sections("QUERY")
+      // CREATE_TABLE is the reference's SHOW CREATE TABLE round-trip
+      // section (test_show_create_table.py): the text is a CREATE
+      // statement to execute, RESULTS the expected SHOW CREATE rendering.
+      val querySection =
+        if (sections.contains("QUERY")) Some("QUERY")
+        else if (sections.contains("CREATE_TABLE")) Some("CREATE_TABLE")
+        else None
+      querySection.foreach { qs =>
+        val query = sections(qs)
           .filterNot(_.trim.startsWith("#")) // comment lines (parser:66)
           .mkString("\n").trim.stripSuffix(";")
         val MultisetTag = """MULTISET_CELLS\((.*)\)""".r
@@ -78,7 +91,8 @@ object GoldenTestRunner {
           subset = tags.get("RESULTS").exists(_.contains("VERIFY_IS_SUBSET")),
           setup = sections.get("SETUP")
             .map(_.map(_.trim).filter(_.nonEmpty)
-              .filterNot(_.startsWith("#"))).getOrElse(Nil))
+              .filterNot(_.startsWith("#"))).getOrElse(Nil),
+          createTable = qs == "CREATE_TABLE")
       }
       sections = collection.mutable.Map.empty
       tags = collection.mutable.Map.empty
@@ -240,14 +254,23 @@ object GoldenTestRunner {
 
   /** Column-wise row comparison with the reference verifier's float policy
     * (`test_result_verifier.py:127-171`): float columns compare within 1e-4
-    * absolute, double within 1e-9; everything else is exact text. */
+    * absolute, double within 1e-9; everything else is exact text. A cell
+    * spelled `regex:<pattern>` (the reference fixtures' cell-level escape,
+    * e.g. `regex:.+KB` for file sizes) full-matches the rendered cell with
+    * surrounding quotes stripped. */
   private def rowMatches(expected: String, got: String, schema: StructType,
                          multisetSep: Option[String] = None): Boolean = {
     val e = splitRow(expected); val g = splitRow(got)
     e.length == g.length && e.length == schema.length &&
       e.indices.forall { i =>
         val (ev, gv) = (e(i).trim, g(i).trim)
-        schema(i).dataType match {
+        if (ev.startsWith("regex:")) {
+          val unquoted =
+            if (gv.length >= 2 && gv.startsWith("'") && gv.endsWith("'"))
+              gv.substring(1, gv.length - 1)
+            else gv
+          ev.stripPrefix("regex:").trim.r.matches(unquoted)
+        } else schema(i).dataType match {
           case FloatType | DoubleType if ev != "NULL" && gv != "NULL" =>
             val eps = if (schema(i).dataType == FloatType) 1e-4 else 1e-9
             try {
@@ -269,6 +292,15 @@ object GoldenTestRunner {
       }
   }
 
+  /** `row_regex: <pattern>` — the reference verifier's escape hatch for
+    * environment-specific cells (file sizes, NDV estimates). Matches the
+    * WHOLE rendered row (the reference's `re.match` is start-anchored only;
+    * full-match is the stricter choice and our fixtures are written for it). */
+  private def isRowRegex(line: String): Boolean =
+    line.trim.startsWith("row_regex:")
+  private def rowRegexOf(line: String): scala.util.matching.Regex =
+    line.trim.stripPrefix("row_regex:").trim.r
+
   sealed trait Outcome
   case object Pass extends Outcome
   case class Fail(reason: String) extends Outcome
@@ -289,7 +321,40 @@ object GoldenTestRunner {
   private val InsertRe =
     """(?is)\binsert\s+(into|overwrite)\s+(?:table\s+)?(?!directory\b)([A-Za-z_][\w.]*)""".r
 
+  private val CreateNameRe =
+    """(?is)\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?([\w.]+)""".r
+
+  /** CREATE_TABLE round-trip (the reference's
+    * `tests/query_test/test_show_create_table.py`): execute the CREATE in
+    * the fixture db, SHOW CREATE TABLE it, compare text with the location
+    * URI replaced by the `$$location_uri$$` placeholder. */
+  private def runCreateTableCase(spark: SparkSession,
+                                 c: GoldenCase): Outcome = {
+    val db = "show_create_table_test_db"
+    try {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val name = CreateNameRe.findFirstMatchIn(c.query).map(_.group(1))
+        .getOrElse(return Fail("CREATE_TABLE: no table name in statement"))
+      val qualified = if (name.contains('.')) name else s"$db.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $qualified")
+      spark.sql(c.query.replaceFirst(
+        java.util.regex.Pattern.quote(name),
+        java.util.regex.Matcher.quoteReplacement(qualified)))
+      val actual = spark.sql(s"SHOW CREATE TABLE $qualified")
+        .head().getString(0)
+        .replaceAll("LOCATION '[^']*'", "LOCATION '\\$\\$location_uri\\$\\$'")
+        .trim
+      val expected = c.results.getOrElse(Nil).mkString("\n").trim
+      if (actual == expected) Pass
+      else Fail(
+        s"SHOW CREATE TABLE mismatch:\nexpected:\n$expected\ngot:\n$actual")
+    } catch { case e: Throwable =>
+      Fail(s"CREATE_TABLE case failed: ${e.getMessage}")
+    }
+  }
+
   def run(spark: SparkSession, c: GoldenCase): Outcome = {
+    if (c.createTable) return runCreateTableCase(spark, c)
     try runSetup(spark, c.setup)
     catch { case e: Throwable => return Fail(s"SETUP failed: ${e.getMessage}") }
     val stmts = splitStatements(c.query)
@@ -328,12 +393,44 @@ object GoldenTestRunner {
         }
         c.results.foreach { expected =>
           val got = rows.map(renderRow(_, df.schema)).toSeq
+          def lineMatches(er: String, gr: String): Boolean =
+            if (isRowRegex(er)) rowRegexOf(er).matches(gr)
+            else rowMatches(er, gr, df.schema, c.multisetSep)
           if (c.subset) {
             val missing = expected.filterNot(er =>
-              got.exists(gr => rowMatches(er, gr, df.schema, c.multisetSep)))
+              got.exists(gr => lineMatches(er, gr)))
             if (missing.nonEmpty)
               return Fail(s"subset rows missing:\n missing: $missing\n " +
                 s"got: ${got.sorted}")
+          } else if (expected.exists(isRowRegex)) {
+            if (got.length != expected.length)
+              return Fail(s"results mismatch: expected ${expected.length} " +
+                s"rows, got ${got.length}:\n got: ${got.sorted}")
+            if (c.ordered) {
+              val bad = expected.zip(got).filterNot {
+                case (er, gr) => lineMatches(er, gr) }
+              if (bad.nonEmpty)
+                return Fail(s"results mismatch (ordered):\n $bad")
+            } else {
+              // literal lines claim their rows first; each row_regex then
+              // consumes one distinct remaining row
+              val remaining = scala.collection.mutable.ArrayBuffer(
+                got.sorted: _*)
+              val (regexes, literals) = expected.partition(isRowRegex)
+              for (er <- literals.sorted) {
+                val i = remaining.indexWhere(gr =>
+                  rowMatches(er, gr, df.schema, c.multisetSep))
+                if (i < 0) return Fail(s"results mismatch: no row for " +
+                  s"'$er'\n unmatched: $remaining")
+                remaining.remove(i)
+              }
+              for (er <- regexes) {
+                val i = remaining.indexWhere(gr => rowRegexOf(er).matches(gr))
+                if (i < 0) return Fail(s"results mismatch: no row for " +
+                  s"'$er'\n unmatched: $remaining")
+                remaining.remove(i)
+              }
+            }
           } else {
             val (g, e) = if (c.ordered) (got, expected)
                          else (got.sorted, expected.sorted)
