@@ -348,6 +348,27 @@ object FunctionalDataset {
     spark.sql(ddl)
   }
 
+  /** `scale_db.num_partitions_1234_blocks_per_partition_1` — the
+    * reference's partition-pruning stress table (IMPALA-887; PlannerTest
+    * hdfs.test): 1234 single-block partitions. Only the catalog partitions
+    * matter to the pruning assertions, so they are registered in one batch
+    * with no data files. */
+  def ensureScaleDb(spark: SparkSession): Unit = synchronized {
+    if (spark.catalog.databaseExists("scale_db")) return
+    spark.sql("CREATE DATABASE scale_db")
+    spark.sql("CREATE TABLE scale_db.num_partitions_1234_blocks_per_partition_1 " +
+      "(i INT) USING CSV PARTITIONED BY (j INT)")
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(
+      "num_partitions_1234_blocks_per_partition_1", Some("scale_db"))
+    val meta = spark.sessionState.catalog.getTableMetadata(ti)
+    val parts = (1 to 1234).map { j =>
+      org.apache.spark.sql.catalyst.catalog.CatalogTablePartition(
+        Map("j" -> j.toString), meta.storage.copy(locationUri = None))
+    }
+    spark.sessionState.catalog.createPartitions(ti, parts,
+      ignoreIfExists = true)
+  }
+
   /** The `functional` catalog database: the QueryTest fixtures qualify some
     * references (`functional.alltypes`, `functional_parquet.alltypes`, the
     * view family of views.test). Temp views can't be database-qualified, so
@@ -393,6 +414,14 @@ object FunctionalDataset {
     // 4-way file split per load.
     spark.table("alltypesaggmultifilesnopart").repartition(4)
       .write.saveAsTable("functional.alltypesaggmultifilesnopart")
+    // Partitioned multi-file variant (PlannerTest hdfs.test prunes it by
+    // day): 10 day partitions, ~4 files each, like the reference's 4-way
+    // per-partition load (functional_schema_template.sql alltypesaggmultifiles).
+    spark.table("alltypesagg")
+      .filter(org.apache.spark.sql.functions.col("day").isNotNull)
+      .repartition(4)
+      .write.partitionBy("year", "month", "day")
+      .saveAsTable("functional.alltypesaggmultifiles")
     // functional_seq_snap (the seq/snap dimension of the format matrix,
     // use.test): alltypes round-tripped through the snappy-compressed
     // SequenceFile sink + scanner, then materialized so the table can live

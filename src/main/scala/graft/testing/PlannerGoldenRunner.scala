@@ -55,7 +55,8 @@ object PlannerGoldenRunner {
   case class RefJoin(family: String, jtype: String, broadcast: Boolean)
 
   case class RefSig(scans: Map[String, Int], joins: Seq[RefJoin],
-                    topn: Int, sort: Int, union: Int, agg: Int)
+                    topn: Int, sort: Int, union: Int, agg: Int,
+                    parts: Seq[(String, Int, Int)] = Nil)
 
   case class PlannerCase(query: String, plan: Seq[String],
                          distributedPlan: Seq[String]) {
@@ -103,6 +104,9 @@ object PlannerGoldenRunner {
   // `|--01:SCAN`, `|  |--02:SCAN`, `|  04:AGGREGATE` …
   private val NodeRe = """^[| ]*(?:--)?(?:\d+):(.*)$""".r
   private val ScanRe = """SCAN HDFS \[([\w.]+).*\]""".r
+  // Scan detail line `   partitions=12/24 size=…` (hdfs.test's
+  // partition-pruning assertions); attaches to the preceding SCAN node.
+  private val PartsRe = """^[|\s]*partitions=(\d+)/(\d+)\b.*$""".r
   private val HashJoinRe = """HASH JOIN \[([A-Z ]+?)(?:, (BROADCAST|PARTITIONED))?\]""".r
   private val CrossJoinRe = """CROSS JOIN.*""".r
 
@@ -117,25 +121,33 @@ object PlannerGoldenRunner {
   def refSignature(c: PlannerCase): Either[String, RefSig] = {
     val scans = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val joins = collection.mutable.ListBuffer.empty[RefJoin]
+    val parts = collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var lastScan: Option[String] = None
     var (topn, sort, union, agg) = (0, 0, 0, 0)
     var err: Option[String] = None
     // Node multiset from the single-node PLAN (the DISTRIBUTEDPLAN is the
     // same tree plus exchanges and merge-phase aggregates).
-    c.planOrDist.collect { case NodeRe(t) => t.trim }.foreach {
-      case ScanRe(tbl) => scans(strip(tbl)) += 1
-      case HashJoinRe(jt, strat) =>
-        joins += RefJoin("hash", normJoinType(jt), strat == "BROADCAST")
-      case t if CrossJoinRe.matches(t) => joins += RefJoin("nl", "inner", true)
-      case t if t.startsWith("TOP-N") => topn += 1
-      case t if t.startsWith("SORT") => sort += 1
-      case t if t.startsWith("UNION") => union += 1
-      case t if t.startsWith("AGGREGATE") =>
-        if (!t.contains("MERGE")) agg += 1
-      case t if t.startsWith("SELECT") || t.startsWith("EXCHANGE") ||
-        t.startsWith("MERGING-EXCHANGE") => ()
-      case t if t.startsWith("SCAN HBASE") => err = Some("HBase scan")
-      case t if t.startsWith("SCAN DATA SOURCE") => err = Some("ext data source")
-      case other => err = Some(s"unrecognized plan node: $other")
+    c.planOrDist.foreach {
+      case PartsRe(sel, tot) =>
+        lastScan.foreach { t =>
+          parts += ((t, sel.toInt, tot.toInt)); lastScan = None }
+      case NodeRe(t0) => t0.trim match {
+        case ScanRe(tbl) => scans(strip(tbl)) += 1; lastScan = Some(strip(tbl))
+        case HashJoinRe(jt, strat) =>
+          joins += RefJoin("hash", normJoinType(jt), strat == "BROADCAST")
+        case t if CrossJoinRe.matches(t) => joins += RefJoin("nl", "inner", true)
+        case t if t.startsWith("TOP-N") => topn += 1
+        case t if t.startsWith("SORT") => sort += 1
+        case t if t.startsWith("UNION") => union += 1
+        case t if t.startsWith("AGGREGATE") =>
+          if (!t.contains("MERGE")) agg += 1
+        case t if t.startsWith("SELECT") || t.startsWith("EXCHANGE") ||
+          t.startsWith("MERGING-EXCHANGE") => ()
+        case t if t.startsWith("SCAN HBASE") => err = Some("HBase scan")
+        case t if t.startsWith("SCAN DATA SOURCE") => err = Some("ext data source")
+        case other => err = Some(s"unrecognized plan node: $other")
+      }
+      case _ => ()
     }
     // Broadcast flags live only on the DISTRIBUTEDPLAN's join annotations;
     // node order there matches the single-node PLAN (same tree), so merge
@@ -149,7 +161,8 @@ object PlannerGoldenRunner {
         hashIdx.zip(dist).foreach { case (i, bc) =>
           joins(i) = joins(i).copy(broadcast = bc) }
     }
-    err.toLeft(RefSig(scans.toMap, joins.toList, topn, sort, union, agg))
+    err.toLeft(RefSig(scans.toMap, joins.toList, topn, sort, union, agg,
+      parts.toList))
   }
 
   private def normJoinType(impala: String): String =
@@ -167,19 +180,27 @@ object PlannerGoldenRunner {
   }
 
   case class SparkSig(scans: Map[String, Int], joins: Seq[RefJoin],
-                      topn: Int, sort: Int, union: Int, agg: Int) {
+                      topn: Int, sort: Int, union: Int, agg: Int,
+                      parts: Seq[(String, Int, Int)] = Nil) {
     def describe: String =
-      s"scans=$scans joins=$joins topn=$topn sort=$sort union=$union agg=$agg"
+      s"scans=$scans joins=$joins topn=$topn sort=$sort union=$union " +
+        s"agg=$agg" + (if (parts.nonEmpty) s" partitions=$parts" else "")
   }
 
   /** Walk the static physical plan, expanding reused exchanges/subqueries
     * (the reference counts each logical appearance; Spark's reuse is an
     * optimization on top of the same shape) and descending into subquery
-    * plans (scalar subqueries the reference plans as joins). */
-  def sparkSignature(spark: SparkSession, sql: String): SparkSig = {
+    * plans (scalar subqueries the reference plans as joins). With
+    * `withPartitions`, each file scan also records its
+    * (table, selected-partitions, total-partitions) — the hdfs.test
+    * pruning assertions; an unpartitioned table reads 1/1, the reference's
+    * convention. */
+  def sparkSignature(spark: SparkSession, sql: String,
+                     withPartitions: Boolean = false): SparkSig = {
     val plan = spark.sql(sql).queryExecution.executedPlan
     val scans = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val joins = collection.mutable.ListBuffer.empty[RefJoin]
+    val parts = collection.mutable.ListBuffer.empty[(String, Int, Int)]
     var (topn, sort, union, agg) = (0, 0, 0, 0)
     val seen = collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Unit = {
@@ -196,6 +217,15 @@ object PlannerGoldenRunner {
             .getOrElse(s.relation.location.rootPaths.headOption
               .map(_.getName.stripSuffix(".parquet")).getOrElse("?"))
           scans(name) += 1
+          if (withPartitions) {
+            if (s.relation.partitionSchema.isEmpty) parts += ((name, 1, 1))
+            else {
+              val total = s.tableIdentifier
+                .map(ti => spark.sessionState.catalog.listPartitions(ti).size)
+                .getOrElse(-1)
+              parts += ((name, s.selectedPartitions.partitionCount, total))
+            }
+          }
         case s: InMemoryTableScanExec => scans("__cached__") += 1
         case j: BroadcastHashJoinExec =>
           joins += RefJoin("hash", normSpark(j.joinType), true)
@@ -239,7 +269,7 @@ object PlannerGoldenRunner {
       p.children.foreach(walk)
     }
     walk(plan)
-    SparkSig(scans.toMap, joins.toList, topn, sort, union, agg)
+    SparkSig(scans.toMap, joins.toList, topn, sort, union, agg, parts.toList)
   }
 
   /** Impala's union grammar binds an operand's trailing ORDER BY / LIMIT to
@@ -438,7 +468,8 @@ object PlannerGoldenRunner {
     """(?is)^\s*create\s+table\s+([\w.]+)\s+(?:stored\s+as\s+\w+\s+)?as\s+(.*)$""".r
 
   def run(spark: SparkSession, c: PlannerCase,
-          level: Level = Full): Outcome = {
+          level: Level = Full,
+          comparePartitions: Boolean = false): Outcome = {
     // `straight_join` is the reference's join-order hint (fixes the FROM
     // order); Catalyst orders joins by its own cost model and this harness
     // compares join multisets, not order, so the hint is dropped.
@@ -488,11 +519,12 @@ object PlannerGoldenRunner {
       case Left(reason) => Skip(reason)
       case Right(ref) =>
         val got =
-          try sparkSignature(spark, sql)
+          try sparkSignature(spark, sql, withPartitions = comparePartitions)
           catch { case e: Throwable =>
             return Fail(s"planning failed: ${e.getMessage}") }
         val failure = compare(ref, got, level,
-          unionQuery = """(?is)\bunion\b""".r.findFirstIn(sql).isDefined)
+          unionQuery = """(?is)\bunion\b""".r.findFirstIn(sql).isDefined,
+          compareParts = comparePartitions)
         insertTarget.foreach { tbl =>
           // Pre-created tmp tables (TpchDb) keep their declared column
           // names — inserts map by position, as the reference's do.
@@ -505,9 +537,27 @@ object PlannerGoldenRunner {
     }
   }
 
-  private def compare(ref: RefSig, got: SparkSig, level: Level,
-                      unionQuery: Boolean = false): Option[String] = {
+  private def compare(ref0: RefSig, got: SparkSig, level: Level,
+                      unionQuery: Boolean = false,
+                      compareParts: Boolean = false): Option[String] = {
+    // Pruning leniency: where the reference still plans a scan of 0
+    // selected partitions, Catalyst may fold the provably-empty relation
+    // away entirely (e.g. `j = 1 and j = 2` constant-propagates to false)
+    // — a strictly stronger plan. Align by dropping those ref scans.
+    val ref = if (compareParts) {
+      val folded = ref0.parts.collect {
+        case (t, 0, _) if !got.scans.contains(t) => t }.toSet
+      ref0.copy(scans = ref0.scans.filterNot { case (t, _) => folded(t) },
+        parts = ref0.parts.filterNot(p => folded(p._1)))
+    } else ref0
     def fmt = s"\n reference: $ref\n spark:     ${got.describe}"
+    // Partition-pruning parity (hdfs.test): the multiset of
+    // (table, selected, total) must match exactly — a looser prune reads
+    // data the reference's planner proved irrelevant.
+    if (compareParts && ref.parts.nonEmpty &&
+        ref.parts.sorted != got.parts.sorted)
+      return Some(s"partition-pruning mismatch: reference " +
+        s"${ref.parts.sorted}, spark ${got.parts.sorted}$fmt")
     // Catalyst deduplicates identical UNION DISTINCT branches (and folds
     // constant branches) — fewer scans of the same tables is acceptable for
     // union queries; a scan of a table the reference never scans, or a scan

@@ -18,13 +18,15 @@ import graft.testing.PlannerGoldenRunner._
   * plans this harness descends into — scan sets stay comparable, join
   * multisets deliberately don't.
   *
+  * `hdfs.test` runs with partition-count parity on: each case's
+  * `partitions=K/N` scan annotations are compared against the Spark scan's
+  * selected-partition count and the catalog's partition total.
+  *
   * Not ported from the planner corpus: `hbase.test`, `data-source-tables
   * .test` (node kinds out of scope / engine-specific), `ddl.test`,
   * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins),
   * `constant.test`, `values.test` (Spark folds constant relations to a
   * `LocalRelation` — strictly better than a plan worth pinning),
-  * `hdfs.test` (partition-pruning counts over text-format partitions;
-  * pruning parity is pinned by OptimizerParitySpec on parquet),
   * `tpcds-all.test` (no TPC-DS dataset in this corpus; defining shapes
   * covered by TpcdsSpec).
   */
@@ -33,6 +35,9 @@ class PlannerGoldenSpec extends SparkSpec {
   private val plannerDir = new File(getClass.getResource("/planner").toURI)
 
   private val scansOnlyFiles = Set("subquery.test", "subquery-limit.test")
+
+  /** Files whose `partitions=K/N` scan annotations are asserted. */
+  private val partitionFiles = Set("hdfs.test")
 
   /** Cases excluded with cause — each is a deliberate, documented dialect or
     * planner divergence, not a coverage gap:
@@ -65,6 +70,7 @@ class PlannerGoldenSpec extends SparkSpec {
   private def ensureDbs(): Unit = {
     Engine.openCatalog(spark, sfDir)
     FunctionalDataset.ensureFunctionalDb(spark)
+    FunctionalDataset.ensureScaleDb(spark)
     TpchDb.ensure(spark, sfDir)
   }
 
@@ -90,7 +96,8 @@ class PlannerGoldenSpec extends SparkSpec {
             ensureDbs()
             val aqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-            try PlannerGoldenRunner.run(spark, c, level) match {
+            try PlannerGoldenRunner.run(spark, c, level,
+              comparePartitions = partitionFiles(f.getName)) match {
               case Pass | Superset => ()
               case Skip(reason) => cancel(reason)
               case Fail(reason) =>
