@@ -42,13 +42,13 @@ object LegacyFormats {
   /** Read a SequenceFile[*, Text] of `sep`-delimited rows (any key type —
     * the row payload is the value, as in the reference's scanner). */
   def readSequenceText(spark: SparkSession, path: String, schema: StructType,
-                       sep: String = "|"): DataFrame = {
+                       sep: String = "|", esc: Char = '\\'): DataFrame = {
     val lines = spark.sparkContext.hadoopFile(
         path,
         classOf[org.apache.hadoop.mapred.SequenceFileInputFormat[Writable, Text]],
         classOf[Writable], classOf[Text])
       .map(_._2.toString) // copy now: Hadoop reuses the Writable
-    parseDelimited(spark, lines, schema, sep)
+    parseDelimited(spark, lines, schema, sep, esc)
   }
 
   /** Distributed SequenceFile sink: rows as `sep`-joined Text values in the
@@ -167,7 +167,7 @@ object LegacyFormats {
     * text layout the reference scans). Column-group bytes are re-joined to a
     * delimited line and parsed by the shared CSV path. */
   def readRcfileText(spark: SparkSession, path: String, schema: StructType,
-                     sep: String = "|"): DataFrame = {
+                     sep: String = "|", esc: Char = '\\'): DataFrame = {
     val nCols = schema.length
     val lines = spark.sparkContext.hadoopFile(
         path,
@@ -185,7 +185,7 @@ object LegacyFormats {
         }
         sb.toString
       }
-    parseDelimited(spark, lines, schema, sep)
+    parseDelimited(spark, lines, schema, sep, esc)
   }
 
   /** NULL sentinel of the Hive/Impala delimited-text convention: a raw
