@@ -349,24 +349,21 @@ object FunctionalDataset {
   }
 
   /** `scale_db.num_partitions_1234_blocks_per_partition_1` — the
-    * reference's partition-pruning stress table (IMPALA-887; PlannerTest
-    * hdfs.test): 1234 single-block partitions. Only the catalog partitions
-    * matter to the pruning assertions, so they are registered in one batch
-    * with no data files. */
+    * reference's many-partition stress table (IMPALA-887; PlannerTest
+    * hdfs.test pruning counts, QueryTest
+    * compute-stats-many-partitions.test): 1234 partitions of exactly one
+    * 2-byte single-row file each (`1\n`), like the reference's loader. One
+    * partition-shuffled insert registers all 1234 catalog partitions and
+    * writes one file per directory. */
   def ensureScaleDb(spark: SparkSession): Unit = synchronized {
     if (spark.catalog.databaseExists("scale_db")) return
     spark.sql("CREATE DATABASE scale_db")
     spark.sql("CREATE TABLE scale_db.num_partitions_1234_blocks_per_partition_1 " +
       "(i INT) USING CSV PARTITIONED BY (j INT)")
-    val ti = org.apache.spark.sql.catalyst.TableIdentifier(
-      "num_partitions_1234_blocks_per_partition_1", Some("scale_db"))
-    val meta = spark.sessionState.catalog.getTableMetadata(ti)
-    val parts = (1 to 1234).map { j =>
-      org.apache.spark.sql.catalyst.catalog.CatalogTablePartition(
-        Map("j" -> j.toString), meta.storage.copy(locationUri = None))
-    }
-    spark.sessionState.catalog.createPartitions(ti, parts,
-      ignoreIfExists = true)
+    spark.range(1, 1235)
+      .selectExpr("1 as i", "cast(id as int) as j")
+      .repartition(org.apache.spark.sql.functions.col("j"))
+      .write.insertInto("scale_db.num_partitions_1234_blocks_per_partition_1")
   }
 
   /** The `functional` catalog database: the QueryTest fixtures qualify some

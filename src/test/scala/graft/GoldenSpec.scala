@@ -18,6 +18,7 @@ class GoldenSpec extends SparkSpec {
       test(s"${f.getName}[$i]: ${c.query.linesIterator.next().take(60)}") {
         Engine.openCatalog(spark, sfDir)
         testing.FunctionalDataset.ensureFunctionalDb(spark)
+        testing.FunctionalDataset.ensureScaleDb(spark)
         testing.TpchDb.ensure(spark, sfDir)
         GoldenTestRunner.run(spark, c) match {
           case Pass => ()
