@@ -660,6 +660,31 @@ object FunctionalDataset {
     LegacyFormats.readAvro(spark, avroDecDir.toString)
       .createOrReplaceTempView("avro_decimal_tbl")
 
+    // bad_parquet (QueryTest/parquet.test; loaded by create-load-data.sh:
+    // 167-178): the reference's three survivor files from old parquet-mr
+    // writers — IMPALA-694's 1.2.5-cdh4.5.0 file, a 0-bit-width repeated-
+    // values dictionary, and IMPALA-720's multi-row-group file — copied
+    // byte-for-byte into test resources. Two of them name their only column
+    // `x` where the table says `field`: the reference scanner doesn't care
+    // (ordinal resolution, hdfs-parquet-scanner.cc:985) and neither does
+    // [[graft.sources.PositionalParquet]], which scans here.
+    val badParquetDir = java.nio.file.Paths.get(externalDir, "bad_parquet")
+    val badParquetRes = Seq("bad_parquet_data.parquet",
+      "repeated_values.parquet", "multiple_rowgroups.parquet")
+    if (getClass.getResource(s"/data/bad_parquet/${badParquetRes.head}") != null) {
+      if (!java.nio.file.Files.exists(badParquetDir)) {
+        java.nio.file.Files.createDirectories(badParquetDir)
+        badParquetRes.foreach { f =>
+          val in = getClass.getResourceAsStream(s"/data/bad_parquet/$f")
+          try java.nio.file.Files.copy(in, badParquetDir.resolve(f))
+          finally in.close()
+        }
+      }
+      graft.sources.PositionalParquet.read(spark, badParquetDir.toString,
+          StructType.fromDDL("field STRING"))
+        .createOrReplaceTempView("bad_parquet")
+    }
+
     // Custom-delimiter text tables (functional_schema_template.sql:755-800;
     // raw files reconstructed byte-for-byte from testdata/data/text-{comma-
     // backslash-newline,dollar-hash-pipe,thorn-ecirc-newline}.txt), read
