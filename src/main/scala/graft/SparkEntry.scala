@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TpchMoreQueries.all ++
       operators.TpchWave3Queries.all ++
       operators.TpcdsQueries.all ++
+      operators.TpcdsWave2Queries.all ++
       operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.TpchMoreQueries.oracle ++
       operators.TpchWave3Queries.oracle ++
       operators.TpcdsQueries.oracle ++
+      operators.TpcdsWave2Queries.oracle ++
       operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++

@@ -77,6 +77,64 @@ class TpcdsSpec extends SparkSpec {
     }
   }
 
+  // ---- wave 2: the remaining reference workload files ----
+
+  test("qds19: the substr non-equi residual filters but is not vacuous") {
+    // Chosen on the trailing key digits: the leading digits of the padded
+    // Customer#/Supplier# names are constant, which would make a <> filter
+    // on them silently drop every row (pinned here so the query can never
+    // regress into comparing a constant prefix).
+    val rows = operators.TpcdsWave2Queries.qds19BrandNonequi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("qds46/qds68: every surviving row bought outside its current nation") {
+    Seq(operators.TpcdsWave2Queries.qds46BoughtCity,
+        operators.TpcdsWave2Queries.qds68ThreeSums).foreach { q =>
+      val rows = q(spark, sfDir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getString(1) != r.getString(2)))
+    }
+  }
+
+  test("qds73: counts stay inside the [1,3] band under the priority filter") {
+    val rows = operators.TpcdsWave2Queries.qds73CountRange2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+      assert(Seq("1-URGENT", "2-HIGH").contains(r.getString(1)))
+    }
+  }
+
+  test("qds96 counts the star without materializing columns") {
+    val rows = operators.TpcdsWave2Queries.qds96CountJoin(spark, sfDir).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) > 0)
+  }
+
+  test("qds_count sweeps every corpus table with nonzero cardinality") {
+    val rows = operators.TpcdsWave2Queries.qdsCount(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getLong(1) > 0, r.getString(0)))
+    val li = rows.find(_.getString(0) == "lineitem").get.getLong(1)
+    assert(li == Tables.table(spark, sfDir, "lineitem").count())
+  }
+
+  test("qds7/qds27 plan: all dimension joins broadcast") {
+    // The fact side must never shuffle for these star aggs: part, supplier
+    // and nation are dimension-bounded at any corpus scale.
+    Seq(operators.TpcdsWave2Queries.qds7Avg4,
+        operators.TpcdsWave2Queries.qds27Avg4State).foreach { q =>
+      val df = q(spark, sfDir)
+      df.collect()
+      val plan = (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
   test("qds98 plan: window runs over the aggregate, not the fact table") {
     // The window stage must consume dimension-sized (post-agg) data: the
     // Window node sits above the HashAggregate in the physical plan.
