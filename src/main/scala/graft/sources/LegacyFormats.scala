@@ -68,7 +68,7 @@ object LegacyFormats {
 
   /** One `sep`-joined line per row in the text convention above (escapes +
     * `\N`); shared by every delimited sink. */
-  private def delimitedLine(df: DataFrame, sep: String) = {
+  private[sources] def delimitedLine(df: DataFrame, sep: String) = {
     require(sep.length == 1, s"separator must be a single char, got '$sep'")
     concat_ws(sep, df.columns.map { c =>
       val s = col(c).cast(StringType)
@@ -202,6 +202,67 @@ object LegacyFormats {
                          esc: Char = '\\'): DataFrame =
     parseDelimited(spark, spark.sparkContext.parallelize(lines), schema, sep,
                    esc)
+
+  /** LZO-compressed text tables (`compression_codec: lzo` across the
+    * reference's workload matrices; scanner shim
+    * `be/src/exec/hdfs-lzo-text-scanner.cc`) via the clean-room lzop
+    * reader in [[Lzop]]. Parallelism follows the reference's scan-range
+    * model: with a hadoop-lzo `.index` side file, each file splits into
+    * block ranges of ~`splitBytes` compressed bytes (one task each, lines
+    * spanning a boundary owned by the split where they start); without an
+    * index an lzop stream is not splittable and reads as one task — the
+    * same behavior the reference gets from its indexer
+    * (`testdata/bin/lzo_indexer.sh`). `strict=false` is the reference's
+    * abort_on_error=0: a corrupt block logs and keeps the rows already
+    * decoded. */
+  def readLzoText(spark: SparkSession, path: String, schema: StructType,
+                  sep: String = "|", esc: Char = '\\',
+                  strict: Boolean = false,
+                  splitBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
+       else Seq(fs.getFileStatus(root)))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".lzo"))
+    require(files.nonEmpty, s"no .lzo files under $path")
+    // driver side: header flags once per file, split block ranges from the
+    // index when present
+    case class Split(file: String, flags: Int, startOff: Long, nBlocks: Int,
+                     leading: Boolean)
+    val splits = files.flatMap { st =>
+      val (flags, firstOff) = Lzop.fileMeta(st.getPath, conf)
+      Lzop.readIndex(st.getPath, conf) match {
+        case Some(offsets) if offsets.nonEmpty =>
+          // group consecutive blocks into ~splitBytes ranges by offset span
+          val groups = Seq.newBuilder[(Int, Int)] // (firstBlockIdx, count)
+          var start = 0
+          var i = 1
+          while (i <= offsets.length) {
+            val spanEnd = if (i < offsets.length) offsets(i) else st.getLen
+            if (spanEnd - offsets(start) >= splitBytes || i == offsets.length) {
+              groups += ((start, i - start)); start = i
+            }
+            i += 1
+          }
+          groups.result().map { case (b0, n) =>
+            Split(st.getPath.toString, flags, offsets(b0), n, b0 == 0)
+          }
+        case _ =>
+          Seq(Split(st.getPath.toString, flags, firstOff, Int.MaxValue,
+            leading = true))
+      }
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val lines = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { sp =>
+        Lzop.splitLines(new Path(sp.file), serConf.value, sp.flags,
+          sp.startOff, sp.nBlocks, sp.leading, strict)
+      }
+    parseDelimited(spark, lines, schema, sep, esc)
+  }
 
   /** Shared row-payload parser: `sep`-delimited text with NO quote handling
     * (a field that merely starts with '"' passes through verbatim) but WITH

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{LegacyFormats, Lzo, Lzop}
+
+/** The LZO text surface (reference `compression_codec: lzo` dimension;
+  * scanner shim hdfs-lzo-text-scanner.cc). Validation layers: a
+  * known-answer oracle — the reference's own lzop file, whose per-block
+  * adler32 must match our decompressor's output — plus round-trips and the
+  * DataErrorsTest recovery case. */
+class LzoSpec extends SparkSpec {
+
+  private def badLzo(dir: String): Path = {
+    val in = getClass.getResourceAsStream("/data/bad_text.lzo")
+    val p = Paths.get(dir, "bad_text.lzo")
+    try Files.copy(in, p, StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    new Path(p.toString)
+  }
+
+  test("decompressor matches the reference file's adler32 known answers") {
+    // bad_text.lzo's FIRST block is intact, real-lzop-compressed data with
+    // an adler32 of the decompressed bytes in its header; readBlock throws
+    // on any mismatch, so surviving it IS the known-answer check.
+    val dir = tmp("graft_lzo_ka")
+    val f = badLzo(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = f.getFileSystem(conf)
+    val s = fs.open(f)
+    val in = new java.io.DataInputStream(s)
+    try {
+      val h = Lzop.readHeader(in)
+      val block = Lzop.readBlock(in, h).get
+      assert(block.length == 262144)
+      assert(new String(block, "UTF-8").count(_ == '\n') == 2570)
+    } finally s.close()
+  }
+
+  test("corrupt block header carries the reference scanner's error") {
+    // DataErrorsTest/hdfs-scan-node-errors.test pins the message for this
+    // very file: the second block header declares a 536870911-byte block.
+    val dir = tmp("graft_lzo_err")
+    val f = badLzo(dir)
+    val schema = StructType.fromDDL("line STRING")
+    val e = intercept[org.apache.spark.SparkException] {
+      LegacyFormats.readLzoText(spark, dir, schema, sep = "\t",
+        strict = true).count()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(e).contains(
+      "Blocksize: 536870911 is greater than LZO_MAX_BLOCK_SIZE: 67108864"))
+  }
+
+  test("lenient read recovers every row before the corruption") {
+    // the reference under abort_on_error=0 surfaces the error AND the
+    // surviving count (its fixture counts 5140 over TWO part files; only
+    // part-00001 ships in-tree, contributing 2570)
+    val dir = tmp("graft_lzo_recover")
+    badLzo(dir)
+    val schema = StructType.fromDDL("line STRING")
+    val n = LegacyFormats.readLzoText(spark, dir, schema, sep = "\t").count()
+    assert(n == 2570)
+  }
+
+  test("round-trip: lzop writer -> distributed reader, split by the index") {
+    val dir = tmp("graft_lzo_rt")
+    val conf = spark.sessionState.newHadoopConf()
+    // block size small enough that lines span block boundaries and the
+    // file splits into many ranges: the split-ownership convention is the
+    // thing under test
+    val rows = (0 until 5000).map(i => s"$i|name_$i|${i % 7}")
+    Lzop.writeText(rows.iterator, new Path(s"$dir/data.lzo"), conf,
+      blockSize = 1024)
+    val schema = StructType.fromDDL("id INT, name STRING, grp INT")
+    val back = LegacyFormats.readLzoText(spark, dir, schema,
+      splitBytes = 4096)
+    assert(back.count() == 5000)
+    val got = back.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq ==
+      (0 until 5000).map(i => (i, s"name_$i", i % 7)))
+    // and the index genuinely split the read into multiple tasks
+    assert(Lzop.readIndex(new Path(s"$dir/data.lzo"), conf).get.length > 10)
+  }
+
+  test("round-trip without an index reads as one unsplit stream") {
+    val dir = tmp("graft_lzo_noidx")
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Seq("a|1", "b|2", "c|3")
+    Lzop.writeText(rows.iterator, new Path(s"$dir/tiny.lzo"), conf)
+    Files.delete(Paths.get(dir, "tiny.lzo.index"))
+    val schema = StructType.fromDDL("k STRING, v INT")
+    val got = LegacyFormats.readLzoText(spark, dir, schema)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("escapes and the null sentinel survive the lzo payload") {
+    val dir = tmp("graft_lzo_esc")
+    val conf = spark.sessionState.newHadoopConf()
+    Lzop.writeText(Seq("x\\|y|\\N", "plain|7").iterator,
+      new Path(s"$dir/esc.lzo"), conf)
+    val schema = StructType.fromDDL("a STRING, b INT")
+    val got = LegacyFormats.readLzoText(spark, dir, schema).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getInt(1)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(("plain", 7), ("x|y", null)))
+  }
+
+  test("literal-only compressor output is a conforming lzo1x stream") {
+    for (n <- Seq(0, 1, 4, 5, 238, 239, 300, 100000)) {
+      val src = Array.tabulate(n)(i => (i * 31 % 251).toByte)
+      val packed = Lzo.compressLiteral(src)
+      if (n > 0)
+        assert(Lzo.decompress(packed, 0, packed.length, n).sameElements(src))
+    }
+  }
+}
