@@ -33,7 +33,8 @@ object SparkEntry {
       pipeline.DedupQueries.all ++
       pipeline.SimilarityQueries.all ++
       pipeline.IvfAnn.all ++
-      pipeline.Multimodal.all
+      pipeline.Multimodal.all ++
+      sources.FormatQueries.all
 
   def oracleSql: Map[String, String] =
     operators.TpchQueries.oracle ++
@@ -52,5 +53,6 @@ object SparkEntry {
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++
-      pipeline.Multimodal.oracle
+      pipeline.Multimodal.oracle ++
+      sources.FormatQueries.oracle
 }
