@@ -2,7 +2,7 @@ package graft
 
 import java.io.File
 
-import graft.testing.{FunctionalDataset, PlannerGoldenRunner, TpchDb}
+import graft.testing.{FunctionalDataset, PlannerGoldenRunner, TpcdsDb, TpchDb}
 import graft.testing.PlannerGoldenRunner._
 
 /** Runs the reference's PlannerTest golden corpus (plan-shape parity; see
@@ -26,9 +26,11 @@ import graft.testing.PlannerGoldenRunner._
   * .test` (node kinds out of scope / engine-specific), `ddl.test`,
   * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins),
   * `constant.test`, `values.test` (Spark folds constant relations to a
-  * `LocalRelation` — strictly better than a plan worth pinning),
-  * `tpcds-all.test` (no TPC-DS dataset in this corpus; defining shapes
-  * covered by TpcdsSpec).
+  * `LocalRelation` — strictly better than a plan worth pinning).
+  * `tpcds-all.test` runs against [[graft.testing.TpcdsDb]]'s synthesized
+  * store_sales star schema (reference-exact schemas parsed from its dataset
+  * template; values and the reference's dynamic-date partition counts are
+  * data artifacts, not plan artifacts, so they are not part of the parity).
   */
 class PlannerGoldenSpec extends SparkSpec {
 
@@ -72,13 +74,30 @@ class PlannerGoldenSpec extends SparkSpec {
     FunctionalDataset.ensureFunctionalDb(spark)
     FunctionalDataset.ensureScaleDb(spark)
     TpchDb.ensure(spark, sfDir)
+    TpcdsDb.ensure(spark)
   }
+
+  /** tpcds-all.test queries scan unqualified table names (the reference
+    * driver ran them with tpcds as the session database); Spark temp views
+    * of the corpus tables (`customer`, …) would shadow a session-database
+    * switch, so qualify each FROM/JOIN table reference explicitly. Column
+    * qualifiers (`store_sales.ss_item_sk`) stay valid: a db-qualified
+    * relation still exposes its table-name qualifier. */
+  private val tpcdsTables = Seq("store_sales_unpartitioned", "store_sales",
+    "customer_address", "customer_demographics", "household_demographics",
+    "customer", "date_dim", "time_dim", "item", "store", "promotion")
+  private def qualifyTpcds(q: String): String =
+    tpcdsTables.foldLeft(q)((s, t) =>
+      s.replaceAll(s"(?i)\\b(from|join)(\\s+)$t\\b", s"$$1$$2tpcds.$t"))
 
   plannerDir.listFiles().filter(_.getName.endsWith(".test")).sorted
     .foreach { f =>
       val level: Level =
         if (scansOnlyFiles(f.getName)) ScansOnly else Full
-      val cases = PlannerGoldenRunner.parseFile(f.getPath)
+      val cases = PlannerGoldenRunner.parseFile(f.getPath).map { c =>
+        if (f.getName == "tpcds-all.test") c.copy(query = qualifyTpcds(c.query))
+        else c
+      }
       cases.zipWithIndex.foreach { case (c, i) =>
         // Cases the harness can see are inapplicable up front (HBase scans,
         // `not implemented` without a cartesian assertion) are not
