@@ -406,6 +406,12 @@ object FunctionalDataset {
     Seq("alltypes", "alltypesagg", "alltypessmall", "alltypestiny").foreach {
       t => spark.sql(
         s"CREATE VIEW functional_parquet.$t AS SELECT * FROM functional.$t") }
+    // functional_avro: the explain-level fixtures scan its alltypes; a view
+    // suffices — plan signatures strip the db qualifier, and the avro scan
+    // path itself is pinned by FormatsSpec + the avro golden fixtures.
+    spark.sql("CREATE DATABASE functional_avro")
+    spark.sql(
+      "CREATE VIEW functional_avro.alltypes AS SELECT * FROM functional.alltypes")
     // Multi-file non-partitioned alltypesagg (hdfs-scan-node.test scans it
     // both unqualified and as functional.*): 4 files, like the reference's
     // 4-way file split per load.
