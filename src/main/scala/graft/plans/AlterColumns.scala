@@ -561,7 +561,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       s.substring(close + 1))
   }
 
+  /** Permanent CREATE VIEW (never TEMPORARY — those keep Spark semantics).
+    * Group 1 = everything through AS, group 2 = the view query. */
+  private val CreateViewRe =
+    ("""(?is)^(\s*create\s+(?:or\s+replace\s+)?view\s+(?:if\s+not\s+exists\s+)?""" +
+      """[`\w.]+\s*(?:\([^)]*\)\s*)?(?:comment\s+'[^']*'\s*)?""" +
+      """(?:tblproperties\s*\([^)]*\)\s*)?as\b)(.*)$""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateViewRe(prefix, query)
+        if GraftSqlParser.autoAliasSelectList(query, delegate) != query =>
+      delegate.parsePlan(
+        prefix + GraftSqlParser.autoAliasSelectList(query, delegate))
     case ComputeStatsRe(ident) =>
       GraftComputeStatsCommand(ident.split('.').toIndexedSeq)
     case ShowTableStatsRe(ident) =>
@@ -621,4 +632,108 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseTableSchema(sqlText: String) =
     delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** The reference creates views over unaliased select-list expressions by
+    * auto-generating `_c<position>` column names (CreateViewStmt — the
+    * views-compatibility fixture's case 8 shows the convention, shared with
+    * Hive); Spark instead refuses the permanent view
+    * (CREATE_PERMANENT_VIEW_WITHOUT_ALIAS). Align with the reference by
+    * rewriting the view query's TEXT — the alias must live in the stored
+    * SQL, since view resolution re-analyzes the stored text and binds the
+    * recorded schema by column name (a plan-only rewrite creates a view
+    * that fails every later read with INCOMPATIBLE_VIEW_SCHEMA_CHANGE).
+    *
+    * Only the outermost select list is touched: items that parse as a bare
+    * column reference or star keep their names; items that do not parse as
+    * a single expression (explicit `AS` / implicit aliases) are left
+    * verbatim; anything else — an unaliased expression — gets ` AS _c<i>`.
+    * Applies to the first branch of a UNION (which names the output in
+    * both dialects). */
+  private[plans] def autoAliasSelectList(query: String,
+                                         parser: ParserInterface): String = {
+    val lower = query.toLowerCase
+    def depthScan(from: Int, word: String): Int = {
+      var depth = 0; var i = from
+      var inQ = false; var inD = false; var inB = false
+      while (i < query.length) {
+        val c = query.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (inD) { if (c == '"') inD = false }
+        else if (inB) { if (c == '`') inB = false }
+        else c match {
+          case '\'' => inQ = true
+          case '"' => inD = true
+          case '`' => inB = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 && lower.startsWith(word, i) &&
+            (i == 0 || !Character.isLetterOrDigit(query.charAt(i - 1)) &&
+              query.charAt(i - 1) != '_') &&
+            (i + word.length == query.length ||
+              !Character.isLetterOrDigit(query.charAt(i + word.length)) &&
+                query.charAt(i + word.length) != '_') => return i
+          case _ => ()
+        }
+        i += 1
+      }
+      -1
+    }
+    val sel = depthScan(0, "select")
+    if (sel < 0) return query
+    var bodyStart = sel + "select".length
+    // DISTINCT/ALL prefix stays outside the item list
+    Seq("distinct", "all").foreach { kw =>
+      val t = query.substring(bodyStart)
+      val lead = t.takeWhile(_.isWhitespace).length
+      if (t.length >= lead + kw.length &&
+          t.substring(lead).toLowerCase.startsWith(kw) &&
+          (t.length == lead + kw.length ||
+            !Character.isLetterOrDigit(t.charAt(lead + kw.length))))
+        bodyStart += lead + kw.length
+    }
+    val stop = Seq("from", "where", "group", "having", "order", "limit",
+      "offset", "union", "intersect", "except")
+      .map(depthScan(bodyStart, _)).filter(_ >= 0)
+      .minOption.getOrElse(query.length)
+    val items = {
+      val out = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var depth = 0; var i = bodyStart; var start = bodyStart
+      var inQ = false; var inD = false; var inB = false
+      while (i < stop) {
+        val c = query.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (inD) { if (c == '"') inD = false }
+        else if (inB) { if (c == '`') inB = false }
+        else c match {
+          case '\'' => inQ = true
+          case '"' => inD = true
+          case '`' => inB = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => out += ((start, i)); start = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += ((start, stop))
+      out.toSeq
+    }
+    import org.apache.spark.sql.catalyst.analysis.{MultiAlias, UnresolvedAttribute, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val rewritten = items.zipWithIndex.map { case ((s, e), i) =>
+      val item = query.substring(s, e)
+      val needsAlias =
+        try parser.parseExpression(item) match {
+          case _: UnresolvedAttribute | _: UnresolvedStar => false
+          case _: Alias | _: MultiAlias => false // already named
+          case _ => true
+        } catch { case _: Exception => false } // unparseable: leave verbatim
+      if (needsAlias) item + s" AS _c$i " else item
+    }
+    query.substring(0, bodyStart) + rewritten.mkString(",") +
+      query.substring(stop)
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.io.File
+
+import graft.testing.FunctionalDataset
+
+/** Port of the reference's view-compatibility matrix
+  * (`testdata/workloads/functional-query/queries/QueryTest/
+  * views-compatibility.test`, driven by its custom CREATE_VIEW /
+  * CREATE_VIEW_RESULTS / QUERY_IMPALA_VIEW_RESULTS grammar rather than the
+  * standard QueryTest sections).
+  *
+  * The original is a two-engine interop matrix: can Hive parse a view
+  * Impala created, and vice versa. This engine is one dialect, so the
+  * checkable contract is the IMPALA column: every view the reference
+  * engine creates successfully must create AND query successfully here
+  * (its view surface is a superset of the reference's). The one
+  * IMPALA=FAILURE case — `SORT BY`, a HiveQL construct the reference
+  * rejects — parses here because Spark SQL descends from HiveQL; the
+  * fixture itself records HIVE=SUCCESS for it, so success is the
+  * documented superset, matching the engine's permissive-dialect stance
+  * (same policy as the planner harness's `not implemented` cartesian
+  * cases).
+  */
+class ViewsCompatibilitySpec extends SparkSpec {
+
+  private case class Case(idx: Int, sql: String, createImpala: Option[Boolean],
+                          createHive: Option[Boolean],
+                          queryImpala: Option[Boolean])
+
+  private def outcome(lines: Seq[String], engine: String): Option[Boolean] =
+    lines.map(_.trim).collectFirst {
+      case l if l == s"$engine=SUCCESS" => true
+      case l if l == s"$engine=FAILURE" => false
+    }
+
+  private def parse(f: File): Seq[Case] = {
+    val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+    val txt = try src.mkString finally src.close()
+    txt.split("(?m)^====.*$").toSeq.map(_.trim).filter(_.nonEmpty)
+      .zipWithIndex.map { case (block, i) =>
+        var section = ""
+        val secs = collection.mutable.Map.empty[String, Vector[String]]
+          .withDefaultValue(Vector.empty)
+        block.linesIterator.foreach {
+          case l if l.startsWith("---- ") => section = l.drop(5).trim
+          case l if !l.trim.startsWith("#") =>
+            secs(section) = secs(section) :+ l
+          case _ => ()
+        }
+        Case(i, secs("CREATE_VIEW").mkString("\n").trim,
+          outcome(secs("CREATE_VIEW_RESULTS"), "IMPALA"),
+          outcome(secs("CREATE_VIEW_RESULTS"), "HIVE"),
+          outcome(secs("QUERY_IMPALA_VIEW_RESULTS"), "IMPALA"))
+      }
+  }
+
+  private val fixture =
+    new File(getClass.getResource("/compat/views-compatibility.test").toURI)
+
+  parse(fixture).foreach { c =>
+    test(s"views-compatibility[${c.idx}]: " +
+        c.sql.linesIterator.mkString(" ").take(60)) {
+      FunctionalDataset.ensureFunctionalDb(spark)
+      spark.sql("DROP VIEW IF EXISTS test")
+      val created =
+        try { spark.sql(c.sql); true }
+        catch { case _: Exception => false }
+      try {
+        c.createImpala match {
+          case Some(true) =>
+            assert(created, s"reference creates this view; this engine failed")
+          case Some(false) =>
+            // superset allowed only where the fixture shows the construct is
+            // valid HiveQL (Spark's ancestor dialect)
+            if (created)
+              assert(c.createHive.contains(true),
+                "created a view both reference engines reject")
+          case None => ()
+        }
+        if (created) c.queryImpala.foreach { expected =>
+          val queried =
+            try { spark.table("test").collect(); true }
+            catch { case _: Exception => false }
+          if (expected)
+            assert(queried, "reference queries this view; this engine failed")
+          // expected=false: the reference's own view text broke its parser
+          // round-trip; querying successfully here is the same superset.
+        }
+      } finally spark.sql("DROP VIEW IF EXISTS test")
+    }
+  }
+}
