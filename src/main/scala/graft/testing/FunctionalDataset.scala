@@ -514,6 +514,16 @@ object FunctionalDataset {
           java.nio.charset.StandardCharsets.UTF_8))
     }
     regText("tinyinttable", "int_col INT", tinyIntTableLines)
+    // zipcode_incomes (schema_template.sql:1129-1141; impala-demo.test):
+    // the reference loads a census CSV absent from the tree; the fixture's
+    // one query selects zip '59101' and expects ZERO rows, so any
+    // deterministic rows with other zips reproduce the contract.
+    regText("zipcode_incomes",
+      "id STRING, zip STRING, description1 STRING, description2 STRING, " +
+        "income INT",
+      Seq("8600000US00601,00601,006HI,Puerto Rico,10566",
+          "8600000US00602,00602,006HI,Puerto Rico,16800",
+          "8600000US10001,10001,NYC,New York,88777"))
     regText("liketbl",
       "str_col STRING, match_like_col STRING, no_match_like_col STRING, " +
         "match_regex_col STRING, no_match_regex_col STRING", likeTblLines)

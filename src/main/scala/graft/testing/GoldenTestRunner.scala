@@ -357,7 +357,9 @@ object GoldenTestRunner {
     if (c.createTable) return runCreateTableCase(spark, c)
     try runSetup(spark, c.setup)
     catch { case e: Throwable => return Fail(s"SETUP failed: ${e.getMessage}") }
-    val stmts = splitStatements(c.query)
+    // `$TABLE` is the reference driver's format-dimension suffix (empty for
+    // the canonical text/parquet dimension this corpus runs).
+    val stmts = splitStatements(c.query.replace("$TABLE", ""))
     val ins = InsertRe.findFirstMatchIn(stmts.last)
     if (ins.isDefined && c.catchErr.isEmpty &&
         c.results.exists(rs => rs.forall(_.matches(""".*: \d+"""))))
