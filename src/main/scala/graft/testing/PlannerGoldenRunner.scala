@@ -158,8 +158,10 @@ object PlannerGoldenRunner {
         case t if t.startsWith("SORT") => sort += 1
         case t if t.startsWith("UNION") => union += 1
         // this reference vintage plans UNION operands as MERGE nodes (one
-        // per branch; the explain-level fixtures render them)
-        case t if t.startsWith("MERGE") => union += 1
+        // per branch; the explain-level fixtures render them). Guard the
+        // prefix: MERGING-EXCHANGE is an exchange, not a union operand.
+        case t if t.startsWith("MERGE") && !t.startsWith("MERGING-EXCHANGE") =>
+          union += 1
         case t if t.startsWith("AGGREGATE") =>
           if (!t.contains("MERGE")) agg += 1
         case t if t.startsWith("SELECT") || t.startsWith("EXCHANGE") ||
