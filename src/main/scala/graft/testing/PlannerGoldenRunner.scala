@@ -602,12 +602,15 @@ object PlannerGoldenRunner {
       else ref.scans == got.scans
     if (!scansOk)
       return Some(s"scan multiset mismatch$fmt")
-    // A scan-free reference plan whose Spark counterpart folded to a bare
-    // LocalRelation (no scans, joins, or operators at all) is constant
-    // folding doing its job; there is no shape left worth comparing.
+    // A scan-free reference plan (constant select / VALUES — the reference
+    // plans these as a UNION of constant operands, constant.test and
+    // values.test, possibly under a TOP-N) whose Spark counterpart reads no
+    // tables either is constant folding doing its job: Catalyst evaluates
+    // the whole relation — including any ORDER BY/LIMIT on it — to a
+    // LocalRelation at optimization time, a strictly stronger plan. No
+    // shape left worth comparing.
     if (ref.scans.isEmpty && got.scans.isEmpty &&
-        ref.joins.isEmpty && got.joins.isEmpty &&
-        got.topn + got.sort + got.union + got.agg == 0)
+        ref.joins.isEmpty && got.joins.isEmpty)
       return None
     if (level == ScansOnly) return None
     // Join comparison, with two directional leniencies (an engine may plan

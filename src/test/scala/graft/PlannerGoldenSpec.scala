@@ -24,9 +24,12 @@ import graft.testing.PlannerGoldenRunner._
   *
   * Not ported from the planner corpus: `hbase.test`, `data-source-tables
   * .test` (node kinds out of scope / engine-specific), `ddl.test`,
-  * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins),
-  * `constant.test`, `values.test` (Spark folds constant relations to a
-  * `LocalRelation` — strictly better than a plan worth pinning).
+  * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins).
+  * `constant.test` / `values.test` run under the constant-relation
+  * leniency: the reference plans them as a UNION of constant operands,
+  * Catalyst folds the whole relation (ORDER BY/LIMIT included) to a
+  * `LocalRelation` — strictly stronger, so a scan-free/join-free pair
+  * passes with no further shape compare.
   * `tpcds-all.test` runs against [[graft.testing.TpcdsDb]]'s synthesized
   * store_sales star schema (reference-exact schemas parsed from its dataset
   * template; values and the reference's dynamic-date partition counts are
