@@ -436,7 +436,8 @@ object FunctionalDataset {
     LegacyFormats.writeSequenceText(at, seqDir, ",",
       codec = Some(classOf[org.apache.hadoop.io.compress.SnappyCodec]))
     LegacyFormats.readSequenceText(spark, seqDir, at.schema, ",")
-      .write.saveAsTable("functional_seq_snap.alltypes")
+      .write.partitionBy("year", "month") // partitioned in every format
+      .saveAsTable("functional_seq_snap.alltypes") // dimension (PlannerTest insert.test prunes it)
     // functional_rc.old_rcfile_table (schema_template.sql:1178-1185,
     // data/oldrcfile.rc — a pre-Hive-0.9 RCFile): same rows written and
     // re-read through the RCFile text path, then materialized db-qualified.

@@ -512,7 +512,7 @@ object PlannerGoldenRunner {
     // `straight_join`.
     val query = c.query
       .replaceAll("(?i)\\bstraight_join\\b", " ")
-      .replaceAll("(?i)\\[(broadcast|shuffle)\\]", " ")
+      .replaceAll("(?i)\\[(broadcast|shuffle|noshuffle)\\]", " ")
     // INSERT cases compare the SELECT's plan (the reference's WRITE node has
     // no shape content); `INSERT OVERWRITE tpch.*` additionally materializes
     // the target — TPC-H's multi-stage queries scan those tmp tables later.

@@ -23,8 +23,11 @@ import graft.testing.PlannerGoldenRunner._
   * selected-partition count and the catalog's partition total.
   *
   * Not ported from the planner corpus: `hbase.test`, `data-source-tables
-  * .test` (node kinds out of scope / engine-specific), `ddl.test`,
-  * `insert.test` (DDL text, no plan shapes beyond what WriteDdlSpec pins).
+  * .test` (node kinds out of scope / engine-specific) — every other
+  * PlannerTest file runs (21 of 23). `insert.test` runs with
+  * partition-count parity (its WRITE nodes carry no shape; the pruning
+  * annotations on its source scans do); `ddl.test`'s CTAS cases compare
+  * the SELECT's plan shape.
   * `constant.test` / `values.test` run under the constant-relation
   * leniency: the reference plans them as a UNION of constant operands,
   * Catalyst folds the whole relation (ORDER BY/LIMIT included) to a
@@ -42,7 +45,7 @@ class PlannerGoldenSpec extends SparkSpec {
   private val scansOnlyFiles = Set("subquery.test", "subquery-limit.test")
 
   /** Files whose `partitions=K/N` scan annotations are asserted. */
-  private val partitionFiles = Set("hdfs.test")
+  private val partitionFiles = Set("hdfs.test", "insert.test")
 
   /** Cases excluded with cause — each is a deliberate, documented dialect or
     * planner divergence, not a coverage gap:
