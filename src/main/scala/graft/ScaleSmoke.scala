@@ -65,6 +65,37 @@ object ScaleSmoke {
         "qds46_bought_city", "qds73_count_range2", "qds96_count_join")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
+
+    // LZO split-read rehearsal: the amplified lineitem keys as multi-file
+    // indexed lzop text, written distributed (one container + index per
+    // partition, the layout real lzop writers + the reference's indexer
+    // produce), then read back through the block-range split path. The
+    // interesting number is the read: it must scale with splits, not files.
+    if (only.forall(_.contains("lzo"))) {
+      import org.apache.hadoop.fs.Path
+      val lzoDir = s"$out/lineitem_lzo"
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val t1 = System.nanoTime()
+      val lines = li.select(concat_ws("|",
+        li.columns.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
+        .as("l"))
+      lines.rdd.map(_.getString(0)).repartition(32)
+        .mapPartitionsWithIndex { (i, it) =>
+          graft.sources.Lzop.writeText(it,
+            new Path(f"$lzoDir/part-$i%05d.lzo"), serConf.value)
+          Iterator.single(i)
+        }.count()
+      println(f"[scale] lzo_write               ${(System.nanoTime() - t1) / 1e9}%8.1f s (32 files)")
+      val t2 = System.nanoTime()
+      val n = graft.sources.LegacyFormats.readLzoText(spark, lzoDir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE"),
+        splitBytes = 4L * 1024 * 1024).count()
+      println(f"[scale] lzo_read                ${(System.nanoTime() - t2) / 1e9}%8.1f s ($n rows)")
+    }
     spark.stop()
   }
 }

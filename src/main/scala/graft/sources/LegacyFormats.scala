@@ -227,34 +227,43 @@ object LegacyFormats {
        else Seq(fs.getFileStatus(root)))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".lzo"))
     require(files.nonEmpty, s"no .lzo files under $path")
-    // driver side: header flags once per file, split block ranges from the
-    // index when present
     case class Split(file: String, flags: Int, startOff: Long, nBlocks: Int,
                      leading: Boolean)
-    val splits = files.flatMap { st =>
-      val (flags, firstOff) = Lzop.fileMeta(st.getPath, conf)
-      Lzop.readIndex(st.getPath, conf) match {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    // Per-file header flags + index offsets are read in a distributed
+    // metadata pass (one small collect of (flags, offsets) tuples), not a
+    // serial driver loop — at warehouse scale a table holds 10^4-10^6 lzop
+    // files and the driver must not open each one. Split arithmetic stays
+    // on the driver: it is O(blocks) integer work on the collected offsets.
+    val metas = spark.sparkContext
+      .parallelize(files.map(st => (st.getPath.toString, st.getLen)),
+        math.min(math.max(1, files.size), 64))
+      .map { case (p, len) =>
+        val fp = new Path(p)
+        val (flags, firstOff) = Lzop.fileMeta(fp, serConf.value)
+        (p, len, flags, firstOff, Lzop.readIndex(fp, serConf.value))
+      }.collect()
+    val splits = metas.toSeq.flatMap { case (p, len, flags, firstOff, index) =>
+      index match {
         case Some(offsets) if offsets.nonEmpty =>
           // group consecutive blocks into ~splitBytes ranges by offset span
           val groups = Seq.newBuilder[(Int, Int)] // (firstBlockIdx, count)
           var start = 0
           var i = 1
           while (i <= offsets.length) {
-            val spanEnd = if (i < offsets.length) offsets(i) else st.getLen
+            val spanEnd = if (i < offsets.length) offsets(i) else len
             if (spanEnd - offsets(start) >= splitBytes || i == offsets.length) {
               groups += ((start, i - start)); start = i
             }
             i += 1
           }
           groups.result().map { case (b0, n) =>
-            Split(st.getPath.toString, flags, offsets(b0), n, b0 == 0)
+            Split(p, flags, offsets(b0), n, b0 == 0)
           }
         case _ =>
-          Seq(Split(st.getPath.toString, flags, firstOff, Int.MaxValue,
-            leading = true))
+          Seq(Split(p, flags, firstOff, Int.MaxValue, leading = true))
       }
     }
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val lines = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
       .flatMap { sp =>
