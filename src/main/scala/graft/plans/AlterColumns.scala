@@ -568,11 +568,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """[`\w.]+\s*(?:\([^)]*\)\s*)?(?:comment\s+'[^']*'\s*)?""" +
       """(?:tblproperties\s*\([^)]*\)\s*)?as\b)(.*)$""").r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case CreateViewRe(prefix, query)
-        if GraftSqlParser.autoAliasSelectList(query, delegate) != query =>
-      delegate.parsePlan(
-        prefix + GraftSqlParser.autoAliasSelectList(query, delegate))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // Permanent CREATE VIEW with unaliased select-list expressions gets the
+    // reference's _c<i> auto-aliases (computed once; see autoAliasSelectList)
+    sqlText match {
+      case CreateViewRe(prefix, query) =>
+        val rewritten = GraftSqlParser.autoAliasSelectList(query, delegate)
+        if (rewritten != query) return delegate.parsePlan(prefix + rewritten)
+      case _ => ()
+    }
+    parsePlanRest(sqlText)
+  }
+
+  private def parsePlanRest(sqlText: String): LogicalPlan = sqlText match {
     case ComputeStatsRe(ident) =>
       GraftComputeStatsCommand(ident.split('.').toIndexedSeq)
     case ShowTableStatsRe(ident) =>
@@ -655,10 +663,24 @@ object GraftSqlParser {
   private[plans] def autoAliasSelectList(query: String,
                                          parser: ParserInterface): String = {
     val lower = query.toLowerCase
+    // returns the index just past any comment starting at i, or i itself
+    def skipComment(i: Int): Int =
+      if (query.startsWith("--", i)) {
+        val nl = query.indexOf('\n', i)
+        if (nl < 0) query.length else nl + 1
+      } else if (query.startsWith("/*", i)) {
+        val close = query.indexOf("*/", i + 2)
+        if (close < 0) query.length else close + 2
+      } else i
     def depthScan(from: Int, word: String): Int = {
       var depth = 0; var i = from
       var inQ = false; var inD = false; var inB = false
       while (i < query.length) {
+        if (!inQ && !inD && !inB) {
+          var j = skipComment(i)
+          while (j != i) { i = j; j = skipComment(i) }
+        }
+        if (i >= query.length) return -1
         val c = query.charAt(i)
         if (inQ) { if (c == '\'') inQ = false }
         else if (inD) { if (c == '"') inD = false }
@@ -703,20 +725,26 @@ object GraftSqlParser {
       var depth = 0; var i = bodyStart; var start = bodyStart
       var inQ = false; var inD = false; var inB = false
       while (i < stop) {
-        val c = query.charAt(i)
-        if (inQ) { if (c == '\'') inQ = false }
-        else if (inD) { if (c == '"') inD = false }
-        else if (inB) { if (c == '`') inB = false }
-        else c match {
-          case '\'' => inQ = true
-          case '"' => inD = true
-          case '`' => inB = true
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ',' if depth == 0 => out += ((start, i)); start = i + 1
-          case _ => ()
+        if (!inQ && !inD && !inB) {
+          var j = skipComment(i)
+          while (j != i) { i = j; j = skipComment(i) }
         }
-        i += 1
+        if (i < stop) {
+          val c = query.charAt(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else if (inD) { if (c == '"') inD = false }
+          else if (inB) { if (c == '`') inB = false }
+          else c match {
+            case '\'' => inQ = true
+            case '"' => inD = true
+            case '`' => inB = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => out += ((start, i)); start = i + 1
+            case _ => ()
+          }
+          i += 1
+        }
       }
       out += ((start, stop))
       out.toSeq
@@ -731,7 +759,9 @@ object GraftSqlParser {
           case _: Alias | _: MultiAlias => false // already named
           case _ => true
         } catch { case _: Exception => false } // unparseable: leave verbatim
-      if (needsAlias) item + s" AS _c$i " else item
+      // newline before AS: an item ending in a `-- comment` must not
+      // swallow the alias into the comment
+      if (needsAlias) item + s"\nAS _c$i " else item
     }
     query.substring(0, bodyStart) + rewritten.mkString(",") +
       query.substring(stop)

@@ -257,8 +257,14 @@ object LegacyFormats {
             }
             i += 1
           }
-          groups.result().map { case (b0, n) =>
-            Split(p, flags, offsets(b0), n, b0 == 0)
+          val gs = groups.result()
+          gs.zipWithIndex.map { case ((b0, n), gi) =>
+            // the LAST split reads to the container terminator, not to the
+            // indexed block count: a truncated/stale .index (killed
+            // indexer, file appended after indexing) must not silently
+            // drop the un-indexed tail blocks
+            val count = if (gi == gs.length - 1) Int.MaxValue else n
+            Split(p, flags, offsets(b0), count, b0 == 0)
           }
         case _ =>
           Seq(Split(p, flags, firstOff, Int.MaxValue, leading = true))

@@ -18,9 +18,12 @@ import org.apache.hadoop.fs.Path
   * known-answer oracle (LzoSpec).
   *
   * The compressor side intentionally emits a single literal run — a valid
-  * lzo1x stream with ratio 1.0 — because this engine only needs the WRITE
-  * path to fabricate test fixtures; production data arrives compressed by
-  * real writers, and the read path accepts any conforming stream.
+  * lzo1x stream with ratio 1.0 — kept as a decoder test vehicle (LzoSpec
+  * round-trips it through [[Lzo.decompress]]); [[Lzop.writeText]] stores
+  * blocks raw, as real lzop does whenever compression does not help,
+  * because this engine only needs the WRITE path to fabricate fixtures.
+  * Production data arrives compressed by real writers, and the read path
+  * accepts any conforming stream.
   */
 object Lzo {
 
@@ -44,8 +47,14 @@ object Lzo {
     def u(i: Int): Int = src(i) & 0xff
     def fail(what: String) =
       throw new CorruptLzoException(s"malformed lzo1x stream: $what at input byte ${ip - srcOff}")
+    // every multi-byte instruction read checks the input bound first, so a
+    // truncated or garbage stream always surfaces as CorruptLzoException —
+    // the lenient scan path recovers from exactly that type, never from an
+    // ArrayIndexOutOfBounds escaping a raw read
+    def need(k: Int): Unit = if (ip + k > end) fail("truncated instruction")
     def copyMatch(dist: Int, len: Int): Unit = {
       if (dist > op) fail(s"match distance $dist exceeds output $op")
+      if (op + len > dstLen) fail(s"match of $len overflows output")
       var from = op - dist
       var n = len
       while (n > 0) { dst(op) = dst(from); op += 1; from += 1; n -= 1 }
@@ -55,6 +64,7 @@ object Lzo {
       System.arraycopy(src, ip, dst, op, n); ip += n; op += n
     }
     def extended(base: Int): Int = {
+      need(1)
       var n = 0
       while (u(ip) == 0) { n += 255; ip += 1; if (ip >= end) fail("length extension") }
       n += base + u(ip); ip += 1
@@ -62,6 +72,7 @@ object Lzo {
     }
 
     // first-byte special cases (stream prologue)
+    if (srcLen <= 0) fail("empty stream")
     val first = u(ip)
     if (first > 21) { ip += 1; literals(first - 17); state = 4 }
     else if (first >= 18) { ip += 1; literals(first - 17); state = first - 17 }
@@ -76,12 +87,14 @@ object Lzo {
           literals(n + 3)
           state = 4
         } else if (state < 4) { // 2-byte match within 1kB
+          need(1)
           val h = u(ip); ip += 1
           val dist = (h << 2) + ((t >> 2) & 3) + 1
           copyMatch(dist, 2)
           val s = t & 3
           literals(s); state = s
         } else { // state == 4: 3-byte match 2..3kB behind
+          need(1)
           val h = u(ip); ip += 1
           val dist = (h << 2) + ((t >> 2) & 3) + 2049
           copyMatch(dist, 3)
@@ -90,6 +103,7 @@ object Lzo {
         }
       } else if (t < 32) { // M4: far match, 16..48kB
         val len = (if ((t & 7) == 0) extended(7) else t & 7) + 2
+        need(2)
         val word = u(ip) | (u(ip + 1) << 8); ip += 2
         val dist = 16384 + (((t >> 3) & 1) << 14) + (word >> 2)
         if (dist == 16384) { // end-of-stream marker
@@ -102,6 +116,7 @@ object Lzo {
         }
       } else if (t < 64) { // M3: match within 16kB
         val len = (if ((t & 31) == 0) extended(31) else t & 31) + 2
+        need(2)
         val word = u(ip) | (u(ip + 1) << 8); ip += 2
         val dist = 1 + (word >> 2)
         copyMatch(dist, len)
@@ -109,6 +124,7 @@ object Lzo {
         literals(s); state = s
       } else { // M2: short match within 2kB
         val len = if (t < 128) 3 + ((t >> 5) & 1) else 5 + ((t >> 5) & 3)
+        need(1)
         val h = u(ip); ip += 1
         val dist = (h << 3) + ((t >> 2) & 7) + 1
         copyMatch(dist, len)
@@ -155,6 +171,8 @@ object Lzop {
   private val FAdler32C = 0x02
   private val FCrc32D = 0x100
   private val FCrc32C = 0x200
+  private val FHExtraField = 0x00000040
+  private val FHFilter = 0x00000800
 
   case class Header(flags: Int)
 
@@ -165,11 +183,20 @@ object Lzop {
     in.readShort(); in.readShort(); in.readShort() // version, libver, needed
     in.readByte(); in.readByte() // method, level
     val flags = in.readInt()
+    // real lzop writers may set these optional header sections; skipping
+    // them keeps the block-stream offset aligned (lzop-1.0x header layout:
+    // filter word after flags, extra field after the header checksum)
+    if ((flags & FHFilter) != 0) in.readInt()
     in.readInt() // mode
     in.readInt(); in.readInt() // mtime low/high
     val nameLen = in.readUnsignedByte()
     in.skipBytes(nameLen)
     in.readInt() // header checksum (over bytes we already consumed)
+    if ((flags & FHExtraField) != 0) {
+      val extraLen = in.readInt()
+      in.skipBytes(extraLen)
+      in.readInt() // extra-field checksum
+    }
     Header(flags)
   }
 
@@ -237,15 +264,17 @@ object Lzop {
       while (off < bytes.length) {
         val n = math.min(blockSize, bytes.length - off)
         val block = java.util.Arrays.copyOfRange(bytes, off, off + n)
-        val packed = Lzo.compressLiteral(block)
-        val stored = if (packed.length < n) packed else block
+        // stored raw (cl == ul): a literal-only lzo1x stream is always
+        // >= input+4 bytes, so real lzop would store raw here too — and
+        // the read path's DECOMPRESSION is known-answer-tested against a
+        // genuinely compressed reference file, not this writer
         idx.writeLong(fileOff)
         out.writeInt(n)
-        out.writeInt(stored.length)
+        out.writeInt(block.length)
         val a = new Adler32; a.update(block)
         out.writeInt(a.getValue.toInt)
-        out.write(stored)
-        fileOff += 12 + stored.length
+        out.write(block)
+        fileOff += 12 + block.length
         off += n
       }
       out.writeInt(0) // terminator
@@ -288,66 +317,122 @@ object Lzop {
     * split reads FOLLOWING blocks just far enough to finish its last line.
     * Corruption in lenient mode keeps the complete lines read so far, like
     * the reference under abort_on_error=0 — its DataErrors fixture expects
-    * the error AND the surviving count. */
+    * the error AND the surviving count.
+    *
+    * STREAMING: lines are produced block by block as the iterator is
+    * consumed — memory held is one block plus one partial line, never the
+    * split (the reference scanner streams the same way; an unindexed
+    * multi-GB file reads as one task but not as one heap allocation). The
+    * stream closes when the iterator is exhausted or a strict-mode error
+    * throws. */
   def splitLines(file: Path, conf: Configuration, flags: Int, startOff: Long,
                  nBlocks: Int, leading: Boolean,
                  strict: Boolean): Iterator[String] = {
     val fs = file.getFileSystem(conf)
     val s = fs.open(file)
-    try {
-      s.seek(startOff)
-      val in = new DataInputStream(s)
-      val h = Header(flags)
-      val own = new ByteArrayOutputStream()
-      val cont = new ByteArrayOutputStream()
-      var eof = false
-      var corrupt = false
-      def readInto(buf: ByteArrayOutputStream): Boolean =
-        !eof && !corrupt && {
-          try readBlock(in, h) match {
-            case Some(b) => buf.write(b); true
-            case None => eof = true; false
-          } catch {
-            case e: Lzo.CorruptLzoException =>
-              if (strict) throw e
-              org.apache.log4j.Logger.getLogger(getClass)
-                .warn(s"lzo: stopping $file split early: ${e.getMessage}")
-              corrupt = true; false
-          }
+    s.seek(startOff)
+    val in = new DataInputStream(s)
+    val h = Header(flags)
+
+    new Iterator[String] {
+      private val pending = new java.util.ArrayDeque[String]()
+      private val carry = new ByteArrayOutputStream() // partial-line bytes
+      private var blocksRead = 0
+      private var eof = false       // container terminator reached
+      private var corrupt = false
+      private var skipping = !leading // dropping through the first newline
+      private var continuation = false // past own range, finishing last line
+      private var finished = false
+      private var closed = false
+
+      private def close(): Unit = if (!closed) { closed = true; s.close() }
+
+      private def nextBlock(): Option[Array[Byte]] =
+        try readBlock(in, h) match {
+          case some @ Some(_) => some
+          case None => eof = true; None
+        } catch {
+          case e: Lzo.CorruptLzoException =>
+            if (strict) { close(); throw e }
+            org.apache.log4j.Logger.getLogger(getClass)
+              .warn(s"lzo: stopping $file split early: ${e.getMessage}")
+            corrupt = true; None
         }
-      var i = 0
-      while (i < nBlocks && readInto(own)) i += 1
-      val ownBytes = own.toByteArray
-      // a non-leading split whose content holds no newline owns nothing:
-      // it is the middle of one upstream line
-      val firstNl = ownBytes.indexOf('\n'.toByte)
-      if (!leading && firstNl < 0) return Iterator.empty
-      // ALWAYS read one line past the split's end (the Hadoop text-split
-      // invariant): even when own content ends exactly on a newline, the
-      // line starting at the boundary belongs to THIS split — the next
-      // split unconditionally drops its first line. Skip only after
-      // corruption, where the continuation's start is unknowable.
-      val needsContinuation = !corrupt
-      while (needsContinuation && cont.toByteArray.indexOf('\n'.toByte) < 0 &&
-             readInto(cont)) ()
-      val contBytes = cont.toByteArray
-      val contNl = contBytes.indexOf('\n'.toByte)
-      val tail =
-        if (!needsContinuation) Array.emptyByteArray
-        else if (contNl >= 0) java.util.Arrays.copyOfRange(contBytes, 0, contNl + 1)
-        else if (eof) contBytes // file ends without trailing newline
-        else Array.emptyByteArray // corruption mid-continuation
-      val bytes = ownBytes ++ tail
-      val from = if (leading) 0 else firstNl + 1
-      val text = new String(bytes, from, bytes.length - from, "UTF-8")
-      val lines = text.split("\n", -1)
-      val complete =
-        if (corrupt && text.nonEmpty && !text.endsWith("\n"))
-          lines.dropRight(1) // partial line cut by the corrupt block
-        // split("\n", -1) leaves one empty artifact after a final newline
-        else if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1)
-        else lines
-      complete.iterator
-    } finally s.close()
+
+      /** Append complete lines of `b` (joined with any carry) to pending;
+        * the trailing partial line stays in carry. Honors `skipping`. */
+      private def emitLines(b: Array[Byte]): Unit = {
+        var from = 0
+        if (skipping) {
+          val nl = b.indexOf('\n'.toByte)
+          if (nl < 0) return // whole block is mid-line of the upstream split
+          from = nl + 1
+          skipping = false
+        }
+        var i = from
+        while (i < b.length) {
+          if (b(i) == '\n') {
+            if (carry.size == 0) pending.add(new String(b, from, i - from, "UTF-8"))
+            else {
+              carry.write(b, from, i - from)
+              pending.add(carry.toString("UTF-8")); carry.reset()
+            }
+            from = i + 1
+          }
+          i += 1
+        }
+        if (from < b.length) carry.write(b, from, b.length - from)
+      }
+
+      /** One block's worth of progress toward filling `pending`. */
+      private def advance(): Unit = {
+        if (!continuation && (blocksRead >= nBlocks || eof || corrupt)) {
+          // own range over. A non-leading split still skipping owns
+          // nothing (its content is the middle of one upstream line).
+          if (skipping || corrupt) {
+            // corrupt: the partial line was cut by the lost block — and
+            // after corruption the continuation's start is unknowable
+            carry.reset(); finished = true; close(); return
+          }
+          if (eof) { // file ended inside the range: carry is the last line
+            if (carry.size > 0) { pending.add(carry.toString("UTF-8")); carry.reset() }
+            finished = true; close(); return
+          }
+          continuation = true // read one line past the boundary
+        }
+        if (continuation) {
+          nextBlock() match {
+            case Some(b) =>
+              val nl = b.indexOf('\n'.toByte)
+              if (nl >= 0) {
+                carry.write(b, 0, nl)
+                pending.add(carry.toString("UTF-8")); carry.reset()
+                finished = true; close()
+              } else carry.write(b, 0, b.length)
+            case None =>
+              if (eof && carry.size > 0) { // ends without trailing newline
+                pending.add(carry.toString("UTF-8"))
+              } // corrupt mid-continuation: tail unknowable, drop carry
+              carry.reset(); finished = true; close()
+          }
+          return
+        }
+        nextBlock() match {
+          case Some(b) => blocksRead += 1; emitLines(b)
+          case None => () // eof/corrupt: next advance() finalizes
+        }
+      }
+
+      override def hasNext: Boolean = {
+        while (pending.isEmpty && !finished) advance()
+        val more = !pending.isEmpty
+        if (!more) close()
+        more
+      }
+      override def next(): String = {
+        if (!hasNext) throw new NoSuchElementException("lzo split exhausted")
+        pending.poll()
+      }
+    }
   }
 }

@@ -119,4 +119,67 @@ class LzoSpec extends SparkSpec {
         assert(Lzo.decompress(packed, 0, packed.length, n).sameElements(src))
     }
   }
+
+  test("garbage streams fail as CorruptLzoException, never array errors") {
+    // lenient recovery catches exactly CorruptLzoException; a raw
+    // ArrayIndexOutOfBounds would crash the task instead of recovering
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 200; len <- Seq(1, 2, 3, 7, 19)) {
+      val junk = Array.fill(len)(rnd.nextInt(256).toByte)
+      try { Lzo.decompress(junk, 0, len, 64); () }
+      catch { case _: Lzo.CorruptLzoException => () } // anything else fails
+    }
+    // truncation of a VALID stream mid-instruction must also be Corrupt
+    val good = Lzo.compressLiteral(Array.tabulate(300)(_.toByte))
+    for (cut <- 1 until good.length) {
+      try { Lzo.decompress(good, 0, cut, 300); () }
+      catch { case _: Lzo.CorruptLzoException => () }
+    }
+  }
+
+  test("a truncated .index does not drop the un-indexed tail blocks") {
+    val dir = tmp("graft_lzo_trunc")
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = (0 until 3000).map(i => s"$i|v_$i")
+    Lzop.writeText(rows.iterator, new Path(s"$dir/t.lzo"), conf,
+      blockSize = 1024)
+    // keep only the first index entry, as a killed indexer would
+    val idx = Paths.get(dir, "t.lzo.index")
+    val first8 = java.util.Arrays.copyOf(Files.readAllBytes(idx), 8)
+    Files.write(idx, first8)
+    // drop the Hadoop local-fs checksum sidecar the raw rewrite invalidated
+    Files.deleteIfExists(Paths.get(dir, ".t.lzo.index.crc"))
+    val schema = StructType.fromDDL("id INT, v STRING")
+    assert(LegacyFormats.readLzoText(spark, dir, schema).count() == 3000)
+  }
+
+  test("header with filter and extra-field flags parses aligned") {
+    // real lzop writers may set F_H_FILTER (filter word after flags) and
+    // F_H_EXTRA_FIELD (len+payload+checksum after the header checksum)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array(0x89, 0x4c, 0x5a, 0x4f, 0x00, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.writeShort(0x1020); out.writeShort(0x2030); out.writeShort(0x0940)
+    out.writeByte(1); out.writeByte(1)
+    out.writeInt(0x00000040 | 0x00000800 | 0x01) // extra | filter | adler-d
+    out.writeInt(7) // filter word
+    out.writeInt(Integer.parseInt("100644", 8)) // mode
+    out.writeInt(0); out.writeInt(0) // mtime
+    out.writeByte(0) // no name
+    out.writeInt(0) // header checksum (not verified by the reader)
+    out.writeInt(3); out.write(Array[Byte](1, 2, 3)); out.writeInt(0) // extra
+    val payload = "x|1\ny|2\n".getBytes("UTF-8")
+    out.writeInt(payload.length); out.writeInt(payload.length) // raw block
+    val a = new java.util.zip.Adler32; a.update(payload)
+    out.writeInt(a.getValue.toInt)
+    out.write(payload)
+    out.writeInt(0) // terminator
+    val dir = tmp("graft_lzo_extra")
+    Files.write(Paths.get(dir, "e.lzo"), bos.toByteArray)
+    val schema = StructType.fromDDL("k STRING, v INT")
+    val got = LegacyFormats.readLzoText(spark, dir, schema)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq(("x", 1), ("y", 2)))
+  }
 }

@@ -90,4 +90,22 @@ class ViewsCompatibilitySpec extends SparkSpec {
       } finally spark.sql("DROP VIEW IF EXISTS test")
     }
   }
+
+  test("auto-aliasing survives SQL comments in the view query") {
+    // a clause keyword or comma inside a comment must not mis-segment the
+    // select list, and an item's trailing line comment must not swallow
+    // the appended alias
+    FunctionalDataset.ensureFunctionalDb(spark)
+    spark.sql("DROP VIEW IF EXISTS test")
+    try {
+      spark.sql(
+        """create view test as
+          |select int_col % 3, -- derived from int_col, not from id
+          |trim(string_col) /* strings, commas: a,b from c */
+          |from functional.alltypessmall""".stripMargin)
+      val cols = spark.table("test").columns.toSeq
+      assert(cols == Seq("_c0", "_c1"), s"got $cols")
+      spark.table("test").collect()
+    } finally spark.sql("DROP VIEW IF EXISTS test")
+  }
 }
