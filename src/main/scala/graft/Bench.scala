@@ -57,11 +57,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
-    try {
-      for (p <- Seq("/tmp/bench_timings.txt", "/root/repo/BENCH_FULL.json"))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p), (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // full record next to the checkout (cwd), not a hardcoded absolute
+    // path — a silently-swallowed write failure elsewhere would lose the
+    // per-query attribution record
+    for (p <- Seq(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "bench_timings.txt"),
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json")))
+      try java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     // Compact line: every query, centisecond ints (negative = query failed).
     val qsCs = results
       .map { case (k, v) => "\"" + k + "\":" + math.round(v * 100).toString }

@@ -239,9 +239,13 @@ object TpcdsWave2Queries {
     l.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), quarter(col("l_shipdate")).as("qoy"))
       .agg(sumd(col("l_extendedprice")).as("sum_sales"))
-      .select(col("p_brand"), col("sum_sales"))
-      .orderBy(col("sum_sales"), col("p_brand"))
+      // qoy joins the sort only as a tiebreaker BEFORE the projection: the
+      // (sum_sales, p_brand) key alone is not total over (brand, quarter)
+      // rows, so a tie at the LIMIT boundary could keep different rows in
+      // each engine
+      .orderBy(col("sum_sales"), col("p_brand"), col("qoy"))
       .limit(100)
+      .select(col("p_brand"), col("sum_sales"))
   }
   val qds53QuarterManufactSql: String =
     s"""SELECT p_brand, sum_sales FROM (
@@ -252,7 +256,7 @@ object TpcdsWave2Queries {
        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |    AND $orFamilySql
        |  GROUP BY 1, 2) tmp1
-       |ORDER BY sum_sales, p_brand LIMIT 100""".stripMargin
+       |ORDER BY sum_sales, p_brand, qoy LIMIT 100""".stripMargin
 
   val qds63MonthManager: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
@@ -262,9 +266,10 @@ object TpcdsWave2Queries {
     l.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_size"), month(col("l_shipdate")).as("moy"))
       .agg(sumd(col("l_extendedprice")).as("sum_sales"))
-      .select(col("p_size"), col("sum_sales"))
-      .orderBy(col("p_size"), col("sum_sales"))
+      // moy tiebreaker before the projection — see qds53
+      .orderBy(col("p_size"), col("sum_sales"), col("moy"))
       .limit(100)
+      .select(col("p_size"), col("sum_sales"))
   }
   val qds63MonthManagerSql: String =
     s"""SELECT p_size, sum_sales FROM (
@@ -275,7 +280,7 @@ object TpcdsWave2Queries {
        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        |    AND $orFamilySql
        |  GROUP BY 1, 2) tmp1
-       |ORDER BY p_size, sum_sales LIMIT 100""".stripMargin
+       |ORDER BY p_size, sum_sales, moy LIMIT 100""".stripMargin
 
   /** Q46/Q68/Q79-family (tpcds-q46/68/79.test): aggregate the fact at
     * (ticket, customer, bought-location) granularity, then join customer

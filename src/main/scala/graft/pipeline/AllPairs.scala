@@ -123,11 +123,14 @@ object AllPairs {
     import spark.implicits._
     val typed = e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    // one stat pass: corpus size + vector width size the chunking
-    val stats = e.select(count(lit(1)), first(size(col("embedding"))))
+    // one stat pass: corpus size + vector width size the chunking.
+    // max(size(...)) rather than first(): size(NULL) is -1, and a null
+    // first row would shrink the assumed width ~dim-fold — re-creating the
+    // oversized-chunk-row hazard the byte budget exists to fence
+    val stats = e.select(count(lit(1)), max(size(col("embedding"))))
       .head()
     val n = stats.getLong(0)
-    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    val dim = if (stats.isNullAt(1)) 1 else math.max(1, stats.getInt(1))
     require(n <= maxRows,
       s"AllPairs.embeddingPairs: $n vectors exceed the exact tier's " +
       s"$maxRows-row fence (O(n²) compute); use the approximate tier " +

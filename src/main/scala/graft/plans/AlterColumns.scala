@@ -542,6 +542,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       s = RowFormatRe.replaceFirstIn(s, " ")
       o
     }.getOrElse(Nil)
+    val optStr0 =
+      if (opts.isEmpty) "" else opts.mkString(" OPTIONS (", ", ", ")")
+    // CTAS has no column list — the provider goes before the AS keyword;
+    // any '(' in the statement belongs to the SELECT, not a column list
+    val CtasAsRe = """(?is)\bas\s+(select|with|values)\b""".r
+    CtasAsRe.findFirstMatchIn(s) match {
+      case Some(m) if s.indexOf('(') < 0 || m.start < s.indexOf('(') =>
+        return Some(s.substring(0, m.start) + s"USING $fmt$optStr0 " +
+          s.substring(m.start))
+      case _ => ()
+    }
     // the provider lands right after the column list's closing paren
     val open = s.indexOf('(')
     if (open < 0) return None
@@ -555,9 +566,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       i += 1
     }
     if (close < 0) return None
-    val optStr =
-      if (opts.isEmpty) "" else opts.mkString(" OPTIONS (", ", ", ")")
-    Some(s.substring(0, close + 1) + s" USING $fmt$optStr " +
+    Some(s.substring(0, close + 1) + s" USING $fmt$optStr0 " +
       s.substring(close + 1))
   }
 
@@ -602,9 +611,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ChangeColRe(table, oldName, newName, dt, comment) =>
       AlterTableChangeColumnCommand(table.split('.').toIndexedSeq,
         oldName, newName, dt, Option(comment))
-    case _ if rewriteCreateDialect(sqlText).isDefined =>
-      delegate.parsePlan(rewriteCreateDialect(sqlText).get)
-    case _ => delegate.parsePlan(sqlText) match {
+    case _ =>
+      // computed once: the rewrite's regex scans are not free per statement
+      rewriteCreateDialect(sqlText).foreach(r => return delegate.parsePlan(r))
+      delegate.parsePlan(sqlText) match {
       // Only 1- and 2-part identifiers are lowered: a 3-part (explicit
       // catalog) spelling belongs to Spark's own v2 path, which supports
       // these statements natively.

@@ -79,8 +79,10 @@ case class GraftShowTableStatsCommand(ident: Seq[String])
       val parts = session.sessionState.catalog.listPartitions(ti)
         .sortBy(_.spec.toSeq.sortBy(_._1).map(_._2).mkString("/"))
       val pf = meta.partitionSchema.fields
+      var totBytes = 0L // accumulated in the single per-partition listing
       val body = parts.map { p =>
         val (nf, sz) = fileStats(p.location)
+        totBytes += sz
         val rows = p.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
         val vals = pf.map(f => StatsCommands.castPartValue(
           p.spec.getOrElse(f.name, null), f.dataType))
@@ -90,7 +92,6 @@ case class GraftShowTableStatsCommand(ident: Seq[String])
       // summary row — the reference prints 'Total' in the first partition
       // column; typed columns render NULL there instead
       val totFiles = body.map(_.getLong(pf.length + 1)).sum
-      val totBytes = parts.map(p => fileStats(p.location)._2).sum
       val totRows = meta.stats.flatMap(_.rowCount).map(_.toLong).getOrElse {
         val known = body.map(_.getLong(pf.length)).filter(_ >= 0)
         if (known.nonEmpty) known.sum else -1L
@@ -244,12 +245,19 @@ private[plans] object StatsCommands {
   }
 
   def castPartValue(v: String, dt: DataType): Any =
-    if (v == null) null else dt match {
+    // the Hive null-partition sentinel renders as a NULL partition value,
+    // like the reference's catalog does
+    if (v == null || v == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
       case IntegerType => v.toInt
       case LongType => v.toLong
       case ShortType => v.toShort
       case ByteType => v.toByte
       case BooleanType => v.toBoolean
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case DateType => java.sql.Date.valueOf(v)
+      case TimestampType => java.sql.Timestamp.valueOf(v)
       case _: DecimalType => new java.math.BigDecimal(v)
       case _ => v
     }

@@ -115,6 +115,13 @@ object ParquetSalvage {
           // flat schema: max repetition level 0 → BIT_PACKED writes nothing
           val defs =
             if (maxDef > 0) {
+              // the 4-byte length prefix + hybrid decode below is the RLE
+              // layout; a BIT_PACKED page (legal v1) would decode garbage
+              // silently — throw instead, per this class's contract
+              require(dph.getDefinition_level_encoding ==
+                  org.apache.parquet.format.Encoding.RLE,
+                s"ParquetSalvage: unsupported definition-level encoding " +
+                  s"${dph.getDefinition_level_encoding}")
               val len = intLE(payload, pos); pos += 4
               val d = decodeHybrid(payload, pos, bitsFor(maxDef), n)
               pos += len

@@ -333,13 +333,15 @@ object GoldenTestRunner {
     val db = "show_create_table_test_db"
     try {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      val name = CreateNameRe.findFirstMatchIn(c.query).map(_.group(1))
+      val nameMatch = CreateNameRe.findFirstMatchIn(c.query)
         .getOrElse(return Fail("CREATE_TABLE: no table name in statement"))
+      val name = nameMatch.group(1)
       val qualified = if (name.contains('.')) name else s"$db.$name"
       spark.sql(s"DROP TABLE IF EXISTS $qualified")
-      spark.sql(c.query.replaceFirst(
-        java.util.regex.Pattern.quote(name),
-        java.util.regex.Matcher.quoteReplacement(qualified)))
+      // splice at the matched name's own span — an unanchored replaceFirst
+      // would hit the name's text anywhere earlier in the statement
+      spark.sql(c.query.substring(0, nameMatch.start(1)) + qualified +
+        c.query.substring(nameMatch.end(1)))
       val actual = spark.sql(s"SHOW CREATE TABLE $qualified")
         .head().getString(0)
         .replaceAll("LOCATION '[^']*'", "LOCATION '\\$\\$location_uri\\$\\$'")
