@@ -121,7 +121,9 @@ object AllPairs {
                      chunkBytes: Long = DefaultChunkBytes,
                      maxRows: Long = DefaultMaxExactRows): DataFrame = {
     import spark.implicits._
+    // a null vector belongs to no pair — and would NPE the dot kernel
     val typed = e.select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull)
       .as[(Long, Array[Float])]
     // one stat pass: corpus size + vector width size the chunking.
     // max(size(...)) rather than first(): size(NULL) is -1, and a null
@@ -247,7 +249,8 @@ object AllPairs {
       threshold: Double): Seq[(Long, Long, Double)] = {
     import spark.implicits._
     val rows = boundedCollect(
-      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      e.select(col("vec_id"), col("embedding"))
+        .where(col("embedding").isNotNull).as[(Long, Array[Float])],
       "embeddingPairsKernel").sortBy(_._1)
     val norms = rows.map(r => math.sqrt(dotD(r._2, r._2)))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

@@ -108,6 +108,14 @@ class DedupSpec extends SparkSpec {
     val cBig = pipeline.AllPairs.chunkCount(1000000000L, 768, cb, 32)
     assert((1000000000.0 / cBig) * (64 + 4 * 768) <= cb.toDouble)
 
+    // the width stat must survive null embeddings (size(NULL) = -1 would
+    // shrink the assumed width dim-fold if a null row drove the stat)
+    val withNull = e.limit(20).withColumn("embedding",
+        when(col("vec_id") === e.select(min("vec_id")).head().getLong(0),
+          lit(null)).otherwise(col("embedding")))
+    val pairs = pipeline.AllPairs.embeddingPairs(spark, withNull, 0.99)
+    pairs.collect() // must not throw; null rows simply produce no pairs
+
     // the quadratic contract is fenced: past maxRows the exact tier refuses
     val eFence = intercept[IllegalArgumentException](
       pipeline.AllPairs.embeddingPairs(spark, e, 0.4, maxRows = 3))

@@ -85,6 +85,37 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP DATABASE graft_test")
   }
 
+  test("CTAS with STORED AS places the provider before AS, not in the query") {
+    // regression: the dialect rewrite once located the 'column list' at the
+    // first '(' of the statement, splicing USING into a parenthesized
+    // select expression of a CTAS
+    spark.sql("DROP TABLE IF EXISTS ctas_stored_as")
+    spark.sql("CREATE TABLE ctas_stored_as STORED AS PARQUET AS " +
+      "SELECT count(*) AS c, max(id) AS m FROM range(10)")
+    val r = spark.table("ctas_stored_as").head()
+    assert(r.getLong(0) > 0 && !r.isNullAt(1))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ctas_stored_as"))
+    assert(meta.provider.exists(_.equalsIgnoreCase("parquet")))
+    spark.sql("DROP TABLE ctas_stored_as")
+  }
+
+  test("SHOW TABLE STATS types date partitions and the null sentinel") {
+    spark.sql("DROP TABLE IF EXISTS dated_parts")
+    spark.sql("CREATE TABLE dated_parts (v INT, d DATE) USING parquet " +
+      "PARTITIONED BY (d)")
+    spark.sql("INSERT INTO dated_parts VALUES " +
+      "(1, DATE'2024-01-01'), (2, DATE'2024-02-01'), (3, CAST(NULL AS DATE))")
+    val rows = spark.sql("SHOW TABLE STATS dated_parts").collect()
+    // 3 partitions + total row; date values typed, null partition NULL
+    assert(rows.length == 4)
+    val dates = rows.dropRight(1).map(r =>
+      if (r.isNullAt(0)) null else r.getDate(0))
+    assert(dates.contains(java.sql.Date.valueOf("2024-01-01")))
+    assert(dates.contains(null))
+    spark.sql("DROP TABLE dated_parts")
+  }
+
   test("CREATE TABLE LIKE <table> and LIKE parquet FILE (schema from footer)") {
     // Reference: CreateTableLikeStmt + CreateTableLikeFileStmt
     // (fe/src/main/cup/sql-parser.y:614-655).
