@@ -109,15 +109,35 @@ object FormatQueries {
     LegacyFormats.readAvro(spark, out).orderBy("s_suppkey")
   }
 
+  /** Timestamp fidelity through the text payload (supplier has none; the
+    * orders key-slice is deterministic and SF-stable): written as Spark's
+    * `cast(ts as string)` rendering, re-parsed by scanCast — a microsecond
+    * drift or timezone slip breaks the hash against parquet-direct. */
+  def textTsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = graft.Tables.table(spark, dir, "orders")
+      .where(col("o_orderkey") <= 4000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val out = freshDir("text_ts")
+    LegacyFormats.writeDelimitedText(src, out)
+    LegacyFormats.readDelimitedText(spark, out, schemaOf(src))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fmt_text" -> (textRoundtrip(_, _)),
     "q_fmt_seqfile" -> (seqfileRoundtrip(_, _)),
     "q_fmt_rcfile" -> (rcfileRoundtrip(_, _)),
     "q_fmt_lzo" -> (lzoRoundtrip(_, _)),
-    "q_fmt_avro" -> (avroRoundtrip(_, _)))
+    "q_fmt_avro" -> (avroRoundtrip(_, _)),
+    "q_fmt_text_ts" -> (textTsRoundtrip(_, _)))
 
   private val roundtripSql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
 
-  val oracle: Map[String, String] = all.keys.map(_ -> roundtripSql).toMap
+  val oracle: Map[String, String] =
+    all.keys.filterNot(_ == "q_fmt_text_ts").map(_ -> roundtripSql).toMap +
+      ("q_fmt_text_ts" ->
+        ("SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate " +
+          "FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey"))
 }
