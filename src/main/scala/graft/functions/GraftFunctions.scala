@@ -107,22 +107,39 @@ object GraftFunctions {
 
     // trunc(ts, unit) with Impala unit spellings → date_trunc
     // (timestamp-functions.cc: SY/YYYY/YEAR/SM/MM/MONTH/DD/DAY/HH/MI).
+    // trunc unit table is the reference's StrToTruncUnit verbatim
+    // (be/src/exprs/udf-builtins.cc:112-135): DAY/DY/D is previous-MONDAY
+    // (TruncDayOfWeek) — Spark's WEEK; DDD/DD/J is midnight; WW/W go back
+    // to the weekday of the year's/month's first day (TruncWW/TruncW).
     "trunc" -> ((args: Seq[Expression]) => {
-      val unit = args(1) match {
+      val ts = args.head
+      // back to `anchor`'s day-of-week, at midnight of ts's date
+      def toWeekdayOf(anchor: Expression): Expression = {
+        val day = TruncTimestamp(Literal("DAY"), ts)
+        val delta = Pmod(Subtract(DayOfWeek(day), DayOfWeek(anchor)),
+          Literal(7))
+        Cast(DateSub(Cast(day, DateType), delta), TimestampType)
+      }
+      args(1) match {
         case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
           u.toString.toUpperCase match {
-            case "SY" | "YYYY" | "YY" | "YEAR" => "YEAR"
-            case "SM" | "MM" | "MONTH" | "MON" => "MONTH"
-            case "WW" | "WEEK" => "WEEK"
-            case "DDD" | "DD" | "DJ" | "DAY" => "DAY"
-            case "HH" | "HH12" | "HH24" => "HOUR"
-            case "MI" => "MINUTE"
-            case other => other
+            case "SYYYY" | "YYYY" | "YEAR" | "SYEAR" | "YYY" | "YY" | "Y" =>
+              TruncTimestamp(Literal("YEAR"), ts)
+            case "Q" => TruncTimestamp(Literal("QUARTER"), ts)
+            case "MONTH" | "MON" | "MM" | "RM" =>
+              TruncTimestamp(Literal("MONTH"), ts)
+            case "WW" => toWeekdayOf(TruncTimestamp(Literal("YEAR"), ts))
+            case "W" => toWeekdayOf(TruncTimestamp(Literal("MONTH"), ts))
+            case "DDD" | "DD" | "J" => TruncTimestamp(Literal("DAY"), ts)
+            case "DAY" | "DY" | "D" => TruncTimestamp(Literal("WEEK"), ts)
+            case "HH" | "HH12" | "HH24" => TruncTimestamp(Literal("HOUR"), ts)
+            case "MI" => TruncTimestamp(Literal("MINUTE"), ts)
+            case other => throw new IllegalArgumentException(
+              s"trunc: invalid unit '$other' (reference StrToTruncUnit)")
           }
         case _ => throw new IllegalArgumentException(
           "trunc(ts, unit) requires a literal unit")
       }
-      TruncTimestamp(Literal(unit), args.head)
     }),
 
     // --- aggregates (BuiltinsDb.java:241-272): ndv = HLL estimate;

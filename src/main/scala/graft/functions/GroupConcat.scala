@@ -47,7 +47,12 @@ case class GroupConcat(
   override def right: Expression = sepExpr
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (sepExpr.dataType != StringType && sepExpr.dataType != NullType)
+    // the reference's group_concat takes STRING only (BuiltinsDb) — a
+    // non-string child would otherwise ClassCastException mid-execution
+    if (child.dataType != StringType && child.dataType != NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"group_concat input must be a string, got ${child.dataType}")
+    else if (sepExpr.dataType != StringType && sepExpr.dataType != NullType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"group_concat separator must be a string, got ${sepExpr.dataType}")
     else

@@ -46,6 +46,14 @@ object HiveUdf {
     if (!external.functionExists(dbL, nameL))
       external.createFunction(dbL,
         CatalogFunction(FunctionIdentifier(nameL, Some(dbL)), className, Nil))
+    else if (external.getFunction(dbL, nameL).className != className) {
+      // re-registration with a different class must not leave the catalog
+      // recording the old one (a registry rebuilt from the external
+      // catalog would resolve the stale UDF)
+      external.dropFunction(dbL, nameL)
+      external.createFunction(dbL,
+        CatalogFunction(FunctionIdentifier(nameL, Some(dbL)), className, Nil))
+    }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(nameL, Some(dbL), Some("spark_catalog")),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -92,7 +92,13 @@ case class HyperplaneSignature(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
+        // the weight matrices memoize per (tbl, dims) in a process-wide
+        // cache; a per-row tbl would grow it without bound, so the hash
+        // table index must be a literal (it is the LSH table number, a
+        // configuration constant, never data)
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "hyperplane_signature: the table index must be a literal")
       case other =>
         TypeCheckResult.TypeCheckFailure(
           s"hyperplane_signature expects (array<float|double>, int), got $other")

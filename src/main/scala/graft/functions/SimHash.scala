@@ -40,7 +40,16 @@ object SimHash {
     out
   }
 
-  def fromArrayData(a: ArrayData): Long = simhash64(a.toLongArray())
+  def fromArrayData(a: ArrayData): Long = {
+    // skip null elements (a null feature votes on nothing) rather than
+    // letting a bulk copy read them as 0x0 and skew all 64 bit votes
+    val n = a.numElements()
+    val out = Array.newBuilder[Long]
+    out.sizeHint(n)
+    var i = 0
+    while (i < n) { if (!a.isNullAt(i)) out += a.getLong(i); i += 1 }
+    simhash64(out.result())
+  }
 
   def apply(c: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

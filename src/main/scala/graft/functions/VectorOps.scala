@@ -39,15 +39,17 @@ object VectorOps {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hashes.getLong(j)
-      var i = 0
-      while (i < 32) {
-        var v = h ^ (i.toLong * 0x9e3779b97f4a7c15L)
-        v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
-        v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
-        v ^= v >>> 33
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      if (!hashes.isNullAt(j)) { // a null feature contributes no hash
+        val h = hashes.getLong(j)
+        var i = 0
+        while (i < 32) {
+          var v = h ^ (i.toLong * 0x9e3779b97f4a7c15L)
+          v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+          v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+          v ^= v >>> 33
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -56,19 +58,31 @@ object VectorOps {
 
   /** Jaccard similarity of two SORTED distinct long arrays via linear
     * merge-intersection — no per-call allocation (array_intersect builds a
-    * hash set per pair, which dominates all-pairs verification). */
+    * hash set per pair, which dominates all-pairs verification). Null
+    * elements are skipped (they are not set members); two empty sets are
+    * identical, so jaccard([], []) = 1.0, not 0/0 = NaN. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
+    def nonNull(x: ArrayData): Int = {
+      var c = 0; var i = 0; val n = x.numElements()
+      while (i < n) { if (!x.isNullAt(i)) c += 1; i += 1 }
+      c
+    }
+    val na = nonNull(a)
+    val nb = nonNull(b)
+    if (na == 0 && nb == 0) return 1.0
     var i = 0
     var j = 0
     var inter = 0
-    while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    while (i < a.numElements() && j < b.numElements()) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     inter.toDouble / (na + nb - inter).toDouble
   }

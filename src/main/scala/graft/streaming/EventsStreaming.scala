@@ -132,8 +132,13 @@ object EventsStreaming {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapSeconds * 1000 =>
+              // min/max, not assignment: an in-watermark late event older
+              // than the stored end must not move the session end backward
+              // (it would re-arm the timeout early and report a session
+              // that ends before events it contains)
               cur = Some(s.copy(nEvents = s.nEvents + 1,
-                totalValue = s.totalValue + e.value, end = t))
+                totalValue = s.totalValue + e.value,
+                start = math.min(s.start, t), end = math.max(s.end, t)))
             case Some(s) =>
               closed ::= SessionSummary(userId, s.nEvents, s.totalValue,
                 new Timestamp(s.start), new Timestamp(s.end))

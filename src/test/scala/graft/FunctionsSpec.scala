@@ -72,6 +72,36 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getTimestamp(3).toString == "2000-05-17 13:00:00.0")
   }
 
+  test("trunc week-family units follow the reference's StrToTruncUnit") {
+    // 2000-05-17 is a Wednesday. DAY/DY/D = previous Monday
+    // (TruncDayOfWeek); Q = quarter; W = back to the weekday of the
+    // month's first day (May 1st 2000 = Monday); WW = back to the weekday
+    // of the year's first day (Jan 1st 2000 = Saturday → 2000-05-13).
+    val r = sql1(
+      """SELECT trunc(TIMESTAMP '2000-05-17 13:45:23', 'DAY') AS dw,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'DY') AS dw2,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'Q') AS q,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'W') AS w,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'WW') AS ww,
+        |       trunc(TIMESTAMP '2000-05-17 13:45:23', 'J') AS j""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2000-05-15 00:00:00.0")
+    assert(r.getTimestamp(1).toString == "2000-05-15 00:00:00.0")
+    assert(r.getTimestamp(2).toString == "2000-04-01 00:00:00.0")
+    assert(r.getTimestamp(3).toString == "2000-05-15 00:00:00.0")
+    assert(r.getTimestamp(4).toString == "2000-05-13 00:00:00.0")
+    assert(r.getTimestamp(5).toString == "2000-05-17 00:00:00.0")
+  }
+
+  test("quotient truncates each operand first, like the reference") {
+    // expr-test.cc:2125-2130: quotient casts BOTH operands to int64 and
+    // divides — quotient(30.5, 2.5) = 30/2 = 15, not int(30.5/2.5) = 12
+    val r = sql1("SELECT quotient(12, 6), quotient(-12, 6), " +
+      "quotient(30.5, 2.5), quotient(-30.5, 2.5), quotient(-12, 0)")
+    assert(r.getLong(0) == 2 && r.getLong(1) == -2)
+    assert(r.getLong(2) == 15 && r.getLong(3) == -15)
+    assert(r.isNullAt(4))
+  }
+
   test("decimal precision/scale/truncate semantics") {
     val r = sql1(
       """SELECT precision(CAST(1.5 AS DECIMAL(10,3))) AS p,

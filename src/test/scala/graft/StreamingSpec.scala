@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     assert(!sessions.exists(_.user_id == 3), "user 3 session is still open")
   }
 
+  test("a late in-watermark event must not move the session end backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStreaming.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out").start()
+    // Batch 1: event at 10:09. Batch 2: a LATE event at 10:00 (inside the
+    // 10-min watermark horizon) joins the same session — regression: it
+    // once overwrote end=10:00, reporting a session ending before its
+    // latest event and re-arming the timeout 9 minutes early. Batch 3
+    // closes the session via the watermark.
+    input.addData(Event(1, ts("2024-01-01 10:09:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(2, ts("2024-01-01 10:00:00"), 1, "click", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(3, ts("2024-01-01 18:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val s = spark.table("sess_late_out").as[EventsStreaming.SessionSummary]
+      .collect().filter(_.user_id == 1)
+    assert(s.length == 1, s"expected one closed session: ${s.toSeq}")
+    assert(s.head.n_events == 2 && s.head.total_value == 3.0, s.head.toString)
+    assert(s.head.start.toString.contains("10:00:00") &&
+      s.head.end.toString.contains("10:09:00"),
+      s"late event corrupted the boundaries: ${s.head}")
+  }
+
   test("streaming dedup drops redelivered rows within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
