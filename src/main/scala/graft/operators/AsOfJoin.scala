@@ -33,8 +33,10 @@ object AsOfJoin {
     // Right rows sort before left rows at equal time so "<=" includes them.
     val tagged = l.withColumn("__tag", lit(1)).union(
       r.withColumn("__tag", lit(0)))
+    // __rid as the final key: among right rows tied on (time), last() must
+    // pick deterministically (the max id), not by partition arrival order
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__tag"))
+      .orderBy(col(time), col("__tag"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("__asof", last(col("__rid"), ignoreNulls = true).over(w))

@@ -160,7 +160,12 @@ object ExprQueries {
         coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("coalesce_v"),
         zeroifnull(nullifzero(col("l_discount"))).as("zeroifnull_v"),
         (nullifzero(col("l_discount")) > 0.05).as("kleene_v"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus; the extra
+      // keys cover every source column the projections read, so rows tied
+      // on the full key are identical in the output and the LIMIT boundary
+      // cannot diverge between engines
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"))
       .limit(5000)
   }
   val conditionalSql: String =
@@ -173,7 +178,8 @@ object ExprQueries {
       |  COALESCE(NULLIF(l_tax, 0.0), -1.0) AS coalesce_v,
       |  COALESCE(NULLIF(l_discount, 0), 0) AS zeroifnull_v,
       |  NULLIF(l_discount, 0) > 0.05 AS kleene_v
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
+      |  l_discount, l_tax, l_returnflag LIMIT 5000""".stripMargin
 
   /** CAST matrix (`be/src/exprs/cast-expr.cc`). Impala/Spark truncate on
     * double→integral; DuckDB rounds — oracle wraps with TRUNC. */
@@ -245,7 +251,9 @@ object ExprQueries {
         col("l_quantity").between(10, 20).as("between_v"),
         nullifzero(col("l_discount")).isNull.as("is_null_v"),
         nullifzero(col("l_discount")).isNotNull.as("is_not_null_v"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // total order under LIMIT — see conditional
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"))
       .limit(5000)
   }
   val inBetweenSql: String =
@@ -255,7 +263,8 @@ object ExprQueries {
       |  l_quantity BETWEEN 10 AND 20 AS between_v,
       |  NULLIF(l_discount, 0) IS NULL AS is_null_v,
       |  NULLIF(l_discount, 0) IS NOT NULL AS is_not_null_v
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5000""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
+      |  l_discount, l_tax, l_returnflag LIMIT 5000""".stripMargin
 
   /** fnv_hash — our codegen'd Catalyst expression; no DuckDB equivalent, so
     * exactness is pinned by FnvHashSpec's known-answer vectors instead. */

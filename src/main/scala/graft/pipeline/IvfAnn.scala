@@ -69,7 +69,16 @@ object IvfAnn {
   /** Top-k within the nprobe nearest cells per query. */
   def search(emb: DataFrame, queryIds: Seq[Long], k: Int,
              nlist: Int, nprobe: Int): DataFrame = {
-    val centroids = trainCentroids(emb, nlist).cache()
+    // Materialize the nlist centroids as a LOCAL relation instead of
+    // .cache(): the trained frame is reused by both the index build and the
+    // probe join, and a per-invocation cached RDD is never unpersisted —
+    // repeated search() calls would pin storage memory for the session
+    // lifetime. nlist rows × one float vector is kilobytes.
+    val trained = trainCentroids(emb, nlist)
+    val centroids = emb.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(trained.collect(): _*)),
+      trained.schema)
     val index = assignCells(emb, centroids)
 
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))

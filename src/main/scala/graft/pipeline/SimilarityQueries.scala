@@ -40,6 +40,10 @@ object SimilarityQueries {
 
   private def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"), normD(col("embedding")).as("norm"))
+      // a zero-norm vector has no direction: its cosine is 0/0 = NaN, and
+      // the two engines rank NaN differently (both sort it ABOVE real
+      // similarities) — exclude it here and in the oracles' norm CTE
+      .where(col("norm") > 0)
 
   /** Exact brute-force cosine top-5 for query vectors vec_id < 10. */
   val annBrute: QueryFn = (s, dir) => {
@@ -65,7 +69,7 @@ object SimilarityQueries {
       |  SELECT vec_id, embedding,
       |    sqrt(list_aggregate(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
-      |  FROM embeddings),
+      |  FROM embeddings WHERE norm > 0), -- NaN-cosine parity, see withNorm
       |scored AS (
       |  SELECT q.vec_id AS query_id, e.vec_id,
       |    ROUND(list_aggregate(list_transform(range(1, len(q.embedding) + 1),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
@@ -57,6 +57,12 @@ case class GraftShowTableStatsCommand(ident: Seq[String])
 
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = StatsCommands.metadata(session, ident)
+    if (meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3065",
+        messageParameters = Map("clazz" -> "GraftShowTableStatsCommand",
+          "msg" -> s"SHOW TABLE STATS not applicable to view ${ti.table}"))
     val partCols = meta.partitionColumnNames
     val conf = session.sparkContext.hadoopConfiguration
     def fileStats(loc: java.net.URI): (Long, Long) = {
@@ -154,6 +160,12 @@ case class GraftShowCreateTableCommand(ident: Seq[String])
     Seq(AttributeReference("result", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = StatsCommands.metadata(session, ident)
+    // views carry no storage (meta.location throws); render CREATE VIEW
+    // from the stored text, the reference's behavior for views
+    if (meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      return Seq(Row(s"CREATE VIEW ${ti.database.fold("")(_ + ".")}" +
+        s"${ti.table} AS ${meta.viewText.getOrElse("")}"))
     val resolver = session.sessionState.conf.resolver
     val partNames = meta.partitionColumnNames
     def colLine(f: StructField): String = {

@@ -90,7 +90,16 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       // the operator's contract is nulls-last in both directions.
       val nullRows = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
       iter.foreach { row =>
-        val v = boundOrder.eval(row)
+        // copy buffer-backed order values before the iterator advances:
+        // UTF8String/arrays/structs from eval() point into the reused
+        // UnsafeRow buffer and would mutate inside the heap
+        val v = boundOrder.eval(row) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case r: InternalRow => r.copy()
+          case b: Array[Byte] => b.clone()
+          case other => other
+        }
         val key = keyProj(row)
         if (v != null) {
           var heap = heaps.get(key)
