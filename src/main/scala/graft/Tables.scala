@@ -43,7 +43,10 @@ object Tables {
     // would corrupt it.
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division: `/` casts both sides to Double, and epoch nanos
+        // (~1.7e18) exceed a double's 2^53 exact range — the rounded
+        // quotient would drift by 1µs on roughly half of all values
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -53,8 +56,16 @@ object Tables {
     * (session, dir) — several query builders call this per invocation, and
     * re-reading ten parquet schemas per statement is pure fixed overhead. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registeredDirs.add((spark, dir)))
-      all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    // mark AFTER success, under a lock: marking first would turn every
+    // retry after a partial failure (one missing parquet path) into a
+    // silent no-op, and a concurrent caller could query half-registered
+    // views
+    registeredDirs.synchronized {
+      if (!registeredDirs.contains((spark, dir))) {
+        all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        registeredDirs.add((spark, dir))
+      }
+    }
 
   private val registeredDirs = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())

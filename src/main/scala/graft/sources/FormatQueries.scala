@@ -34,10 +34,21 @@ object FormatQueries {
 
   private def schemaOf(df: DataFrame): StructType = df.schema
 
+  private val created =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+  sys.addShutdownHook {
+    // repeated bench/verify rounds would otherwise accumulate a full
+    // materialized table copy per format query per run
+    created.forEach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
+  }
+
   /** A unique path that does NOT yet exist (Hadoop's old-API sinks refuse a
-    * pre-existing output directory). */
-  private def freshDir(tag: String): String =
-    Files.createTempDirectory(s"graft_fmt_$tag").toString + "/d"
+    * pre-existing output directory); removed at JVM exit. */
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_fmt_$tag")
+    created.add(d.toFile)
+    d.toString + "/d"
+  }
 
   /** Distributed text sink → container-less text scanner. */
   def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -67,7 +67,12 @@ object LegacyFormats {
       .saveAsSequenceFile(path, codec)
 
   /** One `sep`-joined line per row in the text convention above (escapes +
-    * `\N`); shared by every delimited sink. */
+    * `\N`); shared by every delimited sink. KNOWN LIMIT: record
+    * terminators inside field values are NOT escaped — the reference's
+    * text parser reads `\<char>` as the literal char, so an escaped
+    * newline cannot round-trip under its semantics; fields fed to the
+    * line-oriented sinks must not contain `\n`/`\r` (the corpus's don't —
+    * multi-line documents belong in parquet/sequence containers). */
   private[sources] def delimitedLine(df: DataFrame, sep: String) = {
     require(sep.length == 1, s"separator must be a single char, got '$sep'")
     concat_ws(sep, df.columns.map { c =>
@@ -115,11 +120,19 @@ object LegacyFormats {
         // NOTE: Hadoop swallows a trailing terminator itself and interior
         // empty records are legitimate rows — no filtering here, matching
         // the default textFile branch.
+        val stripCr = lineSep == "\n" // parity with LineRecordReader's \r\n
         spark.sparkContext.newAPIHadoopFile(path,
             classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
             classOf[LongWritable], classOf[Text], conf)
           .map { case (_, t) =>
-            new String(t.getBytes, 0, t.getLength,
+            // an explicit "\n" record delimiter disables Hadoop's CRLF
+            // handling; strip the trailing \r ourselves so a CRLF file
+            // parses identically under any charset
+            val len =
+              if (stripCr && t.getLength > 0 &&
+                  t.getBytes()(t.getLength - 1) == '\r') t.getLength - 1
+              else t.getLength
+            new String(t.getBytes, 0, len,
                        java.nio.charset.Charset.forName(cs)) }
       }
     parseDelimited(spark, lines, schema, sep, esc)
@@ -175,12 +188,21 @@ object LegacyFormats {
         classOf[LongWritable], classOf[BytesRefArrayWritable])
       .map { case (_, v) =>
         val sb = new java.lang.StringBuilder
+        // rows short of the schema NULL-fill their missing trailing columns
+        // (the reference scanner's behavior, and what the shared text path
+        // does for short lines) instead of crashing on v.get(i)
+        val present = math.min(nCols, v.size)
         var i = 0
-        while (i < nCols) {
+        while (i < present) {
           if (i > 0) sb.append(sep)
           val ref = v.get(i)
           sb.append(new String(ref.getData, ref.getStart, ref.getLength,
                                StandardCharsets.UTF_8))
+          i += 1
+        }
+        while (i < nCols) { // absent columns -> the \N sentinel
+          if (i > 0) sb.append(sep)
+          sb.append(NullSentinel)
           i += 1
         }
         sb.toString

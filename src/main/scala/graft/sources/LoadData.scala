@@ -66,6 +66,22 @@ object LoadData {
     val loc = partPath.foldLeft(new Path(meta.location)) { (p, seg) =>
       new Path(p, seg)
     }
+    // the reference's LoadDataStmt analysis requires the target partition
+    // to EXIST in the catalog; files moved into an unregistered partition
+    // directory would be invisible to scans (REFRESH does not register new
+    // partitions on a catalog-partitioned table)
+    if (partition.nonEmpty) {
+      val spec = partCols.flatMap(pc =>
+        partition.find(_._1.equalsIgnoreCase(pc)).map(pc -> _._2)).toMap
+      val catalog = spark.sessionState.catalog
+      val known = catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          meta.identifier.table, meta.identifier.database))
+      require(known.exists(_.spec == spec),
+        s"LOAD DATA: partition (${spec.map { case (k, v) => s"$k='$v'" }
+          .mkString(", ")}) does not exist in $table — " +
+          "ALTER TABLE ... ADD PARTITION first, as the reference requires")
+    }
     val fs = loc.getFileSystem(conf)
     if (!fs.exists(loc)) fs.mkdirs(loc)
     val src = if (isLocal && new java.net.URI(srcDir).getScheme == null)

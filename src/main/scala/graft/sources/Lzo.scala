@@ -66,7 +66,14 @@ object Lzo {
     def extended(base: Int): Int = {
       need(1)
       var n = 0
-      while (u(ip) == 0) { n += 255; ip += 1; if (ip >= end) fail("length extension") }
+      while (u(ip) == 0) {
+        n += 255; ip += 1
+        if (ip >= end) fail("length extension")
+        // a run length beyond the block-size cap is corruption; unchecked
+        // it would overflow Int to a negative length that sneaks past the
+        // literal/match bound guards
+        if (n > MaxBlockSize) fail("length extension exceeds block cap")
+      }
       n += base + u(ip); ip += 1
       n
     }
@@ -352,7 +359,11 @@ object Lzop {
           case some @ Some(_) => some
           case None => eof = true; None
         } catch {
-          case e: Lzo.CorruptLzoException =>
+          // EOFException covers a writer killed mid-block and a stale
+          // .index seeking past the data — both are corruption of the same
+          // kind as a bad header, and the abort_on_error=0 contract keeps
+          // the rows already decoded for either
+          case e @ (_: Lzo.CorruptLzoException | _: java.io.EOFException) =>
             if (strict) { close(); throw e }
             org.apache.log4j.Logger.getLogger(getClass)
               .warn(s"lzo: stopping $file split early: ${e.getMessage}")
