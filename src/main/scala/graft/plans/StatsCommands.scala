@@ -34,7 +34,10 @@ case class GraftComputeStatsCommand(ident: Seq[String])
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = StatsCommands.metadata(session, ident)
     val t = ti.quotedString
-    session.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    // Two scans, not three: FOR ALL COLUMNS computes the table row count as
+    // a side effect, so a standalone table-level COMPUTE STATISTICS pass
+    // would be a redundant full scan (at 100 TB, a very expensive one). The
+    // per-partition pass stays — partition-level row counts land only there.
     val partCols = meta.partitionColumnNames
     if (partCols.nonEmpty)
       session.sql(s"ANALYZE TABLE $t PARTITION (${partCols.mkString(", ")}) " +
@@ -50,10 +53,15 @@ case class GraftComputeStatsCommand(ident: Seq[String])
 
 case class GraftShowTableStatsCommand(ident: Seq[String])
     extends LeafRunnableCommand {
-  // output is computed per-table (partition columns lead), so the command
-  // resolves lazily through a fixed fallback schema only when unresolved —
-  // the parser builds this node directly, and run() projects the real rows.
-  override val output: Seq[Attribute] = StatsCommands.tableStatsOutput(ident)
+  // output is computed per-table (partition columns lead). Resolution is
+  // deferred past parse time (lazy) — the parser builds this node directly,
+  // and a missing table or absent active session must not fail parsePlan.
+  // In those cases fall back to the fixed stats columns; run() then raises
+  // the real catalog error (or projects the real rows) at execution.
+  override lazy val output: Seq[Attribute] =
+    try StatsCommands.tableStatsOutput(ident)
+    catch { case scala.util.control.NonFatal(_) =>
+      StatsCommands.fixedStatsColumns }
 
   override def run(session: SparkSession): Seq[Row] = {
     val (ti, meta) = StatsCommands.metadata(session, ident)
@@ -248,13 +256,17 @@ private[plans] object StatsCommands {
     val (_, meta) = metadata(session, ident)
     val partAttrs = meta.partitionSchema.fields.map(f =>
       AttributeReference(f.name, f.dataType)())
-    partAttrs.toIndexedSeq ++ Seq(
-      AttributeReference("#Rows", LongType, nullable = false)(),
-      AttributeReference("#Files", LongType, nullable = false)(),
-      AttributeReference("Size", StringType, nullable = false)(),
-      AttributeReference("Bytes Cached", StringType, nullable = false)(),
-      AttributeReference("Format", StringType, nullable = false)())
+    partAttrs.toIndexedSeq ++ fixedStatsColumns
   }
+
+  /** The non-partition stats columns — also the parse-time fallback schema
+    * when the table (or an active session) is not yet resolvable. */
+  def fixedStatsColumns: Seq[Attribute] = Seq(
+    AttributeReference("#Rows", LongType, nullable = false)(),
+    AttributeReference("#Files", LongType, nullable = false)(),
+    AttributeReference("Size", StringType, nullable = false)(),
+    AttributeReference("Bytes Cached", StringType, nullable = false)(),
+    AttributeReference("Format", StringType, nullable = false)())
 
   def castPartValue(v: String, dt: DataType): Any =
     // the Hive null-partition sentinel renders as a NULL partition value,

@@ -187,15 +187,22 @@ object Lzop {
     val magic = new Array[Byte](9)
     in.readFully(magic)
     require(magic.sameElements(Magic), "not an lzop file")
-    in.readShort(); in.readShort(); in.readShort() // version, libver, needed
-    in.readByte(); in.readByte() // method, level
+    val version = in.readShort() & 0xffff
+    in.readShort() // libver
+    // version_needed, level and mtime_high exist only for writers >= 0.94
+    // (lzop header layout); reading them unconditionally against an older
+    // file would shift every block offset and misreport corruption
+    if (version >= 0x0940) in.readShort() // version needed to extract
+    in.readByte() // method
+    if (version >= 0x0940) in.readByte() // level
     val flags = in.readInt()
     // real lzop writers may set these optional header sections; skipping
     // them keeps the block-stream offset aligned (lzop-1.0x header layout:
     // filter word after flags, extra field after the header checksum)
     if ((flags & FHFilter) != 0) in.readInt()
     in.readInt() // mode
-    in.readInt(); in.readInt() // mtime low/high
+    in.readInt() // mtime low
+    if (version >= 0x0940) in.readInt() // mtime high
     val nameLen = in.readUnsignedByte()
     in.skipBytes(nameLen)
     in.readInt() // header checksum (over bytes we already consumed)

@@ -91,15 +91,21 @@ object PositionalParquet {
   /** Rename this generation's columns to the table's by position, cast to
     * the table types (binary physical columns from pre-UTF8-annotation
     * writers cast to string here, where the reference's plain decoder reads
-    * them straight into STRING slots), NULL-fill past-EOF columns. */
+    * them straight into STRING slots), NULL-fill past-EOF columns.
+    *
+    * A file with MORE physical columns than the table (a dropped column —
+    * the usual positional-evolution case) keeps only the positional prefix:
+    * the reference scanner creates column readers for the table's slots
+    * only and never touches trailing file columns
+    * (hdfs-parquet-scanner.cc:983-997); a slot past the file's last column
+    * is the only direction that materializes NULL. */
   private def positionalSelect(df: DataFrame, schema: StructType,
                                sample: Path): DataFrame = {
-    val phys = df.columns
-    require(phys.length <= schema.length,
-      s"PositionalParquet: file schema has ${phys.length} columns but the " +
-        s"table schema has only ${schema.length} ($sample) — the reference " +
-        "rejects extra physical columns the same way (ValidateColumn)")
-    val renamed = df.toDF(schema.fieldNames.take(phys.length).toIndexedSeq: _*)
+    val prefix =
+      if (df.columns.length <= schema.length) df
+      else df.select(df.columns.take(schema.length).map(col).toIndexedSeq: _*)
+    val renamed =
+      prefix.toDF(schema.fieldNames.take(prefix.columns.length).toIndexedSeq: _*)
     val cols = schema.fields.toIndexedSeq.map { f =>
       if (renamed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name) // past-EOF column → NULL (:986)

@@ -428,12 +428,29 @@ object GoldenTestRunner {
                   s"'$er'\n unmatched: $remaining")
                 remaining.remove(i)
               }
-              for (er <- regexes) {
-                val i = remaining.indexWhere(gr => rowRegexOf(er).matches(gr))
-                if (i < 0) return Fail(s"results mismatch: no row for " +
-                  s"'$er'\n unmatched: $remaining")
+              // each row_regex must claim a DISTINCT remaining row, but a
+              // greedy first-match lets a broad pattern steal the only row
+              // a narrower one accepts — run an augmenting-path bipartite
+              // matching over (regex, row) instead (fixture counts are tiny)
+              val rs = regexes.toIndexedSeq
+              val pats = rs.map(rowRegexOf)
+              val rowOwner = Array.fill(remaining.length)(-1)
+              def claim(ri: Int, seen: Array[Boolean]): Boolean =
+                remaining.indices.exists { i =>
+                  !seen(i) && pats(ri).matches(remaining(i)) && {
+                    seen(i) = true
+                    (rowOwner(i) < 0 || claim(rowOwner(i), seen)) && {
+                      rowOwner(i) = ri; true
+                    }
+                  }
+                }
+              for (ri <- rs.indices)
+                if (!claim(ri, Array.fill(remaining.length)(false)))
+                  return Fail(s"results mismatch: no row for " +
+                    s"'${rs(ri)}'\n unmatched: ${remaining.zipWithIndex
+                      .collect { case (g, i) if rowOwner(i) < 0 => g }}")
+              for (i <- remaining.indices.reverse if rowOwner(i) >= 0)
                 remaining.remove(i)
-              }
             }
           } else {
             val (g, e) = if (c.ordered) (got, expected)

@@ -96,4 +96,28 @@ class GoldenSpec extends SparkSpec {
     assert(GoldenTestRunner.run(spark, cases(1)) != Pass,
       "different token multiplicities must still fail")
   }
+
+  test("a broad row_regex cannot steal the only row a narrow one matches") {
+    // unordered compare with two regexes: 'a.' matches both rows, 'aa'
+    // matches only one. Greedy first-match would hand 'aa' (first in sorted
+    // order) to the broad pattern and fail the narrow one — the bipartite
+    // matching must pass the set, and still fail when a row is truly absent.
+    val cases = GoldenTestRunner.parse(
+      """---- QUERY
+        |select 'aa' as s union all select 'ab'
+        |---- RESULTS
+        |row_regex: 'a.'
+        |row_regex: 'aa'
+        |====
+        |---- QUERY
+        |select 'ab' as s union all select 'ab'
+        |---- RESULTS
+        |row_regex: 'a.'
+        |row_regex: 'aa'
+        |====""".stripMargin.linesIterator.toSeq)
+    assert(GoldenTestRunner.run(spark, cases(0)) == Pass,
+      "bipartite matching must find the regex->row assignment")
+    assert(GoldenTestRunner.run(spark, cases(1)) != Pass,
+      "a pattern with no matching row must still fail")
+  }
 }

@@ -182,4 +182,34 @@ class LzoSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
     assert(got == Seq(("x", 1), ("y", 2)))
   }
+
+  test("pre-0.94 header (no version_needed/level/mtime_high) parses aligned") {
+    // lzop's version_needed, level and mtime_high fields exist only for
+    // header version >= 0x0940; a 0.93-era writer omits all three, so an
+    // unconditional read would shift the block offsets by 7 bytes and
+    // misreport corruption.
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array(0x89, 0x4c, 0x5a, 0x4f, 0x00, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.writeShort(0x0930); out.writeShort(0x2030) // version, libver; NO needed
+    out.writeByte(1) // method; NO level byte at this version
+    out.writeInt(0x01) // adler-d
+    out.writeInt(Integer.parseInt("100644", 8)) // mode
+    out.writeInt(0) // mtime low only — NO mtime_high
+    out.writeByte(0) // no name
+    out.writeInt(0) // header checksum (not verified by the reader)
+    val payload = "x|1\ny|2\n".getBytes("UTF-8")
+    out.writeInt(payload.length); out.writeInt(payload.length) // raw block
+    val a = new java.util.zip.Adler32; a.update(payload)
+    out.writeInt(a.getValue.toInt)
+    out.write(payload)
+    out.writeInt(0) // terminator
+    val dir = tmp("graft_lzo_093")
+    Files.write(Paths.get(dir, "old.lzo"), bos.toByteArray)
+    val schema = StructType.fromDDL("k STRING, v INT")
+    val got = LegacyFormats.readLzoText(spark, dir, schema)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    assert(got == Seq(("x", 1), ("y", 2)))
+  }
 }

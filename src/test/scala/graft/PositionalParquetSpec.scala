@@ -47,14 +47,17 @@ class PositionalParquetSpec extends SparkSpec {
     assert(got == Seq(Row(7, null)))
   }
 
-  test("a file with more columns than the table schema is rejected") {
+  test("a file with more columns than the table reads the positional prefix") {
+    // The dropped-column direction of positional evolution: the reference
+    // scanner creates readers for the table's slots only and never touches
+    // trailing file columns (hdfs-parquet-scanner.cc:983-997), so a file
+    // carrying an extra (since-dropped) column must still read.
     val dir = tmp("graft_poswide")
-    spark.createDataFrame(Seq((1, "x"))).toDF("a", "b")
+    spark.createDataFrame(Seq((1, "x"), (2, "y"))).toDF("a", "b")
       .repartition(1).write.mode("overwrite").parquet(dir)
-    val e = intercept[IllegalArgumentException] {
-      PositionalParquet.read(spark, dir, StructType.fromDDL("k INT"))
-    }
-    assert(e.getMessage.contains("2 columns"))
+    val got = PositionalParquet.read(spark, dir, StructType.fromDDL("k INT"))
+      .orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1), Row(2)))
   }
 
   test("short-written chunk metadata routes to the salvage reader") {

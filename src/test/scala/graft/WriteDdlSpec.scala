@@ -116,6 +116,19 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE dated_parts")
   }
 
+  test("SHOW TABLE STATS on a missing table parses; the error is deferred") {
+    // output resolution is lazy: parsePlan must not need the catalog (or
+    // even an active session) — the missing-table error belongs to
+    // analysis/execution, not parsing.
+    val plan = spark.sessionState.sqlParser
+      .parsePlan("SHOW TABLE STATS graft_no_such_table")
+    assert(plan.isInstanceOf[graft.plans.GraftShowTableStatsCommand])
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SHOW TABLE STATS graft_no_such_table").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("CREATE TABLE LIKE <table> and LIKE parquet FILE (schema from footer)") {
     // Reference: CreateTableLikeStmt + CreateTableLikeFileStmt
     // (fe/src/main/cup/sql-parser.y:614-655).
