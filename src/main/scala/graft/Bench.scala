@@ -10,12 +10,20 @@ import org.apache.spark.sql.SparkSession
   *    first timed query carries ~5s of one-time cost);
   *  - each query materializes through the `noop` sink — full computation of
   *    every output column, no driver collect, no disk write. `count()`
-  *    would let Catalyst prune the projections being measured.
+  *    would let Catalyst prune the projections being measured;
+  *  - every query runs SPARK_GRAFT_BENCH_RUNS times (default 3) in
+  *    round-robin passes over the whole registry — the reported number is
+  *    the per-query MEDIAN, so a single ambient-host spike (GC, a noisy
+  *    neighbor on the driver box) lands in the max, not the headline.
+  *    Round-robin (not back-to-back triples) keeps the repeat runs
+  *    separated in time, so a transient stall can't inflate all three
+  *    samples of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,23 +47,43 @@ object Bench {
     // Warmup: session + codegen + parquet footer caches.
     runNoop("q1_agg")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runNoop(n))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to runs; n <- names)
+      samples(n) :+= runNoop(n)
+
+    // median of the successful samples; -1 only if every run failed
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples(n)))
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
 
     // The driver keeps only the LAST 2000 chars of output (measured: the r8
     // capture's tail is exactly 2000, and sbt appends a ~72-char "[success]"
-    // line AFTER our JSON). A 95-query map at 3-decimal seconds is ~2400
-    // chars — the head of the line would be truncated out of the tail window
-    // and the driver's parse would fail. So the one-line JSON carries ALL
-    // per-query timings as integer CENTISECONDS (qunit flags it; ~1950 chars
-    // total), and the full 3-decimal record goes to BENCH_FULL.json in the
-    // repo for attribution of round-over-round deltas.
+    // line AFTER our JSON). The r9 record proves a 116-query map no longer
+    // fits even at centisecond precision — BENCH_r09.json shows
+    // `"parsed": null` with the line's head truncated out of the window. So
+    // the LAST printed line is now a bounded summary (total + the TPC-H 21
+    // headline medians, ~650 chars — always parseable), an all-query
+    // centisecond line prints BEFORE it for log readers, and the full
+    // med/min/max/runs record goes to BENCH_FULL.json in the repo for
+    // attribution of round-over-round deltas.
     def f3(v: Double): String = f"$v%.3f"
     val fullJson = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      val qs = names.map { n =>
+        val xs = samples(n)
+        "\"" + n + "\":{\"med\":" + f3(median(xs)) +
+          ",\"min\":" + f3(if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min) +
+          ",\"max\":" + f3(xs.max) +
+          ",\"runs\":[" + xs.map(f3).mkString(",") + "]}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full record next to the checkout (cwd), not a hardcoded absolute
     // path — a silently-swallowed write failure elsewhere would lose the
@@ -66,10 +94,23 @@ object Bench {
       try java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
-    // Compact line: every query, centisecond ints (negative = query failed).
+    // All-query medians in centiseconds, for the log (may exceed the
+    // driver's tail window — the parseable line comes LAST).
     val qsCs = results
       .map { case (k, v) => "\"" + k + "\":" + math.round(v * 100).toString }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"qunit":"centisec","queries":$qsCs,"sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"all_queries","unit":"centisec","med_of":$runs,"queries":$qsCs}""")
+    // Final line: bounded summary the driver can always parse from the
+    // 2000-char tail — total over ALL queries plus the TPC-H 21 headline
+    // medians in centiseconds.
+    val tpch21 = Seq("q1_agg", "q2_minsupp", "q3_topn", "q4_semi",
+      "q5_join_agg", "q6_filter", "q8_share", "q9_profit", "q10_agg_topn",
+      "q11_value", "q12_priority", "q13_dist", "q14_promo", "q15_top",
+      "q16_suppcnt", "q17_avg", "q18_large", "q19_disjunct", "q20_parts",
+      "q21_waiting", "q22_anti")
+    val headline = results.filter(r => tpch21.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 100).toString }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"qunit":"centisec","med_of":$runs,"queries":$headline,"full":"BENCH_FULL.json","sf":"${sfDir.split('/').last}"}""")
   }
 }
