@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TpchWave3Queries.all ++
       operators.TpcdsQueries.all ++
       operators.TpcdsWave2Queries.all ++
+      operators.PerfQueries.all ++
       operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.TpchWave3Queries.oracle ++
       operators.TpcdsQueries.oracle ++
       operators.TpcdsWave2Queries.oracle ++
+      operators.PerfQueries.oracle ++
       operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++
