@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TpcdsQueries.all ++
       operators.TpcdsWave2Queries.all ++
       operators.PerfQueries.all ++
+      operators.HiveBenchmarkQueries.all ++
       operators.AsOfJoin.all ++
       operators.JoinQueries.all ++
       operators.SortSetQueries.all ++
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.TpcdsQueries.oracle ++
       operators.TpcdsWave2Queries.oracle ++
       operators.PerfQueries.oracle ++
+      operators.HiveBenchmarkQueries.oracle ++
       operators.AsOfJoin.oracle ++
       operators.JoinQueries.oracle ++
       operators.SortSetQueries.oracle ++

@@ -614,7 +614,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ =>
       // computed once: the rewrite's regex scans are not free per statement
       rewriteCreateDialect(sqlText).foreach(r => return delegate.parsePlan(r))
-      delegate.parsePlan(sqlText) match {
+      // The reference's lexer accepts C-style `&&` for AND
+      // (fe/src/main/jflex/sql-scanner.flex maps "&&" -> KW_AND; the
+      // hive-benchmark workload's WEB_Q4 spells it that way). Spark's
+      // parser rejects it, so on a parse failure retry with a quote-aware
+      // rewrite. `||` is NOT mapped: Spark (and standard SQL) reads it as
+      // string concat.
+      (try delegate.parsePlan(sqlText) catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          val rewritten = GraftSqlParser.rewriteAndAnd(sqlText)
+          if (rewritten == sqlText) throw e
+          delegate.parsePlan(rewritten)
+      }) match {
       // Only 1- and 2-part identifiers are lowered: a 3-part (explicit
       // catalog) spelling belongs to Spark's own v2 path, which supports
       // these statements natively.
@@ -653,6 +664,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** Replace C-style `&&` with ` AND ` outside string literals and quoted
+    * identifiers (single, double and backtick quotes; backslash escapes
+    * honored inside them). Returns the input unchanged when no rewrite
+    * applies, which the caller uses to re-throw the original parse error. */
+  def rewriteAndAnd(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          sb.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; sb.append(c)
+      } else if (c == '&' && i + 1 < sql.length && sql.charAt(i + 1) == '&') {
+        sb.append(" AND "); i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** The reference creates views over unaliased select-list expressions by
     * auto-generating `_c<position>` column names (CreateViewStmt — the
