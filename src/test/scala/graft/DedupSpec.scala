@@ -11,15 +11,25 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text", "lang", "source", "n_chars")
     // Plant: 9001 = exact copy of doc 0; 9002 = near-copy of doc 1 (one
     // word changed); 9003 = unrelated.
-    val d0 = base.filter($"doc_id" === 0).head().getAs[String]("text")
-    val d1 = base.filter($"doc_id" === 1).head().getAs[String]("text")
+    val r0 = base.filter($"doc_id" === 0).head()
+    val r1 = base.filter($"doc_id" === 1).head()
+    val d0 = r0.getAs[String]("text")
+    val d1 = r1.getAs[String]("text")
     val near = d1.split(" ").zipWithIndex
       .map { case (w, i) => if (i == 3) "REPLACED" else w }.mkString(" ")
+    // plants inherit the source doc's lang — the jaccard pipeline blocks
+    // candidates by language, so a mismatched lang would hide the pair
+    // 9004 = mid-similarity copy of doc 1: every 8th word replaced kills
+    // ~3/8 of the shingles -> jaccard ≈ 0.45, between the 0.2 stress
+    // threshold and the 0.8 production threshold
+    val mid = d1.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 8 == 0) s"MID$i" else w }.mkString(" ")
     val plants = Seq(
-      (9001L, d0, "en", "plant", d0.length.toLong),
-      (9002L, near, "en", "plant", near.length.toLong),
+      (9001L, d0, r0.getAs[String]("lang"), "plant", d0.length.toLong),
+      (9002L, near, r1.getAs[String]("lang"), "plant", near.length.toLong),
       (9003L, "completely different content with nothing shared at all zzz",
-       "en", "plant", 60L))
+       "en", "plant", 60L),
+      (9004L, mid, r1.getAs[String]("lang"), "plant", mid.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     base.union(plants)
   }
@@ -69,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(dist == oracle,
       s"distributed=${dist.take(5)}... oracle=${oracle.take(5)}...")
     assert(oracle.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
+  test("t=0.8 prefix filter keeps full recall and drops mid-similarity pairs") {
+    import spark.implicits._
+    // At the production threshold the prefix filter explodes only ~20% of
+    // each shingle set — this pins that the aggressive prefix still finds
+    // the planted near-exact pair (full recall) while the mid-similarity
+    // plant (9004, j ≈ 0.45) appears only at the low threshold.
+    val sh = pipeline.DedupQueries.shingled(docsWithPlants)
+    val hi = pipeline.AllPairs.jaccardPairs(spark, sh, 20, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    val kernel = pipeline.AllPairs.jaccardPairsKernel(spark, sh, 20, 0.8)
+    assert(hi == kernel, s"hi=${hi.take(5)}... kernel=${kernel.take(5)}...")
+    val pairs = hi.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 9001L)), s"exact pair must survive t=0.8: $pairs")
+    assert(hi.forall(_._3 >= 0.8))
+    val lo = pipeline.AllPairs.jaccardPairs(spark, sh, 20, 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val loPairs = lo.map(p => (p._1, p._2)).toSet
+    assert(loPairs.contains((1L, 9004L)), "mid pair must appear at t=0.2")
+    assert(!pairs.contains((1L, 9004L)), "mid pair must NOT survive t=0.8")
+    assert(hi.size < lo.size, "t=0.8 must be strictly more selective here")
   }
 
   test("distributed block-pair cosine == exact kernel oracle") {
