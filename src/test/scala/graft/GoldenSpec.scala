@@ -20,6 +20,7 @@ class GoldenSpec extends SparkSpec {
         testing.FunctionalDataset.ensureFunctionalDb(spark)
         testing.FunctionalDataset.ensureScaleDb(spark)
         testing.TpchDb.ensure(spark, sfDir)
+        testing.TpcdsDb.ensure(spark)
         GoldenTestRunner.run(spark, c) match {
           case Pass => ()
           case Fail(reason) => fail(s"${f.getName}[$i] $reason\nquery: ${c.query}")
