@@ -389,6 +389,13 @@ object FunctionalDataset {
     // comment', functional_schema_template.sql) — describe.test pins it
     spark.sql("ALTER TABLE functional.alltypes " +
       "ALTER COLUMN id COMMENT 'Add a comment'")
+    // The planner-test external data source (PlannerTest
+    // data-source-tables.test): a catalog table whose provider is the DSv2
+    // [[graft.sources.AllTypesDataSource]] — the Spark-native analogue of
+    // the reference's CREATE TABLE ... PRODUCED BY DATA SOURCE registration
+    // (testdata/bin/create-data-source-table.sql).
+    spark.sql("CREATE TABLE functional.alltypes_datasource " +
+      "USING graft.sources.AllTypesDataSource")
     Seq("alltypessmall", "alltypestiny", "alltypesagg",
         "alltypesaggnonulls", "dimtbl", "jointbl", "emptytable",
         "decimal_tbl", "decimal_tiny", "tinytable").foreach {

@@ -56,7 +56,8 @@ object PlannerGoldenRunner {
 
   case class RefSig(scans: Map[String, Int], joins: Seq[RefJoin],
                     topn: Int, sort: Int, union: Int, agg: Int,
-                    parts: Seq[(String, Int, Int)] = Nil)
+                    parts: Seq[(String, Int, Int)] = Nil,
+                    dsPush: Boolean = false, dsResidual: Boolean = false)
 
   case class PlannerCase(query: String, plan: Seq[String],
                          distributedPlan: Seq[String]) {
@@ -122,6 +123,13 @@ object PlannerGoldenRunner {
   // `|--01:SCAN`, `|  |--02:SCAN`, `|  04:AGGREGATE` …
   private val NodeRe = """^[| ]*(?:--)?(?:\d+):(.*)$""".r
   private val ScanRe = """SCAN HDFS \[([\w.]+).*\]""".r
+  private val ScanDsRe = """SCAN DATA SOURCE \[([\w.]+).*\]""".r
+  // Scan detail lines of a SCAN DATA SOURCE node: the conjuncts offered to
+  // and accepted by the source vs the ones the engine keeps
+  // (data-source-tables.test pins that split's EXISTENCE, not its exact
+  // membership — Spark's pushability rules differ, see the spec scaladoc).
+  private val DsPredRe = """^[|\s-]*data source predicates:.*$""".r
+  private val PredRe = """^[|\s-]*predicates:.*$""".r
   // Scan detail line `   partitions=12/24 size=…` (hdfs.test's
   // partition-pruning assertions); attaches to the preceding SCAN node.
   private val PartsRe = """^[|\s]*partitions=(\d+)/(\d+)\b.*$""".r
@@ -142,6 +150,7 @@ object PlannerGoldenRunner {
     val parts = collection.mutable.ListBuffer.empty[(String, Int, Int)]
     var lastScan: Option[String] = None
     var (topn, sort, union, agg) = (0, 0, 0, 0)
+    var (dsSeen, dsPred, residPred) = (false, false, false)
     var err: Option[String] = None
     // Node multiset from the single-node PLAN (the DISTRIBUTEDPLAN is the
     // same tree plus exchanges and merge-phase aggregates).
@@ -151,6 +160,8 @@ object PlannerGoldenRunner {
           parts += ((t, sel.toInt, tot.toInt)); lastScan = None }
       case NodeRe(t0) => t0.trim match {
         case ScanRe(tbl) => scans(strip(tbl)) += 1; lastScan = Some(strip(tbl))
+        case ScanDsRe(tbl) =>
+          scans(strip(tbl)) += 1; lastScan = Some(strip(tbl)); dsSeen = true
         case HashJoinRe(jt, strat) =>
           joins += RefJoin("hash", normJoinType(jt), strat == "BROADCAST")
         case t if CrossJoinRe.matches(t) => joins += RefJoin("nl", "inner", true)
@@ -167,9 +178,10 @@ object PlannerGoldenRunner {
         case t if t.startsWith("SELECT") || t.startsWith("EXCHANGE") ||
           t.startsWith("MERGING-EXCHANGE") => ()
         case t if t.startsWith("SCAN HBASE") => err = Some("HBase scan")
-        case t if t.startsWith("SCAN DATA SOURCE") => err = Some("ext data source")
         case other => err = Some(s"unrecognized plan node: $other")
       }
+      case l if DsPredRe.matches(l) => dsPred = true
+      case l if PredRe.matches(l) => residPred = true
       case _ => ()
     }
     // Broadcast flags live only on the DISTRIBUTEDPLAN's join annotations;
@@ -194,7 +206,8 @@ object PlannerGoldenRunner {
         p(0).startsWith("TOP-N") && p(1).startsWith("EXCHANGE [UNPARTITIONED]"))
     }
     err.toLeft(RefSig(scans.toMap, joins.toList, topn, sort, union, agg,
-      parts.toList))
+      parts.toList,
+      dsPush = dsSeen && dsPred, dsResidual = dsSeen && residPred))
   }
 
   private def normJoinType(impala: String): String =
@@ -213,10 +226,13 @@ object PlannerGoldenRunner {
 
   case class SparkSig(scans: Map[String, Int], joins: Seq[RefJoin],
                       topn: Int, sort: Int, union: Int, agg: Int,
-                      parts: Seq[(String, Int, Int)] = Nil) {
+                      parts: Seq[(String, Int, Int)] = Nil,
+                      dsPush: Boolean = false, dsResidual: Boolean = false) {
     def describe: String =
       s"scans=$scans joins=$joins topn=$topn sort=$sort union=$union " +
-        s"agg=$agg" + (if (parts.nonEmpty) s" partitions=$parts" else "")
+        s"agg=$agg" + (if (parts.nonEmpty) s" partitions=$parts" else "") +
+        (if (dsPush || dsResidual) s" dsPush=$dsPush dsResidual=$dsResidual"
+         else "")
   }
 
   /** Walk the static physical plan, expanding reused exchanges/subqueries
@@ -234,6 +250,7 @@ object PlannerGoldenRunner {
     val joins = collection.mutable.ListBuffer.empty[RefJoin]
     val parts = collection.mutable.ListBuffer.empty[(String, Int, Int)]
     var (topn, sort, union, agg) = (0, 0, 0, 0)
+    var (dsPush, dsResidual) = (false, false)
     val seen = collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Unit = {
       p match {
@@ -259,6 +276,19 @@ object PlannerGoldenRunner {
             }
           }
         case s: InMemoryTableScanExec => scans("__cached__") += 1
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case s: graft.sources.AllTypesScan =>
+              scans(s.dsTableName) += 1
+              if (s.pushedFilterSeq.nonEmpty) dsPush = true
+            case other =>
+              scans(other.getClass.getSimpleName.toLowerCase) += 1
+          }
+        case f: FilterExec
+            if f.collectFirst {
+              case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => ()
+            }.nonEmpty =>
+          dsResidual = true
         case j: BroadcastHashJoinExec =>
           joins += RefJoin("hash", normSpark(j.joinType), true)
         case j: ShuffledHashJoinExec =>
@@ -301,7 +331,8 @@ object PlannerGoldenRunner {
       p.children.foreach(walk)
     }
     walk(plan)
-    SparkSig(scans.toMap, joins.toList, topn, sort, union, agg, parts.toList)
+    SparkSig(scans.toMap, joins.toList, topn, sort, union, agg, parts.toList,
+      dsPush = dsPush, dsResidual = dsResidual)
   }
 
   /** Impala's union grammar binds an operand's trailing ORDER BY / LIMIT to
@@ -602,6 +633,18 @@ object PlannerGoldenRunner {
       else ref.scans == got.scans
     if (!scansOk)
       return Some(s"scan multiset mismatch$fmt")
+    // External-data-source pushdown split (data-source-tables.test): where
+    // the reference offers conjuncts to the source AND keeps residuals, this
+    // engine's DSv2 path must show the same split — a non-empty pushed set
+    // on the scan, and a Filter above it. Exact membership is not compared:
+    // Spark's pushability rules (cast unwrapping, null-intolerance
+    // inference) legitimately move individual conjuncts across the line.
+    if (ref.dsPush && !got.dsPush)
+      return Some(s"reference pushes conjuncts into the data source; this " +
+        s"plan pushed none$fmt")
+    if (ref.dsResidual && !got.dsResidual)
+      return Some(s"reference keeps residual predicates above the " +
+        s"data-source scan; this plan has no Filter there$fmt")
     // A scan-free reference plan (constant select / VALUES — the reference
     // plans these as a UNION of constant operands, constant.test and
     // values.test, possibly under a TOP-N) whose Spark counterpart reads no

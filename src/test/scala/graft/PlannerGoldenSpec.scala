@@ -22,9 +22,16 @@ import graft.testing.PlannerGoldenRunner._
   * `partitions=K/N` scan annotations are compared against the Spark scan's
   * selected-partition count and the catalog's partition total.
   *
-  * Not ported from the planner corpus: `hbase.test`, `data-source-tables
-  * .test` (node kinds out of scope / engine-specific) — every other
-  * PlannerTest file runs (21 of 23). `insert.test` runs with
+  * Not ported from the planner corpus: `hbase.test` (node kind out of
+  * scope) — every other PlannerTest file runs (22 of 23).
+  * `data-source-tables.test` runs against the DSv2
+  * [[graft.sources.AllTypesDataSource]] registered as
+  * `functional.alltypes_datasource`; its cases pin the pushed/residual
+  * conjunct SPLIT (a non-empty pushed set on the scan where the reference
+  * offers conjuncts, a Filter above the scan where the reference keeps
+  * residuals) rather than exact membership — Spark's pushability rules
+  * (cast unwrapping, null-intolerance inference) legitimately move
+  * individual conjuncts across the line. `insert.test` runs with
   * partition-count parity (its WRITE nodes carry no shape; the pruning
   * annotations on its source scans do); `ddl.test`'s CTAS cases compare
   * the SELECT's plan shape.
