@@ -47,7 +47,13 @@ object Bench {
     // Warmup: session + codegen + parquet footer caches.
     runNoop("q1_agg")
 
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,q3_topn limits the registry to a subset
+    // (used for the SF1 TPC-H/TPC-DS record in BASELINE.md, where the full
+    // 100+-query registry would mostly re-time sf-independent fixtures).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
     for (_ <- 1 to runs; n <- names)

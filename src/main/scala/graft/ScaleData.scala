@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SF1 dataset generator: disjoint-universe amplification of the shipped
+  * sf0.1 corpus.
+  *
+  * BASELINE.md defines the operational baseline as "TPC-H SF1, local[*],
+  * wall-clock per query", but the driver ships sf0.1 as the largest corpus.
+  * This tool materializes an SF1-equivalent dataset by replicating every
+  * table `factor` times with ALL key columns — primary AND foreign — shifted
+  * by `copy * 1e9`. Each copy is therefore a disjoint key universe: every
+  * join (lineitem↔orders↔customer, lineitem↔part/supplier) has exactly the
+  * per-row selectivity of sf0.1, row counts and join cardinalities scale by
+  * `factor`, and nation/region stay shared dimensions (their keys are NOT
+  * shifted), matching how TPC-H's own dbgen scales facts with SF while the
+  * region/nation dimensions stay fixed.
+  *
+  * The output is NOT committed — it regenerates deterministically from the
+  * driver's seed-42 sf0.1 parquet (TESTDATA.md) in ~30 s. Run:
+  * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor]"`.
+  */
+object ScaleData {
+  /** Key columns shifted per copy. Every FK shifts with its PK so each copy
+    * joins only within itself (a disjoint universe). */
+  val shiftCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id", "user_id"))
+
+  /** Shared dimensions: copied through unamplified (as dbgen does). */
+  val fixed: Seq[String] = Seq("region", "nation")
+
+  def amplify(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val copies = spark.range(factor).select(col("id").as("__copy"))
+    for ((name, keys) <- shiftCols) {
+      var df = Tables.table(spark, srcDir, name).crossJoin(broadcast(copies))
+      keys.foreach(k => df = df.withColumn(k, col(k) + col("__copy") * 1000000000L))
+      // Spread the fact tables over enough files that a 32-thread local
+      // scan (and a real cluster's splits) parallelize; the cross-join
+      // inherits the source's file count otherwise.
+      df.drop("__copy").repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    fixed.foreach { n =>
+      Tables.table(spark, srcDir, n).write.mode("overwrite")
+        .parquet(s"$outDir/$n.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val t0 = System.nanoTime()
+    amplify(spark, srcDir, outDir, factor)
+    println(f"[scaledata] $srcDir x$factor -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
