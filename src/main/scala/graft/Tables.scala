@@ -27,27 +27,40 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos (legacy conf) and
-    * convert to a µs TimestampType column — the engine-wide convention
-    * (Impala's TIMESTAMP is ns-resolution, `be/src/runtime/timestamp-value.h`;
-    * we standardize on Spark µs and truncate). */
+  /** The driver has shipped `events.ts` in two parquet encodings across
+    * rounds: TIMESTAMP(NANOS) — which Spark's reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as raw int64 via the legacy conf —
+    * and, since the round-10 regeneration, µs TIMESTAMP with
+    * `isAdjustedToUTC=false`, which Spark reads as TIMESTAMP_NTZ. The
+    * engine-wide convention is µs `TimestampType` (Impala's TIMESTAMP is
+    * ns-resolution wall-clock, `be/src/runtime/timestamp-value.h`; we
+    * standardize on Spark µs in a UTC session), so [[normalizeEventsTs]]
+    * maps BOTH encodings there. Queries over `ts` (`unix_micros`,
+    * `window()`, watermarking) all assume the normalized type. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // Convert only when ts actually arrived as int64 nanos (the driver's
-    // TIMESTAMP(NANOS) parquet). A re-written events table (e.g. ScaleSmoke
-    // output) already carries a µs TimestampType column — converting twice
-    // would corrupt it.
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to µs TimestampType, whatever the
+    * parquet encoding delivered (shared with the streaming read path, which
+    * must declare an explicit schema and re-apply the same conversion). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
-        // integer division: `/` casts both sides to Double, and epoch nanos
-        // (~1.7e18) exceed a double's 2^53 exact range — the rounded
-        // quotient would drift by 1µs on roughly half of all values
+        // int64 nanos under the legacy conf. Integer division: `/` casts
+        // both sides to Double, and epoch nanos (~1.7e18) exceed a double's
+        // 2^53 exact range — the rounded quotient would drift by 1µs on
+        // roughly half of all values.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case TimestampNTZType =>
+        // µs wall-clock; the session zone is pinned UTC (Engine/Verify/
+        // Bench all set it), so the cast is instant-preserving and yields
+        // the same values the nanos path produced in earlier rounds.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already µs TimestampType (e.g. a ScaleSmoke rewrite)
     }
   }
 

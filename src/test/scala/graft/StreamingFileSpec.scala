@@ -15,16 +15,15 @@ class StreamingFileSpec extends SparkSpec {
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    // events.ts is parquet TIMESTAMP(NANOS): stream it as raw int64 and
-    // convert, mirroring Tables.events.
+    // readStream needs an explicit schema; take it from a batch read of the
+    // same file so it matches whatever ts encoding this testdata generation
+    // carries (nanos-as-long in early rounds, µs NTZ since round 10), then
+    // normalize exactly as the batch path does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(dir.toString).schema
 
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val agg = streaming.EventsStreaming.windowedAggregates(
       stream, windowLen = "1 hour", watermark = "1 hour")
 

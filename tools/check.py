@@ -116,6 +116,15 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_noracle = 0
+    # A query that dies inside graft.Verify leaves NO output dir — without
+    # this check it would silently vanish from the report (bitten once: a
+    # testdata regeneration broke one query's analysis and the gate still
+    # printed fail=0).
+    for name in sorted(oracle):
+        if (only is None or name in only) and \
+                not os.path.isdir(os.path.join(out_dir, name)):
+            n_bad += 1
+            print(f"  [FAIL] {name}: no Verify output (query errored — see run log)")
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
