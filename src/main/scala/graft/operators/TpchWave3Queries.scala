@@ -285,26 +285,48 @@ object TpchWave3Queries {
       |ORDER BY s_suppkey""".stripMargin
 
   /** Q21-shape: suppliers who were the sole late shipper on a multi-supplier
-    * order. EXISTS (another supplier on the order) decorrelates to a left
-    * semi join, NOT EXISTS (another LATE supplier) to a left anti join —
-    * both hash joins on l_orderkey, no per-row re-execution. */
+    * order. The textbook decorrelation (EXISTS → left-semi, NOT EXISTS →
+    * left-anti, both self-joins on l_orderkey) shuffles the fact table
+    * THREE times — the SF1 bench record's worst plan (BASELINE.md: 14.3×
+    * the sf0.1 time for 10× data, the only query above the linear line).
+    *
+    * Both subqueries are per-ORDER properties of the supplier set, so one
+    * lineitem⋈orders join followed by a per-order aggregate replaces all
+    * three passes: with `n_supp` = distinct suppliers on the order and
+    * `n_late_supp` = distinct suppliers with a late line, a late line l1
+    * qualifies iff `n_supp >= 2` (EXISTS another supplier) and
+    * `n_late_supp == 1` (l1 is late, so "no OTHER late supplier" means the
+    * late set is exactly {l1's supplier}) — and then ALL of that sole
+    * supplier's late lines on the order count. Physically: the one
+    * unavoidable fact⋈fact shuffle on l_orderkey, then both aggregation
+    * levels reuse that partitioning (HashPartitioning(l_orderkey) satisfies
+    * the (l_orderkey, l_suppkey) clustering), so lineitem is shuffled ONCE;
+    * what remains is one row per qualifying order. At 100 TB that is the
+    * difference between 3× and 1× fact-table network volume. */
   val q21Waiting: QueryFn = (s, dir) => {
-    graft.Tables.registerViews(s, dir)
-    s.sql("""SELECT s_name, COUNT(*) AS numwait
-            |FROM supplier, lineitem l1, orders, nation
-            |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-            |  AND o_orderstatus = 'F'
-            |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
-            |  AND EXISTS (SELECT 1 FROM lineitem l2
-            |              WHERE l2.l_orderkey = l1.l_orderkey
-            |                AND l2.l_suppkey <> l1.l_suppkey)
-            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
-            |                  WHERE o3.o_orderkey = l3.l_orderkey
-            |                    AND l3.l_orderkey = l1.l_orderkey
-            |                    AND l3.l_suppkey <> l1.l_suppkey
-            |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAYS)
-            |  AND s_nationkey = n_nationkey
-            |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perSupp = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("late_cnt"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("late_cnt") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+           max(when(col("late_cnt") > 0, col("l_suppkey"))).as("late_supp"),
+           sum(when(col("late_cnt") > 0, col("late_cnt"))
+                 .otherwise(0L)).as("late_lines"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .join(t(s, dir, "supplier"), col("late_supp") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
   }
   val q21WaitingSql: String =
     """SELECT s_name, COUNT(*) AS numwait
