@@ -72,8 +72,17 @@ object TpcdsQueries {
        |GROUP BY n_name ORDER BY n_name""".stripMargin
   }
 
-  /** Q59-shape: week-over-week — weekly revenue per nation self-joined on
-    * (nation, week - 7 days); ratio of the two bit-identical doubles. */
+  /** Q59-shape: week-over-week — weekly revenue per nation against the
+    * prior week; ratio of the two bit-identical doubles. The oracle (and
+    * TPC-DS q59 itself) phrases this as the weekly rollup self-joined on
+    * (nation, week - 7 days), which recomputes the rollup — and the fact
+    * scan under it — twice, with no exchange reuse. Weeks from
+    * `date_trunc` are exactly 7 days apart, so `lag(1)` over
+    * (nation, week-ordered) IS the self-join: `prev_wk = wk - 7 days`
+    * holds iff the previous calendar week exists, and the filter on that
+    * equality reproduces the inner join's dropped rows (a nation's first
+    * week, gaps). One fact scan + one agg; the window runs over the weekly
+    * AGGREGATE (nations × weeks rows), never the fact. */
   val qds59Wow: QueryFn = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
@@ -82,14 +91,15 @@ object TpcdsQueries {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(date_trunc("week", col("o_orderdate")).as("wk"), col("n_name"))
       .agg(sumd(col("o_totalprice")).as("rev"))
-    val cur = wss.filter(year(col("wk")) === 1997)
-      .select(col("n_name"), col("wk"), col("rev").as("cur_rev"))
-    val prev = wss.select(col("n_name").as("p_name"), col("wk").as("p_wk"),
-                          col("rev").as("prev_rev"))
-    cur.join(prev, col("n_name") === col("p_name") &&
-               col("p_wk") === col("wk") - expr("INTERVAL 7 DAYS"))
-      .select(col("n_name"), col("wk"), col("cur_rev"), col("prev_rev"),
-              (col("cur_rev") / col("prev_rev")).as("wow_ratio"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("wk"))
+    wss
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .filter(year(col("wk")) === 1997 &&
+              col("prev_wk") === col("wk") - expr("INTERVAL 7 DAYS"))
+      .select(col("n_name"), col("wk"), col("rev").as("cur_rev"),
+              col("prev_rev"),
+              (col("rev") / col("prev_rev")).as("wow_ratio"))
       .orderBy(col("n_name"), col("wk"))
   }
   val qds59WowSql: String =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
@@ -65,16 +66,24 @@ object TpchMoreQueries {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
 
-  /** Q17-shape: small-quantity lines vs the per-part average — an
-    * aggregate-derived join (the decorrelated form of Q17's correlated
-    * scalar subquery). */
+  /** Q17-shape: small-quantity lines vs the per-part average — Q17's
+    * correlated scalar subquery. The aggregate-derived-join decorrelation
+    * scans lineitem twice (once for the per-part averages, once for the
+    * probe side) with no exchange reuse; since the correlation key is the
+    * join key, a window average over the part-filtered join does the same
+    * job in ONE scan: the brand filter shrinks the stream first, so the
+    * window's l_partkey shuffle carries ~1/brand-count of the fact instead
+    * of a full second read — at 100 TB that is one fact pass instead of
+    * two. The window sum stays DECIMAL, cast to double only at the
+    * division, matching the oracle's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT. */
   val q17Avg: QueryFn = (s, dir) => {
-    val l = t(s, dir, "lineitem")
-    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
-    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    l.join(p, col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_brand") === "Brand#1"),
+            col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(dec2(col("l_quantity"))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg((sumd(col("l_extendedprice")) / 7.0).as("avg_yearly"),
            count(lit(1)).as("n_small"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -32,26 +33,37 @@ object TpchWave3Queries {
 
   /** Q2-shape: cheapest supplier per part in a region. The correlated
     * scalar subquery (min price over the same region's suppliers for the
-    * outer part) is what Catalyst's RewriteCorrelatedScalarQuery turns into
-    * an aggregate + join — the decorrelation the reference engine lacked
-    * (SURVEY §4.1). */
+    * outer part) decorrelates — via Catalyst's RewriteCorrelatedScalarQuery,
+    * the rewrite the reference engine lacked (SURVEY §4.1) — to an
+    * aggregate + join that scans the lineitem⋈supplier⋈nation⋈region chain
+    * TWICE with no exchange reuse. The correlation key (p_partkey) is the
+    * join key, so a window min over the already-filtered join computes the
+    * identical per-part minimum in ONE pass: the subquery's row set for a
+    * part (its ASIA-supplier lines) is exactly that part's rows in the
+    * joined stream, because the part-side filters select parts, not lines.
+    * One fact scan, one l_partkey shuffle for the window. */
   val q2MinSupp: QueryFn = (s, dir) => {
-    graft.Tables.registerViews(s, dir)
-    s.sql("""SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
-            |  l_extendedprice AS min_price
-            |FROM part, lineitem, supplier, nation, region
-            |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-            |  AND p_size <= 10 AND p_type = 'SMALL'
-            |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-            |  AND r_name = 'ASIA'
-            |  AND l_extendedprice = (
-            |    SELECT MIN(l2.l_extendedprice)
-            |    FROM lineitem l2, supplier s2, nation n2, region r2
-            |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
-            |      AND s2.s_nationkey = n2.n_nationkey
-            |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
-            |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-            |LIMIT 100""".stripMargin)
+    val asiaSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+              .join(broadcast(t(s, dir, "region")
+                      .filter(col("r_name") === "ASIA")),
+                    col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part")
+              .filter(col("p_size") <= 10 && col("p_type") === "SMALL"),
+            col("l_partkey") === col("p_partkey"))
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_price_w", min(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("min_price_w"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+              col("p_partkey"), col("p_brand"),
+              col("l_extendedprice").as("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+               col("p_partkey"))
+      .limit(100)
   }
   val q2MinSuppSql: String =
     """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,

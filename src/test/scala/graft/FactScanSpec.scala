@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Pins fact-table scan multiplicity for the headline workloads.
+  *
+  * The 100 TB failure mode this guards: a decorrelation or self-join that
+  * reads the fact table more than once. Catalyst does NOT reliably reuse
+  * the duplicate subtree (measured: zero ReusedExchange across q2/q11/q17/
+  * qds59 before their round-10 rewrites), so each extra logical scan is a
+  * full extra pass over the biggest table in the system. The one-pass forms
+  * live in the query files (window-over-join for q2/q17, lag-over-aggregate
+  * for qds59, per-order aggregate for q21); this spec fails if a future
+  * edit quietly reintroduces a second pass.
+  *
+  * q11 is the documented exception (lineitem = 2): its second pass computes
+  * only the global total and is column-pruned to a 2-column scan, while the
+  * one-scan alternatives all serialize the per-part aggregate through a
+  * single task (window over an empty partition) — worse at scale than the
+  * extra pruned read. See q11Value's scaladoc.
+  */
+class FactScanSpec extends SparkSpec {
+
+  private val tpch = Seq("q1_agg", "q2_minsupp", "q3_topn", "q4_semi",
+    "q5_join_agg", "q6_filter", "q8_share", "q9_profit", "q10_agg_topn",
+    "q11_value", "q12_priority", "q13_dist", "q14_promo", "q15_top",
+    "q16_suppcnt", "q17_avg", "q18_large", "q19_disjunct", "q20_parts",
+    "q21_waiting", "q22_anti")
+
+  private def factScans(name: String): Map[String, Int] = {
+    val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+    var m = Map.empty[String, Int].withDefaultValue(0)
+    plan.foreach {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.foreach { p =>
+          val t = p.getName.stripSuffix(".parquet")
+          m = m.updated(t, m(t) + 1)
+        }
+      case _ => ()
+    }
+    m
+  }
+
+  test("TPC-H and TPC-DS headliners scan each fact table exactly once (q11 excepted)") {
+    val tpcds = SparkEntry.queries.keys.filter(_.startsWith("qds")).toSeq.sorted
+    val offenders = (tpch ++ tpcds).flatMap { q =>
+      val m = factScans(q)
+      val budget = if (q == "q11_value") 2 else 1
+      Seq("lineitem", "orders").collect {
+        case f if m(f) > budget => s"$q scans $f ${m(f)}x (budget $budget)"
+      }
+    }
+    assert(offenders.isEmpty,
+      "fact-table multi-scan regression:\n  " + offenders.mkString("\n  "))
+  }
+
+  test("pipeline dedup/ANN double references are the two-sided kind, not unbounded") {
+    // Dedup join-backs and ANN query-vs-corpus joins legitimately reference
+    // their table twice (candidate pairs join back to the original rows);
+    // the n-gram tiers reference documents 4x (2 sides x (shingles + text
+    // join-back)). Pin the counts so a rewrite that starts re-scanning per
+    // candidate (or loses the prefix filter's single-derivation) shows up.
+    val expected = Map(
+      "q_dedup_exact" -> ("documents", 1),
+      "q_dedup_minhash_lsh" -> ("documents", 2),
+      "q_dedup_simhash" -> ("documents", 2),
+      "q_dedup_ngram_jaccard" -> ("documents", 4),
+      "q_dedup_ngram_jaccard_hi" -> ("documents", 4),
+      "q_ann_brute" -> ("embeddings", 2),
+      "q_ann_lsh" -> ("embeddings", 2),
+      "q_ann_ivf" -> ("embeddings", 2))
+    val bad = expected.toSeq.sortBy(_._1).flatMap { case (q, (tbl, n)) =>
+      val got = factScans(q)(tbl)
+      if (got != n) Some(s"$q scans $tbl ${got}x (pinned $n)") else None
+    }
+    assert(bad.isEmpty, "pipeline scan-count drift:\n  " + bad.mkString("\n  "))
+  }
+}
