@@ -52,6 +52,10 @@ object Bench {
     // 100+-query registry would mostly re-time sf-independent fixtures).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently shrink the benchmarked set and
+    // under-report the suite total in a committed record — say so loudly.
+    only.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(u =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY name not in registry: $u")))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(

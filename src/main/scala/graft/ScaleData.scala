@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * shifted), matching how TPC-H's own dbgen scales facts with SF while the
   * region/nation dimensions stay fixed.
   *
+  * Caveat — KEY joins only: key-shifting disjoints every equi-join on ids,
+  * but documents/embeddings are replicated with IDENTICAL content, so
+  * CONTENT-based workloads see a degenerate corpus (every doc has
+  * factor-1 bit-identical twins; exact dedup flags ~everything, LSH/n-gram
+  * candidate pairs grow ~factor², not factor). The SF1 record in
+  * BASELINE.md therefore covers the TPC-H/TPC-DS subset only; use
+  * ScaleSmoke's pipeline rehearsal (which accepts this duplication as its
+  * stress shape) for the dedup/ANN tiers, and do not quote ScaleData-based
+  * timings for them as if the corpus were organic.
+  *
   * The output is NOT committed — it regenerates deterministically from the
   * driver's seed-42 sf0.1 parquet (TESTDATA.md) in ~30 s. Run:
   * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor]"`.

@@ -19,26 +19,14 @@ object ScaleSmoke {
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     val out = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
-    def amplify(name: String, keyCols: Seq[String]): Unit = {
-      val base = Tables.table(spark, sfDir, name)
-      val copies = spark.range(factor).select(col("id").as("__copy"))
-      var df = base.crossJoin(copies)
-      keyCols.foreach { k =>
-        df = df.withColumn(k, col(k) + col("__copy") * 1000000000L)
-      }
-      df.drop("__copy").write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
-
+    // One amplifier for the repo: ScaleData's disjoint-universe key shift
+    // (every PK+FK per copy), rather than a drifting local variant — the
+    // rehearsal joins then have sf0.1 selectivity at N× cardinality.
+    // Content columns are replicated verbatim, which is exactly the stress
+    // shape the dedup tiers below want (each doc gains factor-1 identical
+    // twins to find).
     val t0 = System.nanoTime()
-    amplify("lineitem", Seq("l_orderkey"))
-    amplify("orders", Seq("o_orderkey"))
-    amplify("documents", Seq("doc_id"))
-    amplify("embeddings", Seq("vec_id"))
-    Seq("region", "nation", "customer", "supplier", "part", "events")
-      .foreach { n =>
-        Tables.table(spark, sfDir, n).write.mode("overwrite")
-          .parquet(s"$out/$n.parquet")
-      }
+    ScaleData.amplify(spark, sfDir, out, factor)
     println(f"[scale] amplified x$factor in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
     def time(name: String): Unit = {

@@ -56,9 +56,13 @@ object Tables {
         // roughly half of all values.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // µs wall-clock; the session zone is pinned UTC (Engine/Verify/
-        // Bench all set it), so the cast is instant-preserving and yields
-        // the same values the nanos path produced in earlier rounds.
+        // µs wall-clock. The NTZ→LTZ cast interprets the wall-clock in the
+        // SESSION zone, so pin it to UTC first (the engine-wide convention;
+        // Engine/Verify/Bench already set it, but a driver-created session
+        // on a non-UTC host would otherwise shift every instant — the old
+        // nanos path was zone-independent and this keeps that property).
+        // Same mutate-the-session precedent as nanosAsLong above.
+        raw.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw // already µs TimestampType (e.g. a ScaleSmoke rewrite)
     }

@@ -37,6 +37,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registry manifest: lets the checker flag ANY query whose run
+    // died (no output dir) — including rows-only queries absent from
+    // oracle_sql.json, which would otherwise vanish from the report.
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     spark.stop()
   }
 }

@@ -328,8 +328,8 @@ object TpchWave3Queries {
       .agg(count(lit(1)).as("n_supp"),
            sum(when(col("late_cnt") > 0, 1L).otherwise(0L)).as("n_late_supp"),
            max(when(col("late_cnt") > 0, col("l_suppkey"))).as("late_supp"),
-           sum(when(col("late_cnt") > 0, col("late_cnt"))
-                 .otherwise(0L)).as("late_lines"))
+           // late_cnt >= 0 always, so the plain sum is the late-line total
+           sum(col("late_cnt")).as("late_lines"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     perOrder
       .join(t(s, dir, "supplier"), col("late_supp") === col("s_suppkey"))

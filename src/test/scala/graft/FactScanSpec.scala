@@ -13,11 +13,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * for qds59, per-order aggregate for q21); this spec fails if a future
   * edit quietly reintroduces a second pass.
   *
-  * q11 is the documented exception (lineitem = 2): its second pass computes
-  * only the global total and is column-pruned to a 2-column scan, while the
-  * one-scan alternatives all serialize the per-part aggregate through a
-  * single task (window over an empty partition) — worse at scale than the
-  * extra pruned read. See q11Value's scaladoc.
+  * q11 and q15 are the documented exceptions (lineitem = 2): both compare a
+  * per-key aggregate against a global aggregate OF that same aggregate
+  * (0.1% threshold / max), and Spark has no plan-level materialization
+  * short of persist(), so the global side re-derives the grouped agg. The
+  * second pass is column-pruned and its network cost is one row; the
+  * one-scan alternatives all serialize every group through a single task
+  * (window over an empty partition) — worse at scale than the extra pruned
+  * read. See q11Value's scaladoc. (This budget was set by THIS spec's
+  * subquery-aware counter: q15's scalar-max subquery was invisible to a
+  * plain plan traversal.)
   */
 class FactScanSpec extends SparkSpec {
 
@@ -30,14 +35,16 @@ class FactScanSpec extends SparkSpec {
   private def factScans(name: String): Map[String, Int] = {
     val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
     var m = Map.empty[String, Int].withDefaultValue(0)
-    plan.foreach {
+    // subqueriesAll: a reintroduced pass hidden in a scalar/EXISTS subquery
+    // expression (which plan.foreach does NOT descend into) must count too.
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.foreach { p =>
           val t = p.getName.stripSuffix(".parquet")
           m = m.updated(t, m(t) + 1)
         }
       case _ => ()
-    }
+    })
     m
   }
 
@@ -45,7 +52,7 @@ class FactScanSpec extends SparkSpec {
     val tpcds = SparkEntry.queries.keys.filter(_.startsWith("qds")).toSeq.sorted
     val offenders = (tpch ++ tpcds).flatMap { q =>
       val m = factScans(q)
-      val budget = if (q == "q11_value") 2 else 1
+      val budget = if (q == "q11_value" || q == "q15_top") 2 else 1
       Seq("lineitem", "orders").collect {
         case f if m(f) > budget => s"$q scans $f ${m(f)}x (budget $budget)"
       }

@@ -76,6 +76,42 @@ class SortSpillSpec extends SparkSpec {
     }
   }
 
+  test("sort_stress: forced-spill GLOBAL sort through a real range exchange stays totally ordered") {
+    // The multi-partition path the planned query takes: EnsureRequirements
+    // inserts the RangePartitioning exchange under the global SortExec, so
+    // this exercises sampling + range boundaries + per-partition spilled
+    // sorts + ordered-partition concatenation — not just one sorter's merge.
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val expected = li.collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(identity)
+      .toSeq
+
+    val child = li.queryExecution.executedPlan
+    val order = Seq("l_orderkey", "l_linenumber").map { n =>
+      SortOrder(child.output.find(_.name == n).get, Ascending)
+    }
+    // 50, not 500: the range exchange splits sf0.001's ~6k rows over the
+    // session's partitions, and a partition below the frequency never
+    // force-spills — each ~190-row partition must still cross the trigger.
+    val sort = SortExec(order, global = true, child = child,
+      testSpillFrequency = 50)
+    val prepared = org.apache.spark.sql.execution.exchange
+      .EnsureRequirements().apply(sort)
+    assert(prepared.toString.contains("rangepartitioning"),
+      s"expected a range exchange under the global sort:\n$prepared")
+    val got = prepared.executeCollect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+
+    assert(got.size == expected.size)
+    assert(got == expected,
+      "range-partitioned spilled sort diverged from the oracle total order")
+    val spilled = findSorts(prepared).map(_.metrics("spillSize").value).sum
+    assert(spilled > 0,
+      "global sort did not spill — testSpillFrequency did not engage")
+  }
+
   test("sort_stress: forced-spill external sort returns the exact total order") {
     val li = Tables.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber")

@@ -119,8 +119,14 @@ def main():
     # A query that dies inside graft.Verify leaves NO output dir — without
     # this check it would silently vanish from the report (bitten once: a
     # testdata regeneration broke one query's analysis and the gate still
-    # printed fail=0).
-    for name in sorted(oracle):
+    # printed fail=0). queries.txt is the FULL registry (covers rows-only
+    # queries too); fall back to the oracle keys for older outDirs.
+    manifest_path = os.path.join(out_dir, "queries.txt")
+    if os.path.exists(manifest_path):
+        registered = [l.strip() for l in open(manifest_path) if l.strip()]
+    else:
+        registered = sorted(oracle)
+    for name in registered:
         if (only is None or name in only) and \
                 not os.path.isdir(os.path.join(out_dir, name)):
             n_bad += 1
