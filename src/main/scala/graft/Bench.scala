@@ -33,15 +33,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runNoop(name: String): Double = {
+    // Cumulative stop-the-world GC time across all collectors; the per-run
+    // delta goes into BENCH_FULL.json so a slow pass self-adjudicates
+    // ("was that the plan or the heap?") instead of needing a rerun at a
+    // different -Xmx to decompose (the round-10 q_rollup dispute).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    // Returns (wall seconds, GC millis spent during the run); -1 wall on failure.
+    def runNoop(name: String): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, gcMillis() - g0)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
     }
 
     // Warmup: session + codegen + parquet footer caches.
@@ -60,8 +72,13 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
-    for (_ <- 1 to runs; n <- names)
-      samples(n) :+= runNoop(n)
+    val gcSamples = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Long]): _*)
+    for (_ <- 1 to runs; n <- names) {
+      val (sec, gcMs) = runNoop(n)
+      samples(n) :+= sec
+      gcSamples(n) :+= gcMs
+    }
 
     // median of the successful samples; -1 only if every run failed
     def median(xs: Seq[Double]): Double = {
@@ -85,22 +102,38 @@ object Bench {
     // med/min/max/runs record goes to BENCH_FULL.json in the repo for
     // attribution of round-over-round deltas.
     def f3(v: Double): String = f"$v%.3f"
+    // JVM provenance: heap ceiling + per-pass GC time make a slow record
+    // self-explaining (round 10's 128s-vs-88s driver gap decomposed to the
+    // un-pinned 8g heap only after a manual rerun; now the record carries
+    // the evidence itself).
+    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val fullJson = {
       val qs = names.map { n =>
         val xs = samples(n)
         "\"" + n + "\":{\"med\":" + f3(median(xs)) +
           ",\"min\":" + f3(if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min) +
           ",\"max\":" + f3(xs.max) +
-          ",\"runs\":[" + xs.map(f3).mkString(",") + "]}"
+          ",\"runs\":[" + xs.map(f3).mkString(",") + "]" +
+          ",\"gc_ms\":[" + gcSamples(n).map(_.toString).mkString(",") + "]}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full record next to the checkout (cwd), not a hardcoded absolute
     // path — a silently-swallowed write failure elsewhere would lose the
-    // per-query attribution record
+    // per-query attribution record. BENCH_FULL.json is reserved for the
+    // canonical shape (full registry at the default corpus): a subset run
+    // (SPARK_GRAFT_BENCH_ONLY) or a non-default sfDir writes a suffixed
+    // file instead, so an SF1 or 43-query invocation can never clobber the
+    // committed full-registry sf0.1 record (this clobber happened twice in
+    // round 10 — once mis-scaled, once by the driver's own run).
+    val defaultSf = "/root/testdata/sf0.1"
+    val fullName =
+      if (only.isEmpty && sfDir == defaultSf) "BENCH_FULL.json"
+      else if (only.isEmpty) s"BENCH_${sfDir.split('/').last}.json"
+      else s"BENCH_SUBSET_${sfDir.split('/').last}_n${results.size}.json"
     for (p <- Seq(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "bench_timings.txt"),
-        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json")))
+        java.nio.file.Paths.get(sys.props("user.dir"), fullName)))
       try java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
@@ -121,6 +154,6 @@ object Bench {
     val headline = results.filter(r => tpch21.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + math.round(v * 100).toString }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"qunit":"centisec","med_of":$runs,"queries":$headline,"full":"BENCH_FULL.json","sf":"${sfDir.split('/').last}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"qunit":"centisec","med_of":$runs,"heap_mb":$heapMb,"queries":$headline,"full":"$fullName","sf":"${sfDir.split('/').last}"}""")
   }
 }

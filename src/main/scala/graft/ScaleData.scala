@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * but documents/embeddings are replicated with IDENTICAL content, so
   * CONTENT-based workloads see a degenerate corpus (every doc has
   * factor-1 bit-identical twins; exact dedup flags ~everything, LSH/n-gram
-  * candidate pairs grow ~factor², not factor). The SF1 record in
+  * candidate pairs grow ~factor², not factor). Likewise `events.ts` is
+  * copied bit-identically: the TIME universe does not scale — every copy's
+  * events land in the same windows, so time-windowed workloads
+  * (sessionize, windowed aggs, watermarks) scale only in per-window
+  * DENSITY, never in window count or time span. The SF1 record in
   * BASELINE.md therefore covers the TPC-H/TPC-DS subset only; use
   * ScaleSmoke's pipeline rehearsal (which accepts this duplication as its
   * stress shape) for the dedup/ANN tiers, and do not quote ScaleData-based
@@ -50,14 +54,26 @@ object ScaleData {
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     val copies = spark.range(factor).select(col("id").as("__copy"))
+    // Only the true fact tables need spreading over many files for a
+    // 32-thread scan (the cross-join otherwise inherits the source's file
+    // count); repartitioning every amplified dimension produced 32 tiny
+    // parquet files each (customer/supplier/part at sf0.1 scale) plus a
+    // needless full shuffle per table.
+    val facts = Set("lineitem", "orders", "events")
     for ((name, keys) <- shiftCols) {
       var df = Tables.table(spark, srcDir, name).crossJoin(broadcast(copies))
       keys.foreach(k => df = df.withColumn(k, col(k) + col("__copy") * 1000000000L))
-      // Spread the fact tables over enough files that a 32-thread local
-      // scan (and a real cluster's splits) parallelize; the cross-join
-      // inherits the source's file count otherwise.
-      df.drop("__copy").repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      val out = df.drop("__copy")
+      // Fact file count scales with the amplification so SF10 (factor 100)
+      // still yields ~full-size splits rather than 32 giant ones.
+      val shaped =
+        if (facts(name)) out.repartition(math.max(32, 32 * factor / 10))
+        // Dims keep their (small) source partitioning at SF1 — no shuffle,
+        // no 32-tiny-file spray; at factor>10 they do need spreading
+        // (customer at factor 100 is ~1.5M rows from a 1-partition source).
+        else if (factor > 10) out.repartition(math.max(2, factor / 10))
+        else out
+      shaped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     fixed.foreach { n =>
       Tables.table(spark, srcDir, n).write.mode("overwrite")

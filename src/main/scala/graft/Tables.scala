@@ -56,14 +56,17 @@ object Tables {
         // roughly half of all values.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        // µs wall-clock. The NTZ→LTZ cast interprets the wall-clock in the
-        // SESSION zone, so pin it to UTC first (the engine-wide convention;
-        // Engine/Verify/Bench already set it, but a driver-created session
-        // on a non-UTC host would otherwise shift every instant — the old
-        // nanos path was zone-independent and this keeps that property).
-        // Same mutate-the-session precedent as nanosAsLong above.
-        raw.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        // µs wall-clock meant as UTC. The bare NTZ→LTZ cast interprets the
+        // wall-clock in the SESSION zone — overwriting the session zone here
+        // (the old fix) silently changed timestamp semantics for every later
+        // query of an externally-created non-UTC session. Instead convert
+        // zone-independently: rebase the wall-clock from UTC into whatever
+        // the session zone is, then cast — the cast's session-zone
+        // interpretation exactly cancels the rebase, yielding the UTC
+        // instant under ANY session zone, no session mutation.
+        raw.withColumn("ts",
+          expr("convert_timezone('UTC', current_timezone(), ts)")
+            .cast(TimestampType))
       case _ => raw // already µs TimestampType (e.g. a ScaleSmoke rewrite)
     }
   }

@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Manifest FIRST (replacing any stale one from a previous run in this
+    // out_dir): if this JVM dies mid-loop, the checker still knows the full
+    // expected set and flags every query with no output dir — a manifest
+    // written after the loop covers only runs that completed.
+    Files.deleteIfExists(Paths.get(s"$outDir/queries.txt"))
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -37,11 +44,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Full registry manifest: lets the checker flag ANY query whose run
-    // died (no output dir) — including rows-only queries absent from
-    // oracle_sql.json, which would otherwise vanish from the report.
-    Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     spark.stop()
   }
 }

@@ -100,8 +100,12 @@ object Multimodal {
       |FROM documents""".stripMargin
 
   /** Feature aggregation over the decoded (stubbed) features — exercises
-    * the full media → decode → analyze pipeline as one query. Rows-only
-    * (decode stub is not SQL-expressible); pinned by MultimodalSpec. */
+    * the full media → decode → analyze pipeline as one query. Oracle-checked:
+    * the stub's feature math is FNV-1a over the payload bytes plus modular
+    * arithmetic, all SQL-expressible — [[mediaFeatureAggSql]] re-derives it
+    * in DuckDB (FNV loop via list_reduce over the hex-encoded payload with
+    * HUGEINT mod-2^64 arithmetic), so a drift in the decode stage, the
+    * mapPartitions plumbing, or the aggregation is hash-visible. */
   val mediaFeatureAgg: QueryFn = (s, dir) => {
     extractFeatures(asMediaTable(s, dir))
       .toDF()
@@ -114,10 +118,48 @@ object Multimodal {
       .orderBy(col("mime"))
   }
 
+  /** DuckDB twin of media → [[decodeStub]] → aggregate. The unsigned FNV
+    * state lives in HUGEINT (the 64-bit multiply overflows BIGINT; DuckDB
+    * raises on overflow rather than wrapping), reduced mod 2^64 per step;
+    * the stub's masks/shifts become mod/div on the unsigned value:
+    * `h & 0x7fffffff` = `uh % 2^31`, `(h >>> 32) & 0x7fffffff` =
+    * `(uh // 2^32) % 2^31`, `(h >>> 17) & 0xff` = `(uh // 2^17) % 256`. */
+  val mediaFeatureAggSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS mime,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    hex(encode(text)) AS hx
+      |  FROM documents
+      |), h AS (
+      |  SELECT mime, n_bytes,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(0, n_bytes),
+      |          i -> ('0x' || hx[1+2*i:2+2*i])::INT::HUGEINT)),
+      |      (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS uh
+      |  FROM f
+      |)
+      |SELECT mime,
+      |  count(*) AS n_media,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(min(16 + (uh % 2147483648) % 2033) AS INT) AS min_width,
+      |  CAST(max(16 + (uh % 2147483648) % 2033) AS INT) AS max_width,
+      |  CAST(sum(CASE WHEN mime = 'video/mp4'
+      |                THEN 1 + ((uh // 131072) % 256)
+      |                ELSE 1 END) AS BIGINT) AS total_frames
+      |FROM h
+      |GROUP BY mime
+      |ORDER BY mime""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q_media_meta" -> mediaMeta,
     "q_media_feature_agg" -> mediaFeatureAgg)
 
   val oracle: Map[String, String] = Map(
-    "q_media_meta" -> mediaMetaSql)
+    "q_media_meta" -> mediaMetaSql,
+    "q_media_feature_agg" -> mediaFeatureAggSql)
 }

@@ -511,6 +511,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*show\s+column\s+stats\s+([\w.]+)\s*;?\s*""".r
   private val ShowCreateTableRe =
     """(?is)\s*show\s+create\s+table\s+([\w.]+)\s*;?\s*""".r
+  // External-data-source DDL (sql-parser.y create_data_src_stmt /
+  // drop_data_src_stmt / show_data_srcs_stmt; the lexer spells the
+  // keywords DATASOURCE/DATASOURCES, sql-scanner.flex:83-84).
+  private val CreateDataSrcRe =
+    ("""(?is)\s*create\s+datasource\s+(if\s+not\s+exists\s+)?(\w+)\s+""" +
+      """location\s+'([^']+)'\s+class\s+'([^']+)'\s+""" +
+      """api_version\s+'([^']+)'\s*;?\s*""").r
+  private val DropDataSrcRe =
+    """(?is)\s*drop\s+datasource\s+(if\s+exists\s+)?(\w+)\s*;?\s*""".r
+  private val ShowDataSrcsRe =
+    """(?is)\s*show\s+datasources\s*(?:(?:like\s+)?'([^']*)')?\s*;?\s*""".r
+  // Metadata invalidation (sql-parser.y reset_metadata_stmt). Bare
+  // one-token REFRESH only — `REFRESH TABLE t` stays on Spark's native
+  // path (two tokens never match the single-ident regex).
+  private val InvalidateMetadataRe =
+    """(?is)\s*invalidate\s+metadata(?:\s+([\w.]+))?\s*;?\s*""".r
+  private val BareRefreshRe =
+    """(?is)\s*refresh\s+([\w.]+)\s*;?\s*""".r
   private val StoredAsRe =
     """(?is)\bstored\s+as\s+(textfile|parquet)\b""".r
   private val RowFormatRe =
@@ -598,6 +616,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftShowColumnStatsCommand(ident.split('.').toIndexedSeq)
     case ShowCreateTableRe(ident) if ident.count(_ == '.') <= 1 =>
       GraftShowCreateTableCommand(ident.split('.').toIndexedSeq)
+    case CreateDataSrcRe(ifNotExists, name, location, className, apiVersion) =>
+      CreateDataSourceCommand(name, location, className, apiVersion,
+        ifNotExists != null)
+    case DropDataSrcRe(ifExists, name) =>
+      DropDataSourceCommand(name, ifExists != null)
+    case ShowDataSrcsRe(pattern) =>
+      ShowDataSourcesCommand(Option(pattern))
+    case InvalidateMetadataRe(ident) =>
+      InvalidateMetadataCommand(Option(ident))
+    case BareRefreshRe(ident)
+        if !Set("table", "function").contains(ident.toLowerCase) =>
+      InvalidateMetadataCommand(Some(ident))
     case CreateAggFnRe(ident, _, updateFn) =>
       CreateHiveAggFunctionCommand(ident.split('.').toIndexedSeq, updateFn)
     case LikeFileRe(ifNotExists, ident, format, file, location) =>

@@ -213,6 +213,89 @@ def gen_rollup_query(rng, table):
             f"GROUP BY {op}({a}, {b})")
 
 
+MULTIJOINS = [
+    # 3-table chains over the corpus FKs; (tables, conditions)
+    (["lineitem", "orders", "customer"],
+     ["l_orderkey = o_orderkey", "o_custkey = c_custkey"]),
+    (["orders", "customer", "nation"],
+     ["o_custkey = c_custkey", "c_nationkey = n_nationkey"]),
+    (["lineitem", "part", "supplier"],
+     ["l_partkey = p_partkey", "l_suppkey = s_suppkey"]),
+    (["customer", "nation", "orders"],
+     ["c_nationkey = n_nationkey", "o_custkey = c_custkey"]),
+]
+
+
+def gen_multijoin_query(rng):
+    # 3-way join with an aggregate on top: the shape Catalyst's join
+    # reorder/broadcast decisions actually face (a 2-table join never
+    # exercises reordering).
+    tabs, conds = rng.choice(MULTIJOINS)
+    g = rng.choice(cols(tabs[0], {"cat"}) or cols(tabs[2], {"cat"})
+                   or cols(tabs[1], {"cat"}) or [cols(tabs[0], {"key"})[0]])
+    m = rng.choice(cols(tabs[0], {"double", "int"}) or cols(tabs[0], {"key"}))
+    w = gen_predicate(rng, rng.choice(tabs))
+    joins = " ".join(f"JOIN {t} ON {c}" for t, c in zip(tabs[1:], conds))
+    return (f"SELECT {g}, COUNT(1) AS cnt, "
+            f"CAST(SUM(CAST({m} AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            f"FROM {tabs[0]} {joins} WHERE {w} GROUP BY {g} ORDER BY {g}")
+
+
+def gen_outerjoin_query(rng):
+    # LEFT/RIGHT/FULL OUTER with a one-sided predicate, aggregated so the
+    # NULL-extended rows are visible in the counts (COUNT(col) skips NULLs,
+    # COUNT(1) does not — a wrong join type shifts both). No ORDER BY: the
+    # comparator sorts rows itself, sidestepping engine NULLS FIRST/LAST
+    # defaults.
+    t1, t2, cond = rng.choice(JOINS)
+    op = rng.choice(["LEFT", "RIGHT", "FULL"])
+    g = rng.choice(cols(t1, {"cat", "key"}))
+    probe = cols(t2, {"key"})[0]
+    w = gen_predicate(rng, t1)
+    return (f"SELECT {g}, COUNT(1) AS cnt, COUNT({probe}) AS matched "
+            f"FROM {t1} {op} OUTER JOIN {t2} ON {cond} AND {gen_predicate(rng, t2)} "
+            f"WHERE {w} GROUP BY {g}")
+
+
+def gen_groupingsets_query(rng, table):
+    # Explicit GROUPING SETS (the general form behind ROLLUP/CUBE): a
+    # non-prefix set combination neither shorthand can spell.
+    gpool = cols(table, {"cat"})
+    if len(gpool) < 2:
+        table, gpool = "lineitem", ["l_returnflag", "l_linestatus"]
+    a, b = rng.sample(gpool, 2)
+    m = rng.choice(cols(table, {"double", "int"}))
+    key = cols(table, {"key"})[0]
+    pred = f"{key} % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+    sets = rng.choice([f"(({a}), ({b}))", f"(({a}, {b}), ({a}), ())",
+                       f"(({a}), ())"])
+    return (f"SELECT {a}, {b}, GROUPING({a}) AS ga, GROUPING({b}) AS gb, "
+            f"COUNT(1) AS cnt, "
+            f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) AS DOUBLE) AS s "
+            f"FROM {table} WHERE {pred} GROUP BY GROUPING SETS {sets}")
+
+
+def gen_semijoin_query(rng):
+    # EXISTS / NOT EXISTS / IN / NOT IN correlated shapes (semi/anti join
+    # plans). NOT IN is restricted to a non-null key column — three-valued
+    # NOT IN over a nullable side legitimately empties the result.
+    t1, t2, cond = rng.choice(JOINS)
+    form = rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN"])
+    w2 = gen_predicate(rng, t2)
+    key = cols(t1, {"key"})[0]
+    proj = ", ".join([key] + rng.sample(cols(t1, {"cat", "int", "double"}),
+                                        1))
+    if form in ("EXISTS", "NOT EXISTS"):
+        sub = f"SELECT 1 FROM {t2} WHERE {cond} AND {w2}"
+        pred = f"{form} ({sub})"
+    else:
+        lcol, rcol = [s.strip() for s in cond.split("=")]
+        pred = (f"{lcol} {form} "
+                f"(SELECT {rcol} FROM {t2} WHERE {w2})")
+    return (f"SELECT {proj} FROM {t1} WHERE {pred} "
+            f"AND {gen_predicate(rng, t1)}")
+
+
 def gen_setop_query(rng, table):
     key = cols(table, {"key"})[0]
     proj = rng.sample(cols(table, {"key", "cat", "int"}), 2)
@@ -228,7 +311,8 @@ def gen_setop_query(rng, table):
 
 def generate(rng, i):
     kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery",
-                       "window", "setop", "rollup"])
+                       "window", "setop", "rollup", "multijoin", "outerjoin",
+                       "groupingsets", "semijoin"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
@@ -244,6 +328,14 @@ def generate(rng, i):
         return gen_setop_query(rng, table)
     if kind == "rollup":
         return gen_rollup_query(rng, table)
+    if kind == "multijoin":
+        return gen_multijoin_query(rng)
+    if kind == "outerjoin":
+        return gen_outerjoin_query(rng)
+    if kind == "groupingsets":
+        return gen_groupingsets_query(rng, table)
+    if kind == "semijoin":
+        return gen_semijoin_query(rng)
     return gen_scalar_query(rng, table)
 
 
