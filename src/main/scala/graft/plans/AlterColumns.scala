@@ -571,6 +571,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s.substring(m.start))
       case _ => ()
     }
+    // CREATE TABLE .. LIKE <table> has no column list either — the
+    // provider goes right after the LIKE target (Spark's LIKE grammar
+    // takes USING there, before any LOCATION clause; without this,
+    // STORED AS falls onto the Hive-serde path and the table cannot be
+    // written in a non-Hive session)
+    """(?is)\blike\s+[`\w.]+""".r.findFirstMatchIn(s) match {
+      case Some(m) if s.indexOf('(') < 0 =>
+        return Some(s.substring(0, m.end) + s" USING $fmt$optStr0 " +
+          s.substring(m.end))
+      case _ => ()
+    }
     // the provider lands right after the column list's closing paren
     val open = s.indexOf('(')
     if (open < 0) return None

@@ -49,7 +49,9 @@ class AllTypesDataSource extends TableProvider {
 }
 
 object AllTypesDataSource {
-  /** The functional.alltypes column set the fixture predicates touch. */
+  /** The full fixture schema (`testdata/bin/create-data-source-table.sql`):
+    * the 9 columns the planner fixture predicates touch plus the
+    * timestamp/decimal tail the QueryTest fixture scans. */
   val schema: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = true),
     StructField("bool_col", BooleanType, nullable = true),
@@ -59,11 +61,34 @@ object AllTypesDataSource {
     StructField("bigint_col", LongType, nullable = true),
     StructField("float_col", FloatType, nullable = true),
     StructField("double_col", DoubleType, nullable = true),
-    StructField("string_col", StringType, nullable = true)))
+    StructField("timestamp_col", TimestampType, nullable = true),
+    StructField("string_col", StringType, nullable = true),
+    StructField("dec_col1", DecimalType(9, 0), nullable = true),
+    StructField("dec_col2", DecimalType(10, 0), nullable = true),
+    StructField("dec_col3", DecimalType(20, 10), nullable = true),
+    StructField("dec_col4", DecimalType(38, 37), nullable = true),
+    StructField("dec_col5", DecimalType(10, 5), nullable = true)))
+
+  /** The reference generator's DECIMAL pattern
+    * (AllTypesDataSource.java:281-287): unscaled = (10^p - (i+1)) mod 10^p,
+    * negated on even rows, at the column's scale. */
+  private def dec(i: Int, precision: Int, scale: Int): Decimal = {
+    val maxUnscaled = java.math.BigInteger.TEN.pow(precision)
+    var v = maxUnscaled.subtract(java.math.BigInteger.valueOf(i + 1L))
+      .mod(maxUnscaled)
+    if (i % 2 == 0) v = v.negate()
+    Decimal(new java.math.BigDecimal(v, scale), precision, scale)
+  }
 
   /** Column value for row i — the reference generator's pattern
     * (AllTypesDataSource.java:231-287). `null` for string_col on every 5th
-    * row, like the reference's. */
+    * row, like the reference's; TIMESTAMP is `new Timestamp(i)` (epoch
+    * millis = i, returned here as catalyst micros). NOTE the reference's
+    * own QueryTest expectations are internally inconsistent on bigint_col
+    * (its `select *` case shows 4294967295/0 by row parity, which no
+    * generator in the tree produces; its projection case shows i*10,
+    * which is what AllTypesDataSource.java:249-252 computes) — this port
+    * follows the in-tree generator consistently. */
   def value(colName: String, i: Int): Any = colName match {
     case "id" => i
     case "bool_col" => i % 2 == 0
@@ -71,9 +96,15 @@ object AllTypesDataSource {
     case "smallint_col" => (i % 100).toShort
     case "int_col" => i
     case "bigint_col" => i.toLong * 10L
-    case "float_col" => 1.1f * i
+    case "float_col" => (1.1d * i).toFloat // (float)(1.1 * currRow_), .java:258
     case "double_col" => i.toDouble
+    case "timestamp_col" => i.toLong * 1000L // epoch millis i, as micros
     case "string_col" => if (i % 5 == 0) null else i.toString
+    case "dec_col1" => dec(i, 9, 0)
+    case "dec_col2" => dec(i, 10, 0)
+    case "dec_col3" => dec(i, 20, 10)
+    case "dec_col4" => dec(i, 38, 37)
+    case "dec_col5" => dec(i, 10, 5)
     case other => throw new IllegalArgumentException(other)
   }
 
@@ -152,8 +183,54 @@ object AllTypesDataSource {
   }
   private def toD(a: Any): Double = a match {
     case n: Number => n.doubleValue()
+    case d: Decimal => d.toDouble
     case b: Boolean => if (b) 1d else 0d
     case s: String => s.toDouble
+  }
+
+  /** The VALIDATE_PREDICATES## protocol
+    * (AllTypesDataSource.java:115-163): when the first string_col equality
+    * carries a `VALIDATE_PREDICATES##slot OP val && ...` spec, the source
+    * accepts EVERY offered conjunct (so the engine does not re-apply them
+    * to the dummy row), validates the remaining pushed predicates against
+    * the spec, and returns exactly one row whose string_col is 'SUCCESS'
+    * or a failure description. Adaptations for the Spark contract:
+    * IsNotNull conjuncts (Spark-added constraints the reference's thrift
+    * predicate list never contains) are dropped before matching, and the
+    * comparison is order-insensitive (a multiset) — the reference matches
+    * positionally, but Spark's optimizer does not guarantee conjunct order
+    * across versions, and the protocol's intent is "exactly these
+    * predicates arrived", which the multiset captures. */
+  def validateSpec(filters: Array[Filter]): Option[String] =
+    filters.collectFirst {
+      case EqualTo("string_col", s: String)
+          if s.toUpperCase.startsWith("VALIDATE_PREDICATES##") =>
+        s.split("##", 2)(1)
+    }
+
+  def validateResult(spec: String, filters: Array[Filter]): String = {
+    def render(f: Filter): Option[String] = f match {
+      case EqualTo(c, v: Number) => Some(s"${c.toUpperCase} EQ $v")
+      case LessThan(c, v: Number) => Some(s"${c.toUpperCase} LT $v")
+      case GreaterThan(c, v: Number) => Some(s"${c.toUpperCase} GT $v")
+      case LessThanOrEqual(c, v: Number) => Some(s"${c.toUpperCase} LE $v")
+      case GreaterThanOrEqual(c, v: Number) => Some(s"${c.toUpperCase} GE $v")
+      case Not(EqualTo(c, v: Number)) => Some(s"${c.toUpperCase} NE $v")
+      case _ => None
+    }
+    val actual = filters.toSeq
+      .filter {
+        case EqualTo("string_col", s: String) =>
+          !s.toUpperCase.startsWith("VALIDATE_PREDICATES##")
+        case _: IsNotNull => false
+        case _ => true
+      }
+    val actualRendered = actual.map(f => render(f).getOrElse(f.toString))
+    val expected = spec.split("&&").map(_.trim.split("\\s+")
+      .map(_.toUpperCase).mkString(" ")).toSeq
+    if (expected.sorted == actualRendered.sorted) "SUCCESS"
+    else s"Failed predicate, expected=${expected.mkString(" && ")} " +
+      s"actual=${actualRendered.mkString(" && ")}"
   }
 }
 
@@ -173,16 +250,28 @@ class AllTypesScanBuilder(n: Int)
   private var accepted: Array[Filter] = Array.empty
   private var projected: StructType = AllTypesDataSource.schema
 
+  private var validate: Option[String] = None
+
   /** The reference's rule (AllTypesDataSource.java:101-104): accept every
     * other offered conjunct — restricted here to filters the source can
-    * actually evaluate, since Spark will not re-check accepted ones. */
+    * actually evaluate, since Spark will not re-check accepted ones. In
+    * VALIDATE_PREDICATES mode (AllTypesDataSource.java:91-105) every
+    * conjunct is accepted instead, so the engine cannot re-apply them to
+    * the dummy result row. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (candidates, unevaluable) =
-      filters.partition(AllTypesDataSource.evaluable)
-    val (takeIdx, restIdx) =
-      candidates.zipWithIndex.partition(_._2 % 2 == 0)
-    accepted = takeIdx.map(_._1)
-    restIdx.map(_._1) ++ unevaluable
+    AllTypesDataSource.validateSpec(filters) match {
+      case Some(spec) =>
+        validate = Some(AllTypesDataSource.validateResult(spec, filters))
+        accepted = filters
+        Array.empty
+      case None =>
+        val (candidates, unevaluable) =
+          filters.partition(AllTypesDataSource.evaluable)
+        val (takeIdx, restIdx) =
+          candidates.zipWithIndex.partition(_._2 % 2 == 0)
+        accepted = takeIdx.map(_._1)
+        restIdx.map(_._1) ++ unevaluable
+    }
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -192,12 +281,13 @@ class AllTypesScanBuilder(n: Int)
       AllTypesDataSource.schema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new AllTypesScan(n, accepted, projected)
+  override def build(): Scan = new AllTypesScan(n, accepted, projected, validate)
 }
 
 case class AllTypesInputPartition(start: Int, end: Int) extends InputPartition
 
-class AllTypesScan(n: Int, accepted: Array[Filter], projected: StructType)
+class AllTypesScan(n: Int, accepted: Array[Filter], projected: StructType,
+                   validate: Option[String] = None)
     extends Scan with Batch {
   /** Runner hook: plan-shape parity reads the pushed set from here. */
   def pushedFilterSeq: Seq[Filter] = accepted.toSeq
@@ -209,6 +299,8 @@ class AllTypesScan(n: Int, accepted: Array[Filter], projected: StructType)
     s"alltypes_datasource pushed=[${accepted.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // validate mode: one dummy row, one partition
+    if (validate.isDefined) return Array(AllTypesInputPartition(0, 1))
     val parts = 4
     val step = math.max(1, (n + parts - 1) / parts)
     (0 until n by step)
@@ -219,24 +311,39 @@ class AllTypesScan(n: Int, accepted: Array[Filter], projected: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val filters = accepted
     val cols = projected.fieldNames
+    val validateRow = validate
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[AllTypesInputPartition]
-      new PartitionReader[InternalRow] {
-        private var cur = p.start - 1
-        override def next(): Boolean = {
-          cur += 1
-          while (cur < p.end && !filters.forall(AllTypesDataSource.eval(_, cur)))
-            cur += 1
-          cur < p.end
+      validateRow match {
+        case Some(result) => new PartitionReader[InternalRow] {
+          // the single validation-result row: only string_col may be
+          // projected (the reference asserts the same, .java:178-181)
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            cols.toIndexedSeq.map {
+              case "string_col" => UTF8String.fromString(result)
+              case _ => null
+            })
+          override def close(): Unit = ()
         }
-        override def get(): InternalRow = InternalRow.fromSeq(
-          cols.toIndexedSeq.map { c =>
-            AllTypesDataSource.value(c, cur) match {
-              case s: String => UTF8String.fromString(s)
-              case other => other
-            }
-          })
-        override def close(): Unit = ()
+        case None => new PartitionReader[InternalRow] {
+          private var cur = p.start - 1
+          override def next(): Boolean = {
+            cur += 1
+            while (cur < p.end && !filters.forall(AllTypesDataSource.eval(_, cur)))
+              cur += 1
+            cur < p.end
+          }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            cols.toIndexedSeq.map { c =>
+              AllTypesDataSource.value(c, cur) match {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }
+            })
+          override def close(): Unit = ()
+        }
       }
     }
   }

@@ -55,8 +55,13 @@ class DataSourceV2Spec extends SparkSpec {
     val r = df.filter(col("id") === 1991).head()
     assert(!r.getBoolean(1) && r.getByte(2) == 1 && r.getShort(3) == 91)
     assert(r.getInt(4) == 1991 && r.getLong(5) == 19910L)
-    assert(r.getFloat(6) == 1.1f * 1991 && r.getDouble(7) == 1991d)
-    assert(r.getString(8) == "1991")
+    assert(r.getFloat(6) == (1.1d * 1991).toFloat && r.getDouble(7) == 1991d)
+    // timestamp_col = new Timestamp(currRow) — epoch millis = row index
+    assert(r.getTimestamp(8).getTime == 1991L)
+    assert(r.getString(9) == "1991")
+    // DECIMAL pattern: (10^p - (i+1)) mod 10^p, negated on even rows
+    assert(r.getDecimal(10).toPlainString == "999998008")
+    assert(r.getDecimal(14).toPlainString == "99999.98008")
   }
 
   /** The load-bearing pin: the source accepts only EVERY OTHER evaluable

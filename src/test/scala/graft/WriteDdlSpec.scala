@@ -85,6 +85,48 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP DATABASE graft_test")
   }
 
+  /** The reference's tpch workload insert file
+    * (`testdata/workloads/tpch/queries/insert_parquet.test`): INSERT
+    * OVERWRITE the whole orders table into a parquet LIKE-table, then pin
+    * that distinct/grouped aggregates over the COPY agree with the source
+    * — a full write→read round trip at workload scale. The reference pins
+    * absolute SF1 counts; this corpus is driver-generated, so the port
+    * pins source↔copy parity (the actual invariant) plus the
+    * OVERWRITE-idempotence and INSERT-INTO-doubling contracts. o_comment /
+    * o_shippriority do not exist in this corpus; o_orderpriority and
+    * o_orderstatus carry the distinct/group cases. */
+  test("tpch insert_parquet: full-table INSERT OVERWRITE round-trips every aggregate") {
+    Engine.openCatalog(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS orders_insert_test")
+    // the reference spelling: LIKE <table> STORED AS <fmt> (lowered by the
+    // dialect to LIKE .. USING parquet; the raw Spark parse would land on
+    // the unwritable Hive-serde path)
+    spark.sql("CREATE TABLE orders_insert_test LIKE orders STORED AS PARQUET")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE orders_insert_test SELECT * FROM orders")
+      def agg(table: String): Seq[Seq[Any]] = Seq(
+        spark.sql(s"SELECT count(*), count(distinct o_orderkey), " +
+          s"count(distinct o_orderstatus), count(distinct o_orderdate) FROM $table")
+          .collect()(0).toSeq,
+        spark.sql(s"SELECT o_orderpriority FROM $table GROUP BY 1 ORDER BY 1")
+          .collect().map(_.getString(0)).toSeq,
+        spark.sql(s"SELECT o_orderstatus, count(1) FROM $table GROUP BY 1 ORDER BY 1")
+          .collect().map(_.toSeq).toSeq)
+      val src = agg("orders")
+      assert(agg("orders_insert_test") == src)
+      // OVERWRITE again: idempotent, not additive
+      spark.sql("INSERT OVERWRITE TABLE orders_insert_test SELECT * FROM orders")
+      assert(agg("orders_insert_test") == src)
+      // INSERT INTO: rows double, distincts do not
+      spark.sql("INSERT INTO TABLE orders_insert_test SELECT * FROM orders")
+      val doubled = agg("orders_insert_test")
+      val srcCounts = src(0); val dblCounts = doubled(0)
+      assert(dblCounts(0) == srcCounts(0).asInstanceOf[Long] * 2)
+      assert(dblCounts.drop(1) == srcCounts.drop(1)) // distinct counts unchanged
+      assert(doubled(1) == src(1))
+    } finally spark.sql("DROP TABLE IF EXISTS orders_insert_test")
+  }
+
   test("CTAS with STORED AS places the provider before AS, not in the query") {
     // regression: the dialect rewrite once located the 'column list' at the
     // first '(' of the statement, splicing USING into a parenthesized
