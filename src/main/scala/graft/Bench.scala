@@ -24,9 +24,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Corpus-sized shuffle parallelism (see Engine.sizedShufflePartitions):
+    // identical to the thread count at sf0.1/SF1, scales up for SF10+.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(Engine.sizedShufflePartitions(sfDir, cpus.toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -116,7 +121,7 @@ object Bench {
           ",\"runs\":[" + xs.map(f3).mkString(",") + "]" +
           ",\"gc_ms\":[" + gcSamples(n).map(_.toString).mkString(",") + "]}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"shuffle_partitions":$shufflePartitions,"queries":$qs,"sf":"$sfDir"}"""
     }
     // full record next to the checkout (cwd), not a hardcoded absolute
     // path — a silently-swallowed write failure elsewhere would lose the

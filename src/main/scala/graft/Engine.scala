@@ -83,4 +83,29 @@ object Engine {
     openCatalog(spark, dir)
     spark.sql(query)
   }
+
+  /** Shuffle parallelism sized from the corpus, the way a real deployment
+    * sizes it from cluster cores × data volume: ~8 MB of on-disk parquet
+    * per reduce partition (≈ 30–60 MB in-memory per task), floored at the
+    * thread count and capped at 1024. Measured motivation (round 11,
+    * BASELINE.md): at SF10 the fixed 32-partition default puts ~2 GB of
+    * high-cardinality agg through 32 reduce tasks — q20_parts 82 s,
+    * against 19 s at 256 partitions; at sf0.1 the same 256 costs +30%
+    * suite-wide (more map segments and scheduling than work). AQE
+    * coalesces oversized counts downward at runtime but can never split
+    * an undersized one, so the INITIAL number must come from data scale.
+    * sf0.1/SF1 resolve to the thread count (records unchanged); SF10
+    * resolves to 256. */
+  def sizedShufflePartitions(dir: String, cpus: Int): Int = {
+    val bytes =
+      try {
+        val root = new java.io.File(dir)
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+          else f.length()
+        size(root)
+      } catch { case _: Exception => 0L }
+    val byData = bytes / (8L * 1024 * 1024)
+    math.max(cpus.toLong, math.min(1024L, byData)).toInt
+  }
 }

@@ -25,8 +25,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * plain plan traversal.)
   *
   * Budget-2 re-audit at SF10 (round 11, BENCH_SF10.json — 100× the
-  * shipped sf0.1 corpus, 60 M-row lineitem): q11_value 1.59 → 3.84 s and
-  * q15_top 1.50 → 3.12 s going SF1 → SF10, i.e. 2.4× and 2.1× wall for
+  * shipped sf0.1 corpus, 60 M-row lineitem): q11_value 1.59 → 4.01 s and
+  * q15_top 1.50 → 3.00 s going SF1 → SF10, i.e. 2.5× and 2.0× wall for
   * 10× data — far below linear, among the LOWEST ratios in the TPC-H 21.
   * The pruned second pass is measurably immaterial as data grows (it
   * scans 2 columns and ships one row); the budget stands, and the
