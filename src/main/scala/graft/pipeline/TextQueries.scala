@@ -157,15 +157,75 @@ object TextQueries {
       |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_bucket
       |FROM documents""".stripMargin
 
+  /** Document chunking: fixed token windows with overlap — the step every
+    * pretraining pipeline runs between cleaning and tokenization. Window
+    * `ChunkW` = 64 whitespace tokens, stride `ChunkStride` = 48 (overlap
+    * 16); a document of n tokens emits `1 + ceil((n-W)/stride)` chunks
+    * (one chunk when n ≤ W; the final chunk may be short, never empty).
+    *
+    * Scale shape: `sequence` + `posexplode` over per-row arithmetic — a
+    * scan-side rowwise expansion with NO shuffle and no driver
+    * involvement; output rows ≈ input tokens / stride, so the expansion
+    * factor is bounded by construction. Chunk text is emitted as an md5
+    * (content-identity for the dedup tiers downstream) plus its exact
+    * token count — the full chunk text would multiply the output bytes by
+    * the overlap factor for no verification gain. */
+  val ChunkW = 64
+  val ChunkStride = 48
+  val chunk: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = filter(tokens(col("text")), _ =!= "")
+    val n = size(toks)
+    val nChunks = when(n <= ChunkW, lit(1))
+      .otherwise(lit(1) + ceil((n - ChunkW).cast(DoubleType) / ChunkStride)
+        .cast("int"))
+    d.select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1)).as(Seq("pos", "k")),
+        col("toks"))
+      .select(
+        col("doc_id"),
+        col("k").cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("k") * ChunkStride + 1, lit(ChunkW)))
+          .as("n_chunk_tokens"),
+        md5(encode(array_join(
+          slice(col("toks"), col("k") * ChunkStride + 1, lit(ChunkW)), " "),
+          "UTF-8")).as("chunk_md5"))
+  }
+  val chunkSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |                x -> x != '') AS t
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, t, len(t) AS nt,
+      |    CASE WHEN len(t) <= $ChunkW THEN 1
+      |         ELSE 1 + CAST(CEIL(CAST(len(t) - $ChunkW AS DOUBLE)
+      |                            / $ChunkStride) AS INT) END AS n_chunks
+      |  FROM toks
+      |), e AS (
+      |  SELECT doc_id, t, unnest(range(0, n_chunks)) AS k FROM n
+      |)
+      |SELECT doc_id,
+      |  CAST(k AS INT) AS chunk_id,
+      |  CAST(len(t[k*$ChunkStride+1 : k*$ChunkStride+$ChunkW]) AS INT)
+      |    AS n_chunk_tokens,
+      |  md5(array_to_string(t[k*$ChunkStride+1 : k*$ChunkStride+$ChunkW],
+      |      ' ')) AS chunk_md5
+      |FROM e""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q_text_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langId,
-    "q_doc_fingerprint" -> fingerprint)
+    "q_doc_fingerprint" -> fingerprint,
+    "q_text_chunk" -> chunk)
 
   val oracle: Map[String, String] = Map(
     "q_text_token_count" -> tokenCountSql,
     "q_text_quality" -> qualitySql,
     "q_text_langid" -> langIdSql,
-    "q_doc_fingerprint" -> fingerprintSql)
+    "q_doc_fingerprint" -> fingerprintSql,
+    "q_text_chunk" -> chunkSql)
 }
