@@ -46,7 +46,7 @@ object ScaleSmoke {
         // round 4: grouping-set Expand, window frames over high-card keys,
         // multiset set-op, packing cumsum
         "q_rollup", "q_window_frame", "q_window_lag", "q_except_all",
-        "q_pack_bins",
+        "q_pack_bins", "q_text_chunk",
         // round 9: TPC-DS wave 2 — the two-level ticket-granularity
         // aggregate (fact shuffles once on the inner group key) and the
         // count-range/count-star stars
