@@ -302,6 +302,32 @@ def gen_semijoin_query(rng):
             f"AND {gen_predicate(rng, t1)}")
 
 
+def gen_cte_query(rng, table):
+    # WITH clause: a filtered+aggregated CTE consumed twice (join of the
+    # CTE to itself on the group key) — pins single-definition/multi-ref
+    # resolution, which plain inline views never exercise.
+    gpool = cols(table, {"cat", "key"})
+    g = rng.choice(gpool)
+    m = rng.choice(cols(table, {"double", "int"}) or cols(table, {"key"}))
+    return (f"WITH c AS (SELECT {g} AS gk, COUNT(1) AS cnt, "
+            f"CAST(SUM(CAST({m} AS DECIMAL(14,2))) AS DOUBLE) AS s "
+            f"FROM {table} WHERE {gen_predicate(rng, table)} GROUP BY {g}) "
+            f"SELECT a.gk, a.cnt, b.s FROM c a JOIN c b ON a.gk = b.gk "
+            f"ORDER BY a.gk")
+
+
+def gen_offset_query(rng, table):
+    # ORDER BY + LIMIT/OFFSET pagination over a unique total order (a
+    # non-unique order would make the page contents engine-defined).
+    uniq = ", ".join(UNIQ[table])
+    proj = rng.sample(cols(table, {"key", "cat", "int", "double"}), 2)
+    off = rng.choice([0, 10, 100, 999])
+    lim = rng.randint(1, 200)
+    return (f"SELECT {', '.join(dict.fromkeys(proj))} FROM {table} "
+            f"WHERE {gen_predicate(rng, table)} "
+            f"ORDER BY {uniq} LIMIT {lim} OFFSET {off}")
+
+
 def gen_setop_query(rng, table):
     key = cols(table, {"key"})[0]
     proj = rng.sample(cols(table, {"key", "cat", "int"}), 2)
@@ -318,7 +344,7 @@ def gen_setop_query(rng, table):
 def generate(rng, i):
     kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery",
                        "window", "setop", "rollup", "multijoin", "outerjoin",
-                       "groupingsets", "semijoin"])
+                       "groupingsets", "semijoin", "cte", "offset"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
@@ -342,6 +368,10 @@ def generate(rng, i):
         return gen_groupingsets_query(rng, table)
     if kind == "semijoin":
         return gen_semijoin_query(rng)
+    if kind == "cte":
+        return gen_cte_query(rng, table)
+    if kind == "offset":
+        return gen_offset_query(rng, table)
     return gen_scalar_query(rng, table)
 
 
