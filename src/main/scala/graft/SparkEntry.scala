@@ -33,6 +33,7 @@ object SparkEntry {
       pipeline.PackingQueries.all ++
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
+      pipeline.CurationQueries.all ++
       pipeline.SimilarityQueries.all ++
       pipeline.IvfAnn.all ++
       pipeline.Multimodal.all ++
@@ -56,6 +57,7 @@ object SparkEntry {
       pipeline.PackingQueries.oracle ++
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
+      pipeline.CurationQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++
       pipeline.Multimodal.oracle ++
       sources.FormatQueries.oracle

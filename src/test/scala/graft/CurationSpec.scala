@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CurationQueries
+
+/** Pins the curation tier: connected-components transitive closure (the
+  * fixture corpus only has diameter-1 dup clusters, so the chain case must
+  * be planted), decontamination split discipline, PII known answers, and
+  * TF-IDF identities. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents closes a chain transitively") {
+    // 1-2-3-4 is a path: min-label needs >1 round to reach the far end.
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents is orientation-independent") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    // Edges deliberately "backwards" (larger id first).
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupCluster: one canonical per cluster, label is the min member") {
+    val out = CurationQueries.dedupCluster(spark, sfDir)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(out.length === nDocs)
+    out.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.count(_._4) === 1, s"cluster $label canonicals")
+      assert(members.filter(_._4).head._1 === label)
+      assert(members.map(_._1).min === label)
+      assert(members.forall(_._3 === members.length))
+    }
+  }
+
+  test("decontam: eval docs excluded, overlaps positive, rate bounded") {
+    val out = CurationQueries.decontam(spark, sfDir)
+      .select("doc_id", "n_overlap", "n_grams", "contamination_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 % 97 != 0), "eval split must not be scored")
+    assert(out.forall(_._2 >= 1))
+    assert(out.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    assert(out.forall(r => r._2 <= r._3))
+  }
+
+  test("pii: known answers per doc_id residue; clean doc hash = raw hash") {
+    val out = CurationQueries.pii(spark, sfDir)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: 0 ≡ 0 mod 5, 7 and 11 → one of each.
+    assert(out(0L)._2 === 1L); assert(out(0L)._3 === 1L)
+    assert(out(0L)._4 === 1L)
+    // doc 35: divisible by 5 and 7, not 11.
+    assert(out(35L)._2 === 1L); assert(out(35L)._3 === 1L)
+    assert(out(35L)._4 === 0L)
+    // doc 1: no injection → redaction is the identity on word-soup text.
+    assert(out(1L)._2 === 0L && out(1L)._3 === 0L && out(1L)._4 === 0L)
+    val rawMd5 = Tables.table(spark, sfDir, "documents")
+      .filter($"doc_id" === 1L)
+      .select(md5($"text".cast("binary"))).as[String].head()
+    assert(out(1L)._5 === rawMd5)
+  }
+
+  test("tfidf matches an independent recomputation; tf sums to doc length") {
+    val out = CurationQueries.tfidf(spark, sfDir)
+    // Independent oracle: plain Scala over the collected fixture corpus.
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, txt) =>
+      id -> txt.trim.split("\\s+").toSeq }.toMap
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val n = docs.length.toDouble
+    val expected = for {
+      (id, ws) <- toks
+      (term, cnt) <- ws.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    } yield (id, term) ->
+      BigDecimal((cnt.toDouble / ws.size) * math.log(n / dfm(term)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.select($"doc_id", $"term", $"tfidf")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 2e-6, s"$k: $v vs ${expected(k)}") }
+    val sums = out.groupBy("doc_id").agg(sum($"tf_count").as("n"))
+    val lens = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("len"))
+    assert(sums.join(lens, "doc_id").filter($"n" =!= $"len").count() === 0)
+  }
+}

@@ -83,7 +83,22 @@ class FactScanSpec extends SparkSpec {
       "q_dedup_ngram_jaccard_hi" -> ("documents", 4),
       "q_ann_brute" -> ("embeddings", 2),
       "q_ann_lsh" -> ("embeddings", 2),
-      "q_ann_ivf" -> ("embeddings", 2))
+      "q_ann_ivf" -> ("embeddings", 2),
+      // Curation tier: decontam reads the corpus once per split side (the
+      // per-doc gram count rides with the exploded grams — a third pass
+      // would be a regression); pii is a pure projection; tfidf's tf/df/
+      // join branches all read the CHECKPOINTED (doc,term) aggregate
+      // (derivation scan lineage-truncated), leaving only the pruned
+      // one-row corpus-count scan visible.
+      "q_decontam" -> ("documents", 2),
+      "q_text_pii" -> ("documents", 1),
+      "q_text_tfidf" -> ("documents", 1),
+      // All of dedupCluster's corpus scans happen eagerly inside the
+      // label-propagation loop and are then lineage-truncated; the final
+      // plan reads only materialized label/size frames. 0 pins exactly
+      // that: a nonzero count means the truncation regressed and the
+      // iterative lineage is being replayed per downstream action.
+      "q_dedup_cluster" -> ("documents", 0))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (q, (tbl, n)) =>
       val got = factScans(q)(tbl)
       if (got != n) Some(s"$q scans $tbl ${got}x (pinned $n)") else None
