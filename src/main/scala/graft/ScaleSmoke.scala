@@ -50,7 +50,13 @@ object ScaleSmoke {
         // round 9: TPC-DS wave 2 — the two-level ticket-granularity
         // aggregate (fact shuffles once on the inner group key) and the
         // count-range/count-star stars
-        "qds46_bought_city", "qds73_count_range2", "qds96_count_join")
+        "qds46_bought_city", "qds73_count_range2", "qds96_count_join",
+        // round 11: curation tier — clustering gets factor-sized cliques
+        // (every amplified doc has factor-1 identical twins, so the pair
+        // graph is the dense worst case for label propagation), decontam's
+        // broadcast gram set grows with the eval split, tfidf's checkpoint
+        // materializes factor× (doc,term) rows
+        "q_dedup_cluster", "q_decontam", "q_text_tfidf")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 

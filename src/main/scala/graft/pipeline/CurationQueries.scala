@@ -142,8 +142,14 @@ object CurationQueries {
     * the fixture data (~170 of 500 docs at sf0.01). */
   private val DecontamN = 3
 
-  private def wordNgrams(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
+  /** N-grams over an ALREADY-MATERIALIZED token-array column. The caller
+    * must project `tokens(...)` into its own column first: fed the split
+    * expression inline, every `element_at` re-runs the regex split (~3·g
+    * splits per doc — measured 22 s for the gram pass alone at sf0.1 vs
+    * ~2 s materialized; CollapseProject keeps a multiply-referenced
+    * non-cheap projection, which is exactly what the two-step select
+    * exploits — same shape as [[DedupQueries.shingled]]). */
+  private def wordNgrams(toks: Column, n: Int): Column = {
     // Guarded: Spark's sequence(0, stop) steps DOWNWARD for stop < 0, so a
     // doc shorter than n tokens must short-circuit to an empty gram set.
     when(size(toks) < n, array().cast("array<string>"))
@@ -161,13 +167,19 @@ object CurationQueries {
   val decontam: QueryFn = (s, dir) => {
     val d = t(s, dir, "documents")
     // Per-doc gram count rides along with the exploded grams, so the final
-    // aggregate needs no third corpus pass to fetch it.
+    // aggregate needs no third corpus pass to fetch it. explode_OUTER, not
+    // explode: plain explode triggers InferFiltersFromGenerate, whose
+    // size(gs)>0 predicate is pushed below the projections with the whole
+    // gram expression INLINED (3 re-evaluations per input row, each
+    // re-splitting the text per element access — measured 15 of the 20 s
+    // this query initially cost at sf0.1). The inner join on `g` drops the
+    // empty-doc null rows explode_outer emits, so semantics are identical.
     val ng = d
-      .select(col("doc_id"), wordNgrams(col("text"), DecontamN).as("gs"))
-      .filter(size(col("gs")) >= 1)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), wordNgrams(col("w"), DecontamN).as("gs"))
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
-              explode(col("gs")).as("g"))
-    val eval_ = ng.filter(col("doc_id") % EvalMod === 0)
+              explode_outer(col("gs")).as("g"))
+    val eval_ = ng.filter(col("doc_id") % EvalMod === 0 && col("g").isNotNull)
       .select(col("g")).distinct()
     ng.filter(col("doc_id") % EvalMod =!= 0)
       .join(broadcast(eval_), "g")
