@@ -56,7 +56,15 @@ object ScaleSmoke {
         // graph is the dense worst case for label propagation), decontam's
         // broadcast gram set grows with the eval split, tfidf's checkpoint
         // materializes factor× (doc,term) rows
-        "q_dedup_cluster", "q_decontam", "q_text_tfidf")
+        "q_dedup_cluster", "q_decontam", "q_text_tfidf",
+        // round 11b: repetition's per-row distinct×total gram scan grows
+        // with doc length not corpus size (should scale linearly), the
+        // stratified sampler's per-lang window is the serialization-prone
+        // shape (5 strata = 5 tasks, the documented scale limit), bm25's
+        // checkpoint + broadcast-stats second pass, int8 ANN's quantize +
+        // integer-dot scoring
+        "q_text_repetition", "q_sample_stratified", "q_search_bm25",
+        "q_ann_int8")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 

@@ -31,6 +31,7 @@ object SparkEntry {
       operators.WindowQueries.all ++
       operators.GroupingQueries.all ++
       pipeline.PackingQueries.all ++
+      pipeline.MixtureQueries.all ++
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
       pipeline.CurationQueries.all ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.WindowQueries.oracle ++
       operators.GroupingQueries.oracle ++
       pipeline.PackingQueries.oracle ++
+      pipeline.MixtureQueries.oracle ++
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
       pipeline.CurationQueries.oracle ++

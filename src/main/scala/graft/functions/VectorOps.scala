@@ -95,6 +95,24 @@ object VectorOps {
     ColumnBridge.column(DotProductF(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Σ aᵢ·bᵢ over long arrays, accumulated as long — EXACT integer math
+    * (the primitive a quantized-embedding tier scores with: int8 values
+    * bound each product by 127², so a 2⁴⁸-dim vector still can't overflow). */
+  def dotLL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductL(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def minhashSignature(hashes: Column): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes)))
 }
@@ -123,6 +141,32 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
     copy(left = l, right = r)
   override def prettyName: String = "dot"
+}
+
+/** dot_long(array<bigint>, array<bigint>) → bigint (exact). */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_long expects (array<bigint>, array<bigint>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLL($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductL =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_long"
 }
 
 /** jaccard_sorted(array<bigint>, array<bigint>) → double. */

@@ -266,8 +266,16 @@ object ExprQueries {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
       |  l_discount, l_tax, l_returnflag LIMIT 5000""".stripMargin
 
-  /** fnv_hash — our codegen'd Catalyst expression; no DuckDB equivalent, so
-    * exactness is pinned by FnvHashSpec's known-answer vectors instead. */
+  /** fnv_hash — our codegen'd Catalyst expression. DuckDB has no fnv
+    * builtin, but FNV-1a is 8 integer ops per byte, so the oracle BUILDS it
+    * from scratch with HUGEINT modular arithmetic (`list_reduce` over the
+    * byte sequence, xor on the low byte, ×prime mod 2⁶⁴) and re-signs the
+    * result to int64 — every one of the 2×25 hashes is hash-compared
+    * bit-exactly, upgraded from rows-only (round 11b). The known-answer
+    * vectors in FnvHashSpec stay as the primary spec. The oracle's string
+    * byte walk uses ascii() per char, valid because nation names are pure
+    * ASCII (UTF-8 bytes == codepoints); the int walk shifts out 4
+    * little-endian slot bytes exactly like FnvHash.hashLong. */
   val fnv: QueryFn = (s, dir) => {
     val n = t(s, dir, "nation")
     n.select(
@@ -326,7 +334,35 @@ object ExprQueries {
     "q_expr_in_between" -> inBetween,
     "q_fnv_hash" -> fnv)
 
+  val fnvSql: String =
+    """WITH b AS (
+      |  SELECT n_nationkey,
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, len(n_name)+1),
+      |        i -> CAST(ascii(n_name[i]) AS HUGEINT))) AS name_bytes,
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(0, 4),
+      |        i -> CAST((CAST(n_nationkey AS BIGINT) >> (8*i)) & 255 AS HUGEINT)))
+      |      AS key_bytes
+      |  FROM nation),
+      |h AS (
+      |  SELECT n_nationkey,
+      |    list_reduce(name_bytes, (acc, x) ->
+      |      ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+      |       * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hn,
+      |    list_reduce(key_bytes, (acc, x) ->
+      |      ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+      |       * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hk
+      |  FROM b)
+      |SELECT n_nationkey,
+      |  CASE WHEN hn >= 9223372036854775808 THEN CAST(hn - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST(hn AS BIGINT) END AS h_name,
+      |  CASE WHEN hk >= 9223372036854775808 THEN CAST(hk - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST(hk AS BIGINT) END AS h_key
+      |FROM h ORDER BY n_nationkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_fnv_hash" -> fnvSql,
     "q_date_arith" -> dateArithSql,
     "q_expr_math" -> mathSql,
     "q_expr_string" -> stringSql,

@@ -121,10 +121,92 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127, qᵢ =
+    * floor(xᵢ/scale + 0.5) ∈ [-127, 127]. floor(x+0.5) rather than a
+    * round() builtin because floor is exactly specified on both engines
+    * while round's half-case convention differs (Spark HALF_UP on the
+    * decimal repr, DuckDB half-away on the binary value). Spark's floor
+    * over double yields LONG, so the quantized vector is array<bigint> —
+    * every downstream product/sum is EXACT integer math, which is what
+    * makes this tier fully oracle-checkable (no FP accumulation order to
+    * disagree about). Zero vectors have no direction (scale 0) and are
+    * excluded exactly as [[withNorm]] excludes them from the float tier. */
+  private[graft] def int8Quantized(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val scale =
+      array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))) / 127.0
+    e.select(col("vec_id"), col("embedding"), scale.as("s"))
+      .where(col("s") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) / col("s") + 0.5)).as("qv"))
+  }
+
+  /** Exact cosine top-5 over int8-QUANTIZED vectors for queries vec_id < 10
+    * — the memory-scale path: at 100 TB an int8 corpus is 4× smaller than
+    * float32 (64 B/vector here), which is the difference between an
+    * in-memory ANN shard and a spilling one. Cosine is scale-invariant, so
+    * the per-vector scales cancel and scoring runs on the integer vectors
+    * alone: one codegen'd exact long dot product per pair
+    * ([[graft.functions.VectorOps.dotLong]]), broadcast queries × corpus
+    * scan, no corpus shuffle — same plan shape as [[annBrute]]. Ranking
+    * agreement vs the float baseline is pinned in SimilaritySpec. */
+  val annInt8: QueryFn = (s, dir) => {
+    val e = int8Quantized(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("qv"),
+        sqrt(graft.functions.VectorOps.dotLong(col("qv"), col("qv"))
+          .cast("double")).as("qnorm"))
+    val q = broadcast(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+                col("qnorm").as("q_qnorm")))
+    val scored = q.crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorOps.dotLong(col("q_qv"), col("qv")).cast("double")
+                / (col("q_qnorm") * col("qnorm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+  val annInt8Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS v
+      |  FROM sc WHERE s > 0),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(CAST(list_aggregate(list_transform(v, x -> x * x), 'sum') AS DOUBLE)) AS qnorm
+      |  FROM qv),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id,
+      |    ROUND(CAST(list_aggregate(list_transform(range(1, len(q.v) + 1),
+      |            i -> q.v[i] * e.v[i]), 'sum') AS DOUBLE)
+      |          / (q.qnorm * e.qnorm), 6) AS cosine
+      |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id != q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, rn, vec_id, cosine FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q_ann_brute" -> annBrute,
-    "q_ann_lsh" -> annLsh)
+    "q_ann_lsh" -> annLsh,
+    "q_ann_int8" -> annInt8)
 
   val oracle: Map[String, String] = Map(
-    "q_ann_brute" -> annBruteSql)
+    "q_ann_brute" -> annBruteSql,
+    "q_ann_int8" -> annInt8Sql)
 }

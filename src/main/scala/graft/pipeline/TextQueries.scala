@@ -215,17 +215,98 @@ object TextQueries {
       |      ' ')) AS chunk_md5
       |FROM e""".stripMargin
 
+  /** Repetition filters (the Gopher/MassiveText family): boilerplate and
+    * degenerate generations show up as REPEATED n-grams, not as bad
+    * vocabulary, so production quality gates threshold on
+    *
+    *  - `dup_token_frac`: fraction of token occurrences that are repeats
+    *    of an earlier token (1 − distinct/total),
+    *  - `top_2gram_frac` / `top_3gram_frac`: share of all n-gram positions
+    *    taken by the single most frequent n-gram,
+    *  - `dup_5gram_frac`: share of 5-gram positions that duplicate another
+    *    position (the long-window variant that catches looping text).
+    *
+    * All four are ratios of exact integer counts, so the doubles are
+    * bit-identical across engines (single division, no rounding needed).
+    * Pure projection — fuses into the scan, zero shuffle at any corpus
+    * size. The per-row top-count is distinct×total element comparisons,
+    * bounded by the document's own length (no joins, no state); docs
+    * shorter than n emit 0.0 for that window. */
+  val repetition: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    def grams(toks: Column, n: Int): Column =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+    def topFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(
+          array_max(transform(array_distinct(g),
+            u => size(filter(g, x => x === u)))).cast(DoubleType)
+            / size(g))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise((size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
+    val toksC = tokens(col("text"))
+    // Materialized token/gram columns: multiply-referenced non-cheap
+    // expressions must land in their own projection or each reference
+    // re-splits the text (same trap wordNgrams documents in Curation).
+    d.select(col("doc_id"), toksC.as("w"))
+      .select(col("doc_id"), col("w"),
+        grams(col("w"), 2).as("g2"), grams(col("w"), 3).as("g3"),
+        grams(col("w"), 5).as("g5"))
+      .select(
+        col("doc_id"),
+        dupFrac(col("w")).as("dup_token_frac"),
+        topFrac(col("g2")).as("top_2gram_frac"),
+        topFrac(col("g3")).as("top_3gram_frac"),
+        dupFrac(col("g5")).as("dup_5gram_frac"))
+  }
+  val repetitionSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(0, len(w)-1),
+      |      i -> w[i+1] || ' ' || w[i+2]) END AS g2,
+      |    CASE WHEN len(w) < 3 THEN [] ELSE list_transform(range(0, len(w)-2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g3,
+      |    CASE WHEN len(w) < 5 THEN [] ELSE list_transform(range(0, len(w)-4),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |           || ' ' || w[i+5]) END AS g5
+      |  FROM tk)
+      |SELECT doc_id,
+      |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+      |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) END
+      |    AS dup_token_frac,
+      |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+      |    CAST(list_max(list_transform(list_distinct(g2),
+      |      u -> len(list_filter(g2, x -> x = u)))) AS DOUBLE) / len(g2) END
+      |    AS top_2gram_frac,
+      |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+      |    CAST(list_max(list_transform(list_distinct(g3),
+      |      u -> len(list_filter(g3, x -> x = u)))) AS DOUBLE) / len(g3) END
+      |    AS top_3gram_frac,
+      |  CASE WHEN len(g5) = 0 THEN 0.0 ELSE
+      |    CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) END
+      |    AS dup_5gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q_text_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langId,
     "q_doc_fingerprint" -> fingerprint,
-    "q_text_chunk" -> chunk)
+    "q_text_chunk" -> chunk,
+    "q_text_repetition" -> repetition)
 
   val oracle: Map[String, String] = Map(
     "q_text_token_count" -> tokenCountSql,
     "q_text_quality" -> qualitySql,
     "q_text_langid" -> langIdSql,
     "q_doc_fingerprint" -> fingerprintSql,
-    "q_text_chunk" -> chunkSql)
+    "q_text_chunk" -> chunkSql,
+    "q_text_repetition" -> repetitionSql)
 }
