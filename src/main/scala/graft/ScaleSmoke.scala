@@ -64,7 +64,7 @@ object ScaleSmoke {
         // checkpoint + broadcast-stats second pass, int8 ANN's quantize +
         // integer-dot scoring
         "q_text_repetition", "q_sample_stratified", "q_search_bm25",
-        "q_ann_int8")
+        "q_ann_int8", "q_doc_winnow")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 

@@ -73,6 +73,43 @@ object MixtureQueries {
        |QUALIFY cum_chars <= $StratumCharBudget
        |ORDER BY lang, sample_rank""".stripMargin
 
+  /** The 100 TB form of [[stratifiedSample]]: no per-stratum sort at all.
+    * Per-stratum totals (a tiny aggregate, broadcast) turn the byte budget
+    * into a keep-RATE, and a document is kept iff its deterministic hash
+    * unit u = int(md5[0:8])/2³² falls below the stratum's rate — one
+    * shuffle-free scan, unbiased expected budget adherence (exact-budget
+    * selection is what the window variant above is for; MixtureSpec
+    * measures the adherence of this one against it). Strata smaller than
+    * the budget get rate 1.0 and are kept whole. Same "smp" hash domain as
+    * the window variant, so the two samplers rank documents identically. */
+  val stratifiedSampleThreshold: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val totals = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("tot"))
+    val u = conv(substring(
+        md5(concat(lit("smp"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast(DoubleType) / lit(4294967296.0)
+    d.join(broadcast(totals), "lang")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        u.as("hash_u"),
+        least(lit(1.0), lit(StratumCharBudget.toDouble) / col("tot"))
+          .as("keep_rate"))
+      .filter(col("hash_u") < col("keep_rate"))
+  }
+  val stratifiedSampleThresholdSql: String =
+    s"""WITH tot AS (
+       |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tot
+       |  FROM documents GROUP BY lang),
+       |u AS (
+       |  SELECT d.lang, d.doc_id, d.n_chars,
+       |    CAST(CAST(('0x' || substr(
+       |        md5('smp' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      AS DOUBLE) / 4294967296.0 AS hash_u,
+       |    LEAST(1.0, ${StratumCharBudget.toDouble} / tot) AS keep_rate
+       |  FROM documents d JOIN tot USING (lang))
+       |SELECT lang, doc_id, n_chars, hash_u, keep_rate
+       |FROM u WHERE hash_u < keep_rate
+       |ORDER BY lang, doc_id""".stripMargin
+
   // ------------------------------------------------------------------ bm25
 
   /** Fixed keyword query. BM25 parameters are the classic Robertson
@@ -175,9 +212,11 @@ object MixtureQueries {
 
   val all: Map[String, QueryFn] = Map(
     "q_sample_stratified" -> stratifiedSample,
+    "q_sample_threshold" -> stratifiedSampleThreshold,
     "q_search_bm25" -> bm25)
 
   val oracle: Map[String, String] = Map(
     "q_sample_stratified" -> stratifiedSampleSql,
+    "q_sample_threshold" -> stratifiedSampleThresholdSql,
     "q_search_bm25" -> bm25Sql)
 }

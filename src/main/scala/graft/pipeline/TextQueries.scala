@@ -215,6 +215,48 @@ object TextQueries {
       |      ' ')) AS chunk_md5
       |FROM e""".stripMargin
 
+  /** Winnowing fingerprints ([[graft.functions.Winnow]] — MOSS rolling-hash
+    * k-gram fingerprinting, k=8 w=4 base=263 mod 2³¹−1): one row per
+    * (doc, selected fingerprint). Complements [[fingerprint]]'s whole-doc
+    * md5: winnowing survives partial overlap (any shared ≥11-char substring
+    * of the normalized text shares a fingerprint), which is what a
+    * plagiarism/near-dup index joins on. The expression is a single
+    * codegen'd O(n) pass (monotonic-deque window minimum over a true
+    * rolling hash); output is the canonical sorted distinct VALUE set, so
+    * the DuckDB oracle can rebuild it positionally with list ops (its
+    * per-char ascii() byte walk is exact on this ASCII corpus, same domain
+    * note as the fnv oracle). At 100 TB the (fingerprint → doc) inverted
+    * index this explodes into is an ordinary hash-shuffle groupBy. */
+  val winnowFp: QueryFn = (s, dir) => {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        explode(graft.functions.Winnow(normalizedText(col("text"))))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+  val winnowFpSql: String =
+    """WITH nt AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(s) - 7, 0) + 1),
+      |      i -> list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(i, i + 8),
+      |            j -> CAST(ascii(s[j]) AS BIGINT))),
+      |        (acc, c) -> (acc * 263 + c) % 2147483647)) AS hs
+      |  FROM nt),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN []
+      |         WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+      |                j -> list_min(hs[j:j+3]))) END AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(list_sort(fps)) AS fingerprint
+      |FROM fp ORDER BY doc_id, fingerprint""".stripMargin
+
   /** Repetition filters (the Gopher/MassiveText family): boilerplate and
     * degenerate generations show up as REPEATED n-grams, not as bad
     * vocabulary, so production quality gates threshold on
@@ -239,12 +281,24 @@ object TextQueries {
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
-    def topFrac(g: Column): Column =
+    // Top-frequency via longest equal-run in the SORTED gram array —
+    // O(L log L) + one linear fold, vs the naive distinct×total nested
+    // filter (O(L²) lambda evals/row: measured 3.1 s vs ~0.6 s at sf0.1).
+    def topFrac(g: Column): Column = {
+      val best = aggregate(
+        array_sort(g),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val newRun =
+            when(acc.getField("prev") === x, acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+          struct(x.as("prev"), newRun.as("run"),
+                 greatest(acc.getField("best"), newRun).as("best"))
+        },
+        acc => acc.getField("best"))
       when(size(g) === 0, lit(0.0))
-        .otherwise(
-          array_max(transform(array_distinct(g),
-            u => size(filter(g, x => x === u)))).cast(DoubleType)
-            / size(g))
+        .otherwise(best.cast(DoubleType) / size(g))
+    }
     def dupFrac(g: Column): Column =
       when(size(g) === 0, lit(0.0))
         .otherwise((size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
@@ -300,7 +354,8 @@ object TextQueries {
     "q_text_langid" -> langId,
     "q_doc_fingerprint" -> fingerprint,
     "q_text_chunk" -> chunk,
-    "q_text_repetition" -> repetition)
+    "q_text_repetition" -> repetition,
+    "q_doc_winnow" -> winnowFp)
 
   val oracle: Map[String, String] = Map(
     "q_text_token_count" -> tokenCountSql,
@@ -308,5 +363,6 @@ object TextQueries {
     "q_text_langid" -> langIdSql,
     "q_doc_fingerprint" -> fingerprintSql,
     "q_text_chunk" -> chunkSql,
-    "q_text_repetition" -> repetitionSql)
+    "q_text_repetition" -> repetitionSql,
+    "q_doc_winnow" -> winnowFpSql)
 }

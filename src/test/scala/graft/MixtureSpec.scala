@@ -70,6 +70,26 @@ class MixtureSpec extends SparkSpec {
     assert(again == rows.map(r => (r.getString(0), r.getLong(2))).toSet)
   }
 
+  test("threshold sampler: full keep under budget, adherence over it") {
+    // Tiny corpus: total chars far below the 10000 budget -> rate 1.0,
+    // every document kept.
+    val dir = writeDocs((1L to 20L).map(i => (i, s"doc $i body text")))
+    val all = pipeline.MixtureQueries.stratifiedSampleThreshold(spark, dir)
+    assert(all.count() == 20)
+    assert(all.select(min(col("keep_rate"))).collect()(0).getDouble(0) == 1.0)
+    // sf0.01: every stratum exceeds the budget; expected kept bytes per
+    // stratum = budget. Accept a generous stochastic band (the kept set is
+    // ~20-40 docs per stratum; 3x covers >5 sigma of the binomial).
+    val th = pipeline.MixtureQueries
+      .stratifiedSampleThreshold(spark, "/root/testdata/sf0.01").collect()
+    th.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val bytes = rs.map(_.getLong(2)).sum
+      assert(bytes > 10000 / 3 && bytes < 10000 * 3,
+        s"$lang kept $bytes chars vs budget 10000")
+      assert(rs.forall(r => r.getDouble(3) < r.getDouble(4)))
+    }
+  }
+
   test("bm25 rows all match a query term, scores descend, top-k plan") {
     val df = pipeline.MixtureQueries.bm25(spark, sfDir)
     val rows = df.collect()
