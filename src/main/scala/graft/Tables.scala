@@ -59,13 +59,18 @@ object Tables {
         // µs wall-clock meant as UTC. The bare NTZ→LTZ cast interprets the
         // wall-clock in the SESSION zone — overwriting the session zone here
         // (the old fix) silently changed timestamp semantics for every later
-        // query of an externally-created non-UTC session. Instead convert
-        // zone-independently: rebase the wall-clock from UTC into whatever
-        // the session zone is, then cast — the cast's session-zone
-        // interpretation exactly cancels the rebase, yielding the UTC
-        // instant under ANY session zone, no session mutation.
+        // query of an externally-created non-UTC session. And the previous
+        // zone-free fix (rebase UTC→session-zone wall, then cast) was not
+        // instant-preserving under a DST session zone: the session-local
+        // wall-clock is not injective over instants, so fall-back-overlap
+        // instants round-tripped an hour off. Construct the instant with NO
+        // session-zone round-trip at all: every field extraction below is
+        // defined directly on the NTZ wall-clock, and make_timestamp's
+        // explicit 'UTC' zone argument anchors them zone-freely (UTC has no
+        // DST, so every wall-clock is unambiguous).
         raw.withColumn("ts",
-          expr("convert_timezone('UTC', current_timezone(), ts)")
+          expr("""make_timestamp(year(ts), month(ts), day(ts), hour(ts),
+                 minute(ts), extract(SECOND FROM ts), 'UTC')""")
             .cast(TimestampType))
       case _ => raw // already µs TimestampType (e.g. a ScaleSmoke rewrite)
     }

@@ -16,16 +16,15 @@ import graft.pipeline.TextQueries.tokens
   * operations the brief's training-data-pipeline mandate adds on top of
   * SURVEY §2. Scale design per operator:
   *
-  *  - Clustering: min-label propagation over the near-dup pair graph. Each
-  *    round is ONE shuffle keyed on node id; rounds = cluster diameter,
-  *    which for near-dup graphs at a high threshold is tiny (dups of the
-  *    same content are mutually similar, so components are near-cliques).
+  *  - Clustering: min-label propagation + pointer jumping over the
+  *    near-dup pair graph. Each round is a bounded number of shuffles keyed
+  *    on node id, and the pointer-jump step (label := label's label, the
+  *    shortcutting move large-star/small-star algorithms build on — Kiveris
+  *    et al., "Connected Components in MapReduce") doubles label reach per
+  *    round, so rounds = O(log diameter) even on adversarial chains; the
+  *    near-clique components real near-dup graphs produce converge in 1-3.
   *    The edge list is the dedup tier's output — orders of magnitude smaller
   *    than the corpus — and the label frame carries (id, label) longs only.
-  *    At adversarial diameters the two-phase large-star/small-star variant
-  *    (Kiveris et al., "Connected Components in MapReduce") caps rounds at
-  *    O(log n); the propagation loop here is the same shuffle pattern, so
-  *    swapping the step function is local.
   *  - Decontamination: the eval split's distinct n-gram set is broadcast
   *    (eval benchmarks are MBs against a 100 TB train corpus), so the scan
   *    stays shuffle-free on the train side until the final per-doc count.
@@ -59,11 +58,24 @@ object CurationQueries {
 
   /** Min-label propagation to a fixpoint. `nodes` must have a `doc_id`
     * column; `edges` columns `doc_a`/`doc_b` (undirected, any orientation).
-    * Each iteration: every node takes the min of its own label and its
-    * neighbours' labels — one aggregate + one join, both keyed on node id.
+    * Each iteration does two shuffle-bounded steps, both keyed on node id:
+    *
+    *  1. neighbour step — every node takes the min of its own label and its
+    *     neighbours' labels (one aggregate + one join);
+    *  2. pointer jump — every node then adopts its LABEL's current label
+    *     (one self-join on the label frame). Jumping composes the
+    *     label-pointer function with itself, so the distance a label
+    *     travels per round DOUBLES: convergence is O(log diameter), not
+    *     O(diameter) — a 64-round cap genuinely covers any finite graph
+    *     (2⁶⁴-node path), not just the near-clique components real
+    *     near-dup graphs produce (those converge in 1–3 rounds).
+    *
     * Convergence is checked with a scalar count per round (the Pregel
     * pattern); lineage is truncated with localCheckpoint so the plan does
-    * not grow with the iteration count. */
+    * not grow with the iteration count. If the cap is ever hit without a
+    * fixpoint the method THROWS rather than returning silently-partial
+    * labels (a non-canonical cluster id would let near-dups survive
+    * downstream dedup unnoticed). */
   private[graft] def connectedComponents(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges
@@ -74,9 +86,8 @@ object CurationQueries {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    // Diameter bound: 64 handles any graph this could meet (a 2^64-node
-    // path); real near-dup components converge in 1-3 rounds.
-    while (!converged && iter < 64) {
+    val MaxRounds = 64
+    while (!converged && iter < MaxRounds) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src"))
@@ -88,11 +99,27 @@ object CurationQueries {
                       coalesce(col("nbr_label"), col("label"))).as("label"),
                 (coalesce(col("nbr_label"), col("label")) < col("label"))
                   .as("changed"))
+        .localCheckpoint(true) // referenced twice by the self-join below
+      // Pointer jump: label := label(label). Labels are themselves node
+      // ids, so the lookup is a self-join; a missing row (label already
+      // canonical) keeps its value.
+      val tbl = stepped.select(col("doc_id").as("l_id"), col("label").as("l_lbl"))
+      val jumped = stepped
+        .join(tbl, stepped("label") === tbl("l_id"), "left")
+        .select(stepped("doc_id"),
+                coalesce(col("l_lbl"), stepped("label")).as("label"),
+                (stepped("changed") ||
+                  coalesce(col("l_lbl"), stepped("label")) < stepped("label"))
+                  .as("changed"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("changed")).limit(1).isEmpty
-      labels = stepped.select(col("doc_id"), col("label"))
+      converged = jumped.filter(col("changed")).limit(1).isEmpty
+      labels = jumped.select(col("doc_id"), col("label"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds — " +
+          "adversarial graph beyond the doubling bound?")
     labels
   }
 
@@ -142,21 +169,10 @@ object CurationQueries {
     * the fixture data (~170 of 500 docs at sf0.01). */
   private val DecontamN = 3
 
-  /** N-grams over an ALREADY-MATERIALIZED token-array column. The caller
-    * must project `tokens(...)` into its own column first: fed the split
-    * expression inline, every `element_at` re-runs the regex split (~3·g
-    * splits per doc — measured 22 s for the gram pass alone at sf0.1 vs
-    * ~2 s materialized; CollapseProject keeps a multiply-referenced
-    * non-cheap projection, which is exactly what the two-step select
-    * exploits — same shape as [[DedupQueries.shingled]]). */
-  private def wordNgrams(toks: Column, n: Int): Column = {
-    // Guarded: Spark's sequence(0, stop) steps DOWNWARD for stop < 0, so a
-    // doc shorter than n tokens must short-circuit to an empty gram set.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))))
-  }
+  /** Distinct word n-grams — the shared builder ([[TextQueries.wordNgrams]],
+    * which also carries the materialize-your-tokens-first caveat). */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    TextQueries.wordNgrams(toks, n, distinct = true)
 
   /** Decontamination: per train document, how many of its distinct word
     * 3-grams appear anywhere in the eval split. The eval n-gram set is

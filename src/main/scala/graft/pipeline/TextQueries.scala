@@ -20,6 +20,24 @@ object TextQueries {
   /** Whitespace tokens of the (trimmed) document text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column — THE
+    * n-gram builder (shingling, decontamination, repetition all call this;
+    * keep the short-doc guard and window build in one place). The caller
+    * must project its token split into its own column first: fed the split
+    * expression inline, every `element_at` re-runs the regex split
+    * (CollapseProject keeps a multiply-referenced non-cheap projection,
+    * which is exactly what the two-step select exploits — measured 22 s vs
+    * ~2 s at sf0.1 in the decontam gram pass). Guarded because Spark's
+    * `sequence(0, stop)` steps DOWNWARD for stop < 0: a doc shorter than n
+    * tokens must short-circuit to an empty gram set. */
+  def wordNgrams(toks: Column, n: Int, distinct: Boolean): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(if (distinct) array_distinct(grams) else grams)
+  }
+
   /** Whitespace-normalized lowercase text — THE content-identity key: both
     * exact dedup (DedupQueries) and fingerprinting hash this exact
     * expression, so dedup groups and fingerprint shard buckets stay
@@ -229,10 +247,12 @@ object TextQueries {
     * index this explodes into is an ordinary hash-shuffle groupBy. */
   val winnowFp: QueryFn = (s, dir) => {
     val d = t(s, dir, "documents")
+    // No global orderBy: the compare harness sorts rows itself, and a
+    // range-exchange over the exploded fingerprint frame would be pure
+    // waste at scale (same convention as fingerprint/dedup outputs).
     d.select(col("doc_id"),
         explode(graft.functions.Winnow(normalizedText(col("text"))))
           .as("fingerprint"))
-      .orderBy(col("doc_id"), col("fingerprint"))
   }
   val winnowFpSql: String =
     """WITH nt AS (
@@ -277,10 +297,7 @@ object TextQueries {
   val repetition: QueryFn = (s, dir) => {
     val d = t(s, dir, "documents")
     def grams(toks: Column, n: Int): Column =
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+      wordNgrams(toks, n, distinct = false)
     // Top-frequency via longest equal-run in the SORTED gram array —
     // O(L log L) + one linear fold, vs the naive distinct×total nested
     // filter (O(L²) lambda evals/row: measured 3.1 s vs ~0.6 s at sf0.1).

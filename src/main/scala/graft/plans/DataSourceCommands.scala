@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
@@ -28,12 +26,19 @@ import org.apache.spark.sql.types.StringType
   */
 object DataSourceRegistry {
   /** name → (location, className, apiVersion); names are case-insensitive
-    * identifiers, stored lowercased like the reference catalog's. */
-  private val bySession =
-    new ConcurrentHashMap[SparkSession, TrieMap[String, (String, String, String)]]()
+    * identifiers, stored lowercased like the reference catalog's. WEAK keys:
+    * a strong map would pin every session that ever ran a DATASOURCE
+    * command (and its sessionState/caches) for the JVM lifetime — a real
+    * leak in long-lived drivers that mint per-request `newSession()`s. */
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, (String, String, String)]]())
 
   def forSession(spark: SparkSession): TrieMap[String, (String, String, String)] =
-    bySession.computeIfAbsent(spark, _ => TrieMap.empty)
+    bySession.synchronized {
+      var m = bySession.get(spark)
+      if (m == null) { m = TrieMap.empty; bySession.put(spark, m) }
+      m
+    }
 
   /** Hive SHOW-pattern match: `*` wildcard, `|` alternation, rest literal. */
   def matchesHivePattern(pattern: String, candidate: String): Boolean =

@@ -21,6 +21,20 @@ class CurationSpec extends SparkSpec {
                        10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents converges on a 150-node path (pointer jumping)") {
+    // Diameter 149: one-hop-per-round min-label alone would need 149
+    // rounds and silently mislabel under the 64-round cap; the pointer
+    // jump makes label reach double per round (~8 rounds here), and
+    // non-convergence now throws instead of returning partial labels.
+    val n = 150L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L), s"stragglers: ${got.filter(_._2 != 1L)}")
+  }
+
   test("connectedComponents is orientation-independent") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     // Edges deliberately "backwards" (larger id first).

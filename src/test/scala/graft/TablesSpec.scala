@@ -25,4 +25,38 @@ class TablesSpec extends SparkSpec {
       "instants must be identical under any session zone")
     assert(utc.nonEmpty)
   }
+
+  test("NTZ normalization is exact through DST-ambiguous session wall-clocks") {
+    // A DST session zone is the adversarial case: instants that land in the
+    // zone's fall-back overlap (two offsets share one wall-clock) or
+    // spring-forward gap (no offset has that wall-clock) break any
+    // normalization that round-trips through the session-local wall-clock.
+    // 2026-11-01 09:30Z maps to America/Los_Angeles wall 01:30 PST — the
+    // SECOND occurrence of 01:30 that morning; a rebase-then-cast picks the
+    // first (PDT) and lands an hour early. 2026-03-08 10:30Z sits right
+    // after the spring-forward gap. Both must round-trip exactly.
+    val la = spark.newSession()
+    la.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    import org.apache.spark.sql.functions._
+    val walls = Seq(
+      "2026-11-01 08:30:00.123456", // -> LA 01:30 PDT (first pass)
+      "2026-11-01 09:30:00.000001", // -> LA 01:30 PST (ambiguous twin)
+      "2026-03-08 10:30:00.5",      // spring-forward morning
+      "2026-06-15 12:00:00")        // plain summer control
+    val df = {
+      import la.implicits._
+      walls.toDF("w").select(
+        col("w"),
+        to_timestamp_ntz(col("w")).as("ts"))
+    }
+    val out = Tables.normalizeEventsTs(df)
+      .select(col("w"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    walls.foreach { w =>
+      val ldt = java.time.LocalDateTime.parse(w.replace(' ', 'T'))
+      val exactUs = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+      assert(out(w) == exactUs, s"$w -> ${out(w)} != $exactUs")
+    }
+  }
 }

@@ -244,17 +244,22 @@ def gen_multijoin_query(rng):
 def gen_outerjoin_query(rng):
     # LEFT/RIGHT/FULL OUTER with a one-sided predicate, aggregated so the
     # NULL-extended rows are visible in the counts (COUNT(col) skips NULLs,
-    # COUNT(1) does not — a wrong join type shifts both). No ORDER BY: the
-    # comparator sorts rows itself, sidestepping engine NULLS FIRST/LAST
-    # defaults.
+    # COUNT(1) does not — a wrong join type shifts both). The t1 predicate
+    # must live in the ON clause, not WHERE: a WHERE over t1 columns
+    # evaluates NULL on every t1-NULL-extended row and drops it, silently
+    # degenerating RIGHT to INNER and FULL to LEFT — the generator then
+    # never exercises the NULL-extension paths it exists for. In the ON
+    # clause the predicate instead shapes WHICH rows match, preserving the
+    # extension rows in the output. No ORDER BY: the comparator sorts rows
+    # itself, sidestepping engine NULLS FIRST/LAST defaults.
     t1, t2, cond = rng.choice(JOINS)
     op = rng.choice(["LEFT", "RIGHT", "FULL"])
     g = rng.choice(cols(t1, {"cat", "key"}))
     probe = cols(t2, {"key"})[0]
-    w = gen_predicate(rng, t1)
     return (f"SELECT {g}, COUNT(1) AS cnt, COUNT({probe}) AS matched "
-            f"FROM {t1} {op} OUTER JOIN {t2} ON {cond} AND {gen_predicate(rng, t2)} "
-            f"WHERE {w} GROUP BY {g}")
+            f"FROM {t1} {op} OUTER JOIN {t2} "
+            f"ON {cond} AND {gen_predicate(rng, t2)} AND {gen_predicate(rng, t1)} "
+            f"GROUP BY {g}")
 
 
 def gen_groupingsets_query(rng, table):
