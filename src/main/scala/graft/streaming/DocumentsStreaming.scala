@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.pipeline.{DedupQueries, TextQueries}
+
+/** Structured Streaming over a DOCUMENT ingest stream — the streaming face
+  * of the curation tier. The reference engine has no streaming surface
+  * (SURVEY §2.10); this composes the batch tier's own column expressions
+  * into Spark's incremental engine, the way an always-on ingest pipeline
+  * would run them.
+  *
+  * Which curation tiers are streaming-safe, by construction:
+  *
+  *  - PURE PROJECTIONS (token/quality/repetition metrics, language-ID,
+  *    winnowing/md5 fingerprints, PII redaction, chunking): legal in any
+  *    output mode, zero state — they fuse into the microbatch scan exactly
+  *    as they fuse into the batch scan.
+  *  - WATERMARKED DEDUP ([[curationStream]]): content-fingerprint
+  *    `dropDuplicatesWithinWatermark` — state bounded by ingest-rate ×
+  *    horizon (the redelivery window), same shape as
+  *    [[EventsStreaming.dedupWithinWatermark]].
+  *  - STREAM-STATIC CANDIDATE JOINS ([[nearDupCandidates]]): the banded
+  *    MinHash index of the EXISTING corpus is the static side; each
+  *    arriving document's banded signature (a stateless projection) probes
+  *    it. No stream-side state at all.
+  *  - NOT incrementally expressible: corpus-global aggregates (TF-IDF/BM25
+  *    document frequencies, decontamination's eval-gram set) — their stats
+  *    depend on the whole corpus, so a streaming pipeline runs them per
+  *    microbatch against a periodically-refreshed static snapshot
+  *    (`foreachBatch`), not as unbounded streaming aggregates.
+  */
+object DocumentsStreaming {
+
+  /** Streaming curation scan: per-document quality/repetition metrics
+    * (the batch tier's expressions via the shared helpers), a hard filter
+    * on degenerate looping documents, then watermarked exact dedup on the
+    * content fingerprint. Input must carry (doc_id, text, ingest_ts). */
+  def curationStream(docs: DataFrame,
+                     watermark: String = "10 minutes",
+                     dup5Threshold: Double = 0.9): DataFrame = {
+    val metrics = docs
+      .select(col("doc_id"), col("text"), col("ingest_ts"),
+        TextQueries.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("text"), col("ingest_ts"), col("w"),
+        TextQueries.wordNgrams(col("w"), 5, distinct = false).as("g5"))
+      .select(
+        col("doc_id"), col("ingest_ts"),
+        (size(array_distinct(col("w"))).cast(DoubleType) / size(col("w")))
+          .as("type_token_ratio"),
+        when(size(col("g5")) === 0, lit(0.0))
+          .otherwise((size(col("g5")) - size(array_distinct(col("g5"))))
+            .cast(DoubleType) / size(col("g5")))
+          .as("dup_5gram_frac"),
+        md5(TextQueries.normalizedText(col("text")).cast("binary"))
+          .as("fingerprint"))
+    metrics
+      .filter(col("dup_5gram_frac") < dup5Threshold)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
+  /** Stream-static near-dup candidates: each arriving document probes the
+    * banded MinHash index of the static corpus; collisions verify with the
+    * exact codegen'd Jaccard. Emitted pairs are at-least-once (a pair
+    * colliding in several bands emits per band — deduping would need
+    * cross-batch state; downstream canonical-selection is idempotent, so
+    * the right place for the distinct is the consumer's batch side). */
+  def nearDupCandidates(stream: DataFrame, corpus: DataFrame,
+                        threshold: Double = 0.5): DataFrame = {
+    val idx = DedupQueries.bandedSignatures(corpus)
+      .select(col("band_id"), col("band_hash"),
+              col("doc_id").as("corpus_doc"), col("sh_sorted").as("sh_b"))
+    val probe = DedupQueries.bandedSignatures(stream)
+      .select(col("band_id"), col("band_hash"),
+              col("doc_id").as("stream_doc"), col("sh_sorted").as("sh_a"))
+    probe.join(idx, Seq("band_id", "band_hash"))
+      .filter(col("stream_doc") =!= col("corpus_doc"))
+      .select(col("stream_doc"), col("corpus_doc"),
+        round(graft.functions.VectorOps.jaccard(col("sh_a"), col("sh_b")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}
