@@ -109,6 +109,25 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("scale plan shapes: top-k never global-sorts, threshold never sorts") {
+    // bm25's final ordering must be TakeOrderedAndProject (bounded heap),
+    // not a Sort over a range exchange.
+    val bm25Plan = pipeline.MixtureQueries.bm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("TakeOrderedAndProject"), bm25Plan)
+    // The threshold sampler is the documented no-sort scale path: its plan
+    // may aggregate and broadcast but must contain no SortExec at all.
+    val thPlan = pipeline.MixtureQueries.stratifiedSampleThreshold(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!thPlan.contains("Sort "), thPlan)
+    assert(thPlan.contains("BroadcastHashJoin") || thPlan.contains("BroadcastExchange"),
+      s"per-stratum totals must broadcast:\n$thPlan")
+    // Winnow fingerprints fuse into the scan: projection + generate only.
+    val wPlan = pipeline.TextQueries.winnowFp(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!wPlan.contains("Exchange"), wPlan)
+  }
+
   test("int8 quantization maps the max-|x| lane to ±127 and stays in range") {
     val q = pipeline.SimilarityQueries
       .int8Quantized(graft.Tables.table(spark, sfDir, "embeddings"))
