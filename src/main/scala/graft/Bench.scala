@@ -29,9 +29,15 @@ object Bench {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt)
       .getOrElse(Engine.sizedShufflePartitions(sfDir, cpus.toInt))
+    // Heap-sized broadcast threshold (see Engine.sizedBroadcastThreshold):
+    // dims keep broadcasting as their byte size grows with SF, until they
+    // are genuinely fact-sized for the JVM.
+    val broadcastBytes =
+      Engine.sizedBroadcastThreshold(Runtime.getRuntime.maxMemory)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -121,7 +127,7 @@ object Bench {
           ",\"runs\":[" + xs.map(f3).mkString(",") + "]" +
           ",\"gc_ms\":[" + gcSamples(n).map(_.toString).mkString(",") + "]}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"shuffle_partitions":$shufflePartitions,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"shuffle_partitions":$shufflePartitions,"broadcast_mb":${broadcastBytes / (1024L * 1024L)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full record next to the checkout (cwd), not a hardcoded absolute
     // path — a silently-swallowed write failure elsewhere would lose the

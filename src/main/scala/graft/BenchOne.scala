@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Maintenance tool: time ONE registered query N times in a warm session,
   * separating first-run (codegen + AQE planning) cost from steady state.
-  * `java -cp ... graft.BenchOne <query> [sfDir] [reps]` */
+  * `java -cp ... graft.BenchOne <query> [sfDir] [reps]`
+  * `reps 0` prints the query's formatted plan instead of timing it —
+  * the plan-audit companion for scale corpora, where join strategies
+  * (broadcast vs shuffle) flip with input size. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     def usage(): Nothing = {
@@ -29,11 +32,18 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        Engine.sizedBroadcastThreshold(Runtime.getRuntime.maxMemory))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (reps == 0) {
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // session warmup
     (1 to reps).foreach { i =>

@@ -108,4 +108,32 @@ object Engine {
     val byData = bytes / (8L * 1024 * 1024)
     math.max(cpus.toLong, math.min(1024L, byData)).toInt
   }
+
+  /** Broadcast-join threshold sized from executor heap, the way a real
+    * deployment raises `autoBroadcastJoinThreshold` when executors are
+    * large: heap/128, clamped to [10 MB (the Spark default), 256 MB].
+    * A 16 g heap resolves to 128 MB.
+    *
+    * Measured motivation (round 11, BASELINE.md SF30 section): at SF30 the
+    * part (55 MB) and customer (49 MB) dimensions crossed the stock 10 MB
+    * threshold, so q19/q3/q2/q20 fell from broadcast joins to two-sided
+    * sort-merge exchanges of the FACT — q19_disjunct scaled 7.5× for 3×
+    * data. A dimension's byte size grows with SF; whether it is "small
+    * enough to broadcast" is a property of executor memory, so the flip
+    * point must scale with the deployment, not sit at a constant. The
+    * in-memory hashed relation runs ~3–6× the on-disk parquet bytes, so
+    * heap/128 bounds a worst-case build at roughly heap/20 — safe for
+    * concurrent broadcast builds. Beyond the cap the dimension genuinely
+    * is fact-sized for the JVM and the shuffle is the right plan (at
+    * 100 TB, part itself is TBs: it must never be collected).
+    *
+    * Used by the corpus-sized harness ([[Bench]]/[[BenchOne]]) alongside
+    * [[sizedShufflePartitions]]; [[builder]] keeps Spark's default so
+    * reference-planner parity fixtures (PlannerGoldenSpec) exercise the
+    * stock cost model. A multi-JVM deployment should size this from
+    * EXECUTOR memory, not the driver's. */
+  def sizedBroadcastThreshold(maxHeapBytes: Long): Long = {
+    val byHeap = maxHeapBytes / 128
+    math.max(10L * 1024 * 1024, math.min(256L * 1024 * 1024, byHeap))
+  }
 }

@@ -254,17 +254,30 @@ object TpchWave3Queries {
     * grouped pass over lineitem (recent = conditional sum), halving the
     * fact-table scan+shuffle — the rewrite that matters when lineitem is
     * the 100 TB table. A supplier-part with no recent rows gets recent = 0,
-    * which fails `0 > tq*0.5` exactly like its absence from the join. */
+    * which fails `0 > tq*0.5` exactly like its absence from the join.
+    *
+    * The `%red%` part filter joins BELOW the aggregate: its key
+    * (l_partkey) is a group-by key, so filtering before grouping yields
+    * byte-identical per-pair sums while shrinking the agg+shuffle input to
+    * the filter's selectivity (~13% of the fact). At SF30 the aggregate's
+    * partial phase barely reduces (the (supp,part) pair count grows with
+    * the data — ~1.2 rows per group), so shuffle volume ≈ fact volume and
+    * this pushdown is worth the ~8×: measured 61 s → 8.5 s (BASELINE.md
+    * SF30 section). Catalyst can't do it automatically — the filter
+    * arrives through a join, and join-selectivity inference through an
+    * aggregate is beyond the stock optimizer. */
   val q20Parts: QueryFn = (s, dir) => {
     val lq = dec2(col("l_quantity"))
+    val redParts = broadcast(
+      t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey")))
     val byPartSupp = t(s, dir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(when(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"), lq)
                  .otherwise(lit(0).cast(DecimalType(12, 2)))).as("q"),
            sum(lq).as("tq"))
     val promo = byPartSupp
-      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))),
-            col("l_partkey") === col("p_partkey"))
       .filter(col("q") > col("tq") * lit("0.5").cast(DecimalType(2, 1)))
       .select(col("l_suppkey")).distinct()
     val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
