@@ -37,6 +37,7 @@ object SparkEntry {
       pipeline.CurationQueries.all ++
       pipeline.SimilarityQueries.all ++
       pipeline.IvfAnn.all ++
+      pipeline.Clustering.all ++
       pipeline.Multimodal.all ++
       sources.FormatQueries.all
 
@@ -61,6 +62,7 @@ object SparkEntry {
       pipeline.DedupQueries.oracle ++
       pipeline.CurationQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++
+      pipeline.Clustering.oracle ++
       pipeline.Multimodal.oracle ++
       sources.FormatQueries.oracle
 }

@@ -113,6 +113,24 @@ object VectorOps {
     ColumnBridge.column(DotProductL(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Σ aᵢ·bᵢ over double arrays, accumulated in index order as double —
+    * same deterministic fold as [[dotF]], for vectors that are already
+    * double-typed (e.g. decimal-exact centroid means in the k-means op). */
+  def dotDbl(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDouble(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductD(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def minhashSignature(hashes: Column): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes)))
 }
@@ -141,6 +159,32 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
     copy(left = l, right = r)
   override def prettyName: String = "dot"
+}
+
+/** dot(array<double>, array<double>) → double. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_double expects (array<double>, array<double>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotDbl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotDbl($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_double"
 }
 
 /** dot_long(array<bigint>, array<bigint>) → bigint (exact). */

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.functions.VectorOps
+import graft.operators.{t, QueryFn}
+
+/** Distributed k-means over the `embeddings` table — the clustering step a
+  * training-data pipeline runs for semantic dedup buckets, domain/topic
+  * discovery, and diversity-aware sampling (cluster-then-sample). No
+  * analogue in the reference engine; a training-pipeline mandate extension
+  * like [[CurationQueries]].
+  *
+  * Everything is deterministic DataFrame composition (Lloyd's algorithm,
+  * fixed iteration count, no RNG):
+  *  - seeds = the K lowest-vec_id vectors; the cluster id IS the seed's
+  *    vec_id (stable across engines, runs and cluster sizes);
+  *  - assignment = argmax cosine over the broadcast centroid set, computed
+  *    map-side via `max_by` — the shuffle carries ONE row per vector, not
+  *    K (the same bounded shape as [[IvfAnn.assignCells]]);
+  *  - update = per-(cluster, dim) elementwise means.
+  *
+  * Unlike [[IvfAnn]] (rows-only by design), this op is ORACLE-CHECKED: the
+  * centroid means aggregate through DECIMAL(27,10) — exact, reduction-order-
+  * independent arithmetic (the package-scaladoc monetary trick applied to
+  * geometry) — so the trained centroids are bit-identical on any cluster
+  * AND in DuckDB; cosines then accumulate in index order as double (the
+  * [[graft.functions.DotProductD]] codegen'd fold = DuckDB's
+  * `list_aggregate(..., 'sum')`) and round to 6 dp before the argmax, ties
+  * breaking toward the lowest cluster id in both engines.
+  *
+  * At 100 TB: centroids are K×d doubles (kilobytes — always broadcast);
+  * each assignment pass is one scan + map-side argmax; the update shuffles
+  * n×d (cluster, dim) cells with two-phase partial aggregation. Iteration
+  * count is fixed (one Lloyd update here), the standard production choice —
+  * convergence-looped k-means re-runs the same two plans.
+  */
+object Clustering {
+
+  private val K = 8
+
+  private def cosSim(emb: Column, norm: Column,
+                     centroid: Column, cnorm: Column): Column =
+    round(VectorOps.dotDouble(emb, centroid) / (norm * cnorm), 6)
+
+  /** Argmax-cosine assignment against a (small) centroid frame; carries the
+    * vector through for the update step. */
+  private def assign(embD: DataFrame, centroids: DataFrame): DataFrame =
+    embD.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"),
+        col("cluster_id"),
+        cosSim(col("emb"), col("norm"), col("centroid"), col("cnorm")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cluster_id"), col("sim"), col("emb")),
+        struct(col("sim"), (-col("cluster_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
+              col("best.sim").as("cosine"), col("best.emb").as("emb"))
+
+  /** K-means with deterministic seeding, one exact-decimal Lloyd update and
+    * a final reassignment: (vec_id, cluster_id, cosine-to-centroid). */
+  val kmeans: QueryFn = (s, dir) => {
+    val embD = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(VectorOps.dotDouble(col("emb"), col("emb"))))
+      // a zero-norm vector has no direction (NaN cosine) — excluded here
+      // and in the oracle's norm CTE, as in SimilarityQueries.withNorm
+      .where(col("norm") > 0)
+    val seeds = embD.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id").as("cluster_id"), col("emb").as("centroid"),
+              col("norm").as("cnorm"))
+    val a1 = assign(embD, seeds)
+    // Lloyd update: exact elementwise means via DECIMAL sums (order-
+    // independent ⇒ engine- and partitioning-independent centroids).
+    val updated = a1
+      .select(col("cluster_id"), posexplode(col("emb")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(27, 10))).cast(DoubleType) /
+              count(lit(1))).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("cluster_id"),
+        transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(VectorOps.dotDouble(col("centroid"), col("centroid"))))
+    assign(embD, updated)
+      .select(col("vec_id"), col("cluster_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val kmeansSql: String =
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
+      |  FROM embeddings),
+      |nv AS (SELECT * FROM n WHERE norm > 0),
+      |seeds AS (
+      |  SELECT vec_id AS cluster_id, emb AS centroid, norm AS cnorm
+      |  FROM nv ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster_id, emb FROM (
+      |    SELECT v.vec_id, s.cluster_id, v.emb,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        ROUND(list_aggregate(list_transform(range(1, len(v.emb) + 1),
+      |          i -> v.emb[i] * s.centroid[i]), 'sum') / (v.norm * s.cnorm), 6)
+      |          DESC, s.cluster_id) AS rn
+      |    FROM nv v CROSS JOIN seeds s) WHERE rn = 1),
+      |cm AS (
+      |  SELECT a1.cluster_id, d.i,
+      |    CAST(SUM(CAST(a1.emb[d.i] AS DECIMAL(27,10))) AS DOUBLE)
+      |      / COUNT(*) AS m
+      |  FROM a1, (SELECT unnest(range(1,
+      |    (SELECT max(len(emb)) FROM nv) + 1)) AS i) d
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cluster_id, list(m ORDER BY i) AS centroid FROM cm GROUP BY 1),
+      |c2n AS (
+      |  SELECT cluster_id, centroid,
+      |    sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum'))
+      |      AS cnorm
+      |  FROM c2),
+      |a2 AS (
+      |  SELECT vec_id, cluster_id, cosine FROM (
+      |    SELECT v.vec_id, c.cluster_id,
+      |      ROUND(list_aggregate(list_transform(range(1, len(v.emb) + 1),
+      |        i -> v.emb[i] * c.centroid[i]), 'sum') / (v.norm * c.cnorm), 6)
+      |        AS cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        ROUND(list_aggregate(list_transform(range(1, len(v.emb) + 1),
+      |          i -> v.emb[i] * c.centroid[i]), 'sum') / (v.norm * c.cnorm), 6)
+      |          DESC, c.cluster_id) AS rn
+      |    FROM nv v CROSS JOIN c2n c) WHERE rn = 1)
+      |SELECT vec_id, cluster_id, cosine FROM a2 ORDER BY vec_id""".stripMargin
+
+  val all: Map[String, QueryFn] = Map("q_cluster_kmeans" -> kmeans)
+  val oracle: Map[String, String] = Map("q_cluster_kmeans" -> kmeansSql)
+}

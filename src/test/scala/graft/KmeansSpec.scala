@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class KmeansSpec extends SparkSpec {
+
+  test("kmeans assigns every nonzero vector exactly once, to a seed id") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val rows = pipeline.Clustering.kmeans(spark, sfDir).collect()
+    assert(rows.length == n, s"expected $n assignments, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "a vector was assigned twice")
+    // cluster ids are drawn from the 8 lowest vec_ids (the seeds)
+    val seedIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(seedIds))
+    // cosine to own centroid is a valid similarity
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine out of range: $c")
+    }
+  }
+
+  test("kmeans is deterministic across runs and partitionings") {
+    val a = pipeline.Clustering.kmeans(spark, sfDir).collect().toSeq
+    val b = pipeline.Clustering.kmeans(spark, sfDir).collect().toSeq
+    assert(a == b, "two runs diverged")
+  }
+
+  test("kmeans recovers three planted well-separated groups") {
+    import spark.implicits._
+    val dim = 16
+    // Three orthogonal-ish anchors; 30 members each = anchor + small noise.
+    def anchor(g: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.01f)
+      a(g) = 1.0f
+      a
+    }
+    val r = new scala.util.Random(11)
+    // id = i*10 + g, so the 8 lowest ids (the seeds) span all 3 groups —
+    // each group then owns a same-group seed (cosine ≈ 1 to every member).
+    val rows = for (g <- 0 until 3; i <- 0 until 30) yield {
+      val v = anchor(g).map(x => x + (r.nextGaussian() * 0.02).toFloat)
+      (i * 10L + g, v)
+    }
+    val dir = tmp("kmeans")
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = pipeline.Clustering.kmeans(spark, dir).collect()
+    // With several same-group seeds a group may split among them (noise
+    // decides between near-identical centroids) — the meaningful
+    // separation property is PURITY: cross-group cosine ≈ 0, so no
+    // cluster may ever mix members of different planted groups.
+    out.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      val groups = rs.map(r => r.getLong(0) % 10L).distinct
+      assert(groups.length == 1,
+        s"cluster $c mixes planted groups ${groups.mkString(",")}")
+    }
+    // and all three groups are represented (none was absorbed elsewhere)
+    val groupsSeen = out.map(r => r.getLong(0) % 10L).distinct
+    assert(groupsSeen.length == 3)
+  }
+}
