@@ -64,7 +64,11 @@ object ScaleSmoke {
         // checkpoint + broadcast-stats second pass, int8 ANN's quantize +
         // integer-dot scoring
         "q_text_repetition", "q_sample_stratified", "q_search_bm25",
-        "q_ann_int8", "q_doc_winnow")
+        "q_ann_int8", "q_doc_winnow",
+        // round 11c: k-means — two broadcast-centroid assignment passes
+        // (map-side argmax, one shuffled row per vector) + the n×d
+        // (cluster,dim) decimal-mean shuffle, all ∝ corpus size
+        "q_cluster_kmeans")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 

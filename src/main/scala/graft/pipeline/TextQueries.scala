@@ -365,7 +365,41 @@ object TextQueries {
       |    AS dup_5gram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Per-language length-distribution profile: exact interpolated
+    * p50/p90/p99 of n_chars plus count and decimal-exact mean — the
+    * corpus-profiling pass a mixture spec is written against (per-language
+    * length cutoffs, token-budget planning). EXACT quantiles are scalable
+    * here because the aggregation state is a value→count map over the
+    * BOUNDED domain of document lengths, not a buffer of rows — Spark's
+    * built-in `percentile` aggregate carries exactly that map, so the
+    * shuffle moves one histogram per (partition, lang), independent of row
+    * count. Both engines interpolate linearly (position p·(n−1) between
+    * the two straddling order statistics); the result rounds to 6 dp on
+    * both sides because the engines associate the interpolation product
+    * differently (a·(1−f)+b·f vs a+(b−a)·f — a ULP apart on some inputs,
+    * identical after rounding at these magnitudes). */
+  val lengthProfile: QueryFn = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"),
+        (sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .cast(DoubleType) / count(lit(1))).as("mean_chars"))
+      .orderBy(col("lang"))
+
+  val lengthProfileSql: String =
+    """SELECT lang, COUNT(1) AS n_docs,
+      |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99,
+      |  CAST(SUM(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE) / COUNT(1)
+      |    AS mean_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
+    "q_text_length_profile" -> lengthProfile,
     "q_text_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langId,
@@ -375,6 +409,7 @@ object TextQueries {
     "q_doc_winnow" -> winnowFp)
 
   val oracle: Map[String, String] = Map(
+    "q_text_length_profile" -> lengthProfileSql,
     "q_text_token_count" -> tokenCountSql,
     "q_text_quality" -> qualitySql,
     "q_text_langid" -> langIdSql,
