@@ -89,7 +89,10 @@ object Clustering {
       .orderBy(col("vec_id"))
   }
 
-  val kmeansSql: String =
+  /** The shared oracle CTE chain (seed → assign → decimal-mean update →
+    * reassign); [[kmeansSql]] and the cluster-sampler oracle both close
+    * over `a2`. */
+  private val kmeansCtes: String =
     """WITH n AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
@@ -132,9 +135,49 @@ object Clustering {
       |        ROUND(list_aggregate(list_transform(range(1, len(v.emb) + 1),
       |          i -> v.emb[i] * c.centroid[i]), 'sum') / (v.norm * c.cnorm), 6)
       |          DESC, c.cluster_id) AS rn
-      |    FROM nv v CROSS JOIN c2n c) WHERE rn = 1)
-      |SELECT vec_id, cluster_id, cosine FROM a2 ORDER BY vec_id""".stripMargin
+      |    FROM nv v CROSS JOIN c2n c) WHERE rn = 1)""".stripMargin
 
-  val all: Map[String, QueryFn] = Map("q_cluster_kmeans" -> kmeans)
-  val oracle: Map[String, String] = Map("q_cluster_kmeans" -> kmeansSql)
+  val kmeansSql: String = kmeansCtes +
+    "\nSELECT vec_id, cluster_id, cosine FROM a2 ORDER BY vec_id"
+
+  /** Quota per cluster for the diversity sample. Fixed (not SF-scaled) on
+    * purpose, like MixtureQueries.StratumCharBudget: a diversity spec says
+    * "this many examples per semantic bucket". */
+  private val ClusterQuota = 25
+
+  /** Cluster-then-sample — the diversity-aware selection pattern: an equal
+    * deterministic quota drawn from every k-means cluster, so no semantic
+    * bucket dominates the mixture. Composition of [[kmeans]] with the
+    * md5-ordered sampler of [[MixtureQueries.stratifiedSample]]; the
+    * per-cluster window serializes each cluster through one task (K tasks —
+    * fine for K in the hundreds; for huge quotas the hash-THRESHOLD form of
+    * q_sample_threshold is the scale path, validated against this exact
+    * form). */
+  val clusterSample: QueryFn = (s, dir) => {
+    val assigned = kmeans(s, dir).select(col("vec_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("skey"))
+    assigned
+      .withColumn("skey", md5(concat(lit("div"), col("vec_id").cast("string"))))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= ClusterQuota)
+      .select(col("cluster_id"), col("sample_rank"), col("vec_id"))
+      .orderBy(col("cluster_id"), col("sample_rank"))
+  }
+
+  val clusterSampleSql: String = kmeansCtes + """,
+      |smp AS (
+      |  SELECT cluster_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY md5('div' || CAST(vec_id AS VARCHAR))) AS sample_rank
+      |  FROM a2)
+      |SELECT cluster_id, sample_rank, vec_id FROM smp
+      |WHERE sample_rank <= 25 ORDER BY cluster_id, sample_rank""".stripMargin
+
+  val all: Map[String, QueryFn] = Map(
+    "q_cluster_kmeans" -> kmeans,
+    "q_sample_percluster" -> clusterSample)
+  val oracle: Map[String, String] = Map(
+    "q_cluster_kmeans" -> kmeansSql,
+    "q_sample_percluster" -> clusterSampleSql)
 }

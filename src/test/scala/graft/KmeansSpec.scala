@@ -28,6 +28,23 @@ class KmeansSpec extends SparkSpec {
     assert(a == b, "two runs diverged")
   }
 
+  test("cluster sampler draws at most the quota per cluster, ranks dense") {
+    val rows = pipeline.Clustering.clusterSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (c, rs) =>
+      assert(rs.length <= 25, s"cluster $c exceeded quota: ${rs.length}")
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"cluster $c ranks not dense: $ranks")
+    }
+    // sampled ids are a subset of the full assignment, same cluster
+    val assign = pipeline.Clustering.kmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(assign.get(r.getLong(2)).contains(r.getLong(0)),
+        s"sampled vec ${r.getLong(2)} not assigned to cluster ${r.getLong(0)}")
+    }
+  }
+
   test("kmeans recovers three planted well-separated groups") {
     import spark.implicits._
     val dim = 16
