@@ -58,22 +58,27 @@ object Clustering {
       .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
               col("best.sim").as("cosine"), col("best.emb").as("emb"))
 
-  /** K-means with deterministic seeding, one exact-decimal Lloyd update and
-    * a final reassignment: (vec_id, cluster_id, cosine-to-centroid). */
-  val kmeans: QueryFn = (s, dir) => {
-    val embD = t(s, dir, "embeddings")
+  /** (vec_id, embedding) frame → double vectors with norms, zero-norm
+    * excluded (a zero-norm vector has no direction: NaN cosine) — the same
+    * fence as SimilarityQueries.withNorm and the oracle's norm CTE. */
+  def prep(raw: DataFrame): DataFrame =
+    raw
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(VectorOps.dotDouble(col("emb"), col("emb"))))
-      // a zero-norm vector has no direction (NaN cosine) — excluded here
-      // and in the oracle's norm CTE, as in SimilarityQueries.withNorm
       .where(col("norm") > 0)
+
+  /** Deterministic seeds + one Lloyd update over a prepped frame →
+    * (cluster_id, centroid: array<double>, cnorm). Centroid means go
+    * through DECIMAL sums (order-independent ⇒ engine- and partitioning-
+    * independent centroids). Public so the streaming tier can train on the
+    * static corpus and assign arriving vectors against the same centroids
+    * ([[graft.streaming.DocumentsStreaming.clusterAssign]]). */
+  def trainedCentroids(raw: DataFrame): DataFrame = {
+    val embD = prep(raw)
     val seeds = embD.orderBy(col("vec_id")).limit(K)
       .select(col("vec_id").as("cluster_id"), col("emb").as("centroid"),
               col("norm").as("cnorm"))
-    val a1 = assign(embD, seeds)
-    // Lloyd update: exact elementwise means via DECIMAL sums (order-
-    // independent ⇒ engine- and partitioning-independent centroids).
-    val updated = a1
+    assign(embD, seeds)
       .select(col("cluster_id"), posexplode(col("emb")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg((sum(col("col").cast(DecimalType(27, 10))).cast(DoubleType) /
@@ -84,7 +89,13 @@ object Clustering {
         transform(col("pairs"), p => p.getField("m")).as("centroid"))
       .withColumn("cnorm",
         sqrt(VectorOps.dotDouble(col("centroid"), col("centroid"))))
-    assign(embD, updated)
+  }
+
+  /** K-means with deterministic seeding, one exact-decimal Lloyd update and
+    * a final reassignment: (vec_id, cluster_id, cosine-to-centroid). */
+  val kmeans: QueryFn = (s, dir) => {
+    val raw = t(s, dir, "embeddings")
+    assign(prep(raw), trainedCentroids(raw))
       .select(col("vec_id"), col("cluster_id"), col("cosine"))
       .orderBy(col("vec_id"))
   }

@@ -62,6 +62,43 @@ object DocumentsStreaming {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Stream-static semantic routing: assign each arriving embedding to its
+    * nearest k-means centroid (trained on the static corpus via
+    * [[graft.pipeline.Clustering.trainedCentroids]]) — the online face of
+    * cluster-then-X curation: route a document into its semantic bucket the
+    * moment it arrives, for per-bucket quotas, dedup scopes or topic stats.
+    *
+    * The centroid set is K×d doubles (kilobytes), so it is SNAPSHOTTED at
+    * query build into a literal array and the whole assignment becomes a
+    * STATELESS per-row projection — argmax via `array_max` over
+    * (sim, −cluster_id) structs, legal in append mode with no watermark and
+    * no stream-side state, unlike the batch tier's `max_by` aggregate. The
+    * same rounded-cosine + lowest-id tie-break as the batch assignment, so
+    * a streamed copy of a corpus vector lands in its batch cluster. */
+  def clusterAssign(stream: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorOps
+    val cents = centroids
+      .select(col("cluster_id"), col("centroid"), col("cnorm")).collect()
+    val centArr = array(cents.map { r =>
+      struct(
+        array(r.getSeq[Double](1).map(lit): _*).as("centroid"),
+        lit(r.getDouble(2)).as("cnorm"),
+        lit(r.getLong(0)).as("cluster_id"))
+    }.toIndexedSeq: _*)
+    stream
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(VectorOps.dotDouble(col("emb"), col("emb"))))
+      .where(col("norm") > 0)
+      .withColumn("best", array_max(transform(centArr, c =>
+        struct(
+          round(VectorOps.dotDouble(col("emb"), c.getField("centroid")) /
+                  (col("norm") * c.getField("cnorm")), 6).as("sim"),
+          (-c.getField("cluster_id")).as("tie"),
+          c.getField("cluster_id").as("cluster_id")))))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
+              col("best.sim").as("cosine"))
+  }
+
   /** Stream-static near-dup candidates: each arriving document probes the
     * banded MinHash index of the static corpus; collisions verify with the
     * exact codegen'd Jaccard. Emitted pairs are at-least-once (a pair

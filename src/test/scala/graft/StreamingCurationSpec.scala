@@ -12,7 +12,7 @@ import graft.streaming.DocumentsStreaming
   * finds planted near-dups against a static corpus index. */
 class StreamingCurationSpec extends SparkSpec {
 
-  import StreamingCurationSpec.{Doc, SDoc}
+  import StreamingCurationSpec.{Doc, SDoc, Vec}
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   test("curation stream filters looping docs and dedups within watermark") {
@@ -67,9 +67,38 @@ class StreamingCurationSpec extends SparkSpec {
       s"planted near-dup not found: ${cands.toSeq}")
     assert(!cands.exists(_._1 == 9001L), "unrelated doc must not collide")
   }
+  test("stream-static centroid assignment routes vectors to their batch cluster") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = pipeline.Clustering.trainedCentroids(corpus)
+    // Batch truth: the full kmeans assignment over the same corpus.
+    val batch = pipeline.Clustering.kmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Stream copies of three corpus vectors through the stateless path.
+    val probeIds = batch.keys.toSeq.sorted.take(3)
+    val probes = corpus.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val input = MemoryStream[Vec]
+    val query = DocumentsStreaming
+      .clusterAssign(input.toDF(), centroids)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("route_out").start()
+    input.addData(probes.map(p => Vec(p._1, p._2)).toSeq: _*)
+    query.processAllAvailable()
+    query.stop()
+    val routed = spark.table("route_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(routed.keySet == probeIds.toSet)
+    probeIds.foreach { id =>
+      assert(routed(id) == batch(id),
+        s"vec $id routed to ${routed(id)}, batch assigned ${batch(id)}")
+    }
+  }
 }
 
 object StreamingCurationSpec {
   case class Doc(doc_id: Long, text: String, ingest_ts: Timestamp)
   case class SDoc(doc_id: Long, text: String, lang: String)
+  case class Vec(vec_id: Long, embedding: Array[Float])
 }
