@@ -45,6 +45,16 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans plan: centroids broadcast, no sort-merge join anywhere") {
+    // Both assignment passes must score against BROADCAST centroids (K×d —
+    // kilobytes at any corpus scale); a sort-merge join would mean the
+    // corpus is being shuffled against the centroid set.
+    val plan = pipeline.Clustering.kmeans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("kmeans recovers three planted well-separated groups") {
     import spark.implicits._
     val dim = 16
