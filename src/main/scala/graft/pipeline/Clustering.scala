@@ -185,10 +185,55 @@ object Clustering {
       |SELECT cluster_id, sample_rank, vec_id FROM smp
       |WHERE sample_rank <= 25 ORDER BY cluster_id, sample_rank""".stripMargin
 
+  /** Semantic-blocked near-dup pairs: exact cosine pairs computed WITHIN
+    * k-means clusters only — the production blocking strategy for embedding
+    * dedup at scale. Where [[DedupQueries]]' exact tier is O(n²) across the
+    * whole corpus (byte-budgeted, row-count-fenced), this pass joins on
+    * cluster_id so candidate volume is Σ|cellᵢ|² — with K ∝ corpus size the
+    * per-cell population stays bounded and the join is an ordinary shuffle
+    * on the block key (skewed cells split by AQE). Same t = 0.4 threshold
+    * and rounded-cosine kernel as q_dedup_embedding, so the result is by
+    * construction a subset of the exact tier's pairs; recall is the
+    * fraction of true pairs whose endpoints share a cluster (spec-measured,
+    * ≈ 1 for the high-similarity pairs dedup actually deletes). */
+  val semanticPairs: QueryFn = (s, dir) => {
+    val raw = t(s, dir, "embeddings")
+    val a = assign(prep(raw), trainedCentroids(raw))
+      .select(col("vec_id"), col("cluster_id"), col("emb"))
+      .withColumn("norm", sqrt(VectorOps.dotDouble(col("emb"), col("emb"))))
+    val left = a.select(col("vec_id").as("vec_a"), col("cluster_id"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val right = a.select(col("vec_id").as("vec_b"), col("cluster_id"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    left.join(right, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.dotDouble(col("emb_a"), col("emb_b")) /
+                (col("norm_a") * col("norm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val semanticPairsSql: String = kmeansCtes + """,
+      |pa AS (
+      |  SELECT a2.vec_id, a2.cluster_id, nv.emb, nv.norm
+      |  FROM a2 JOIN nv ON a2.vec_id = nv.vec_id),
+      |pp AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ROUND(list_aggregate(list_transform(range(1, len(a.emb) + 1),
+      |      i -> a.emb[i] * b.emb[i]), 'sum') / (a.norm * b.norm), 6)
+      |      AS cosine
+      |  FROM pa a JOIN pa b
+      |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM pp WHERE cosine >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Map[String, QueryFn] = Map(
     "q_cluster_kmeans" -> kmeans,
-    "q_sample_percluster" -> clusterSample)
+    "q_sample_percluster" -> clusterSample,
+    "q_dedup_semantic" -> semanticPairs)
   val oracle: Map[String, String] = Map(
     "q_cluster_kmeans" -> kmeansSql,
-    "q_sample_percluster" -> clusterSampleSql)
+    "q_sample_percluster" -> clusterSampleSql,
+    "q_dedup_semantic" -> semanticPairsSql)
 }

@@ -55,6 +55,26 @@ class KmeansSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semantic-blocked dedup pairs are a subset of the exact tier's") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val blocked = pipeline.Clustering.semanticPairs(spark, sfDir).collect()
+    val exact = pipeline.DedupQueries.embeddingCosine(spark, sfDir).collect()
+    val exactSet = exact.map(key).toSet
+    assert(blocked.forall(r => exactSet.contains(key(r))),
+      "blocking must never invent a pair the exact tier lacks")
+    // identical cosine for the pairs both tiers emit
+    val exactCos = exact.map(r => key(r) -> r.getDouble(2)).toMap
+    blocked.foreach(r => assert(r.getDouble(2) == exactCos(key(r))))
+    // recall of the high-similarity pairs dedup actually deletes: both
+    // endpoints of a near-identical pair share the nearest centroid
+    val hi = exact.filter(_.getDouble(2) >= 0.8).map(key)
+    if (hi.nonEmpty) {
+      val blockedSet = blocked.map(key).toSet
+      val recall = hi.count(blockedSet.contains).toDouble / hi.length
+      assert(recall == 1.0, s"high-similarity recall $recall < 1")
+    }
+  }
+
   test("kmeans recovers three planted well-separated groups") {
     import spark.implicits._
     val dim = 16
