@@ -262,8 +262,8 @@ object TpchWave3Queries {
     * the filter's selectivity (~13% of the fact). At SF30 the aggregate's
     * partial phase barely reduces (the (supp,part) pair count grows with
     * the data — ~1.2 rows per group), so shuffle volume ≈ fact volume and
-    * this pushdown is worth the ~8×: measured 61 s → 8.5 s (BASELINE.md
-    * SF30 section). Catalyst can't do it automatically — the filter
+    * this pushdown is worth the ~8×: measured 61 s → 8.9 s record median
+    * (BASELINE.md SF30 section). Catalyst can't do it automatically — the filter
     * arrives through a join, and join-selectivity inference through an
     * aggregate is beyond the stock optimizer. */
   val q20Parts: QueryFn = (s, dir) => {

@@ -201,6 +201,11 @@ object Clustering {
     val a = assign(prep(raw), trainedCentroids(raw))
       .select(col("vec_id"), col("cluster_id"), col("emb"))
       .withColumn("norm", sqrt(VectorOps.dotDouble(col("emb"), col("emb"))))
+      // referenced by BOTH sides of the self-join below: truncate lineage
+      // so the k-means chain (two assignment passes + the decimal-mean
+      // shuffle) runs once, not once per side — the q_dedup_cluster /
+      // q_text_tfidf pattern
+      .localCheckpoint(true)
     val left = a.select(col("vec_id").as("vec_a"), col("cluster_id"),
       col("emb").as("emb_a"), col("norm").as("norm_a"))
     val right = a.select(col("vec_id").as("vec_b"), col("cluster_id"),

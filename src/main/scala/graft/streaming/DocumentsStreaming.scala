@@ -79,6 +79,8 @@ object DocumentsStreaming {
     import graft.functions.VectorOps
     val cents = centroids
       .select(col("cluster_id"), col("centroid"), col("cnorm")).collect()
+    require(cents.nonEmpty,
+      "clusterAssign needs at least one centroid (empty training corpus?)")
     val centArr = array(cents.map { r =>
       struct(
         array(r.getSeq[Double](1).map(lit): _*).as("centroid"),
