@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Maintenance tool: time ONE registered query N times in a warm session,
   * separating first-run (codegen + AQE planning) cost from steady state.
   * `java -cp ... graft.BenchOne <query> [sfDir] [reps]`
-  * `reps 0` prints the query's formatted plan instead of timing it —
+  * `reps <= 0` prints the query's formatted plan instead of timing it —
   * the plan-audit companion for scale corpora, where join strategies
   * (broadcast vs shuffle) flip with input size. */
 object BenchOne {
@@ -39,7 +39,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (reps == 0) {
+    if (reps <= 0) {
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       spark.stop()
       return

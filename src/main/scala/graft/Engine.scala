@@ -136,4 +136,29 @@ object Engine {
     val byHeap = maxHeapBytes / 128
     math.max(10L * 1024 * 1024, math.min(256L * 1024 * 1024, byHeap))
   }
+
+  /** The engine's ONE lineage-cut policy (every pipeline op that
+    * materializes an intermediate frame for reuse — tfidf's (doc,term)
+    * aggregate, BM25's tf frame, the connected-components frontier, the
+    * semantic-dedup assignment — goes through here, never through a raw
+    * `localCheckpoint`):
+    *
+    *  - when the session has a reliable checkpoint directory configured
+    *    (`sc.setCheckpointDir`, i.e. HDFS/S3 on a real deployment), use
+    *    `checkpoint(eager)` — a lost executor re-reads the materialization
+    *    from fault-tolerant storage and the query survives;
+    *  - otherwise fall back to `localCheckpoint(eager)` — executor-local
+    *    blocks, the right trade on a single JVM (this sandbox, unit tests)
+    *    where "executor loss" and "JVM death" are the same event and
+    *    nothing could recompute anyway.
+    *
+    * Both truly TRUNCATE lineage (unlike `persist`, which keeps the full
+    * logical plan and re-analyzes it on every reuse — quadratic planning in
+    * iterative loops). At 100 TB the deployment sets a checkpoint dir and
+    * every call site below is fault-tolerant with no code change. */
+  def materialize(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

@@ -97,13 +97,16 @@ object VectorOps {
 
   /** Σ aᵢ·bᵢ over long arrays, accumulated as long — EXACT integer math
     * (the primitive a quantized-embedding tier scores with: int8 values
-    * bound each product by 127², so a 2⁴⁸-dim vector still can't overflow). */
+    * bound each product by 127², so a 2⁴⁸-dim vector still can't overflow).
+    * Guarded with `Math.multiplyExact`/`addExact` (JIT intrinsics, no cost
+    * on the non-overflow path) so a caller that feeds unquantized longs
+    * fails loudly with ArithmeticException instead of silently wrapping. */
   def dotLL(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += a.getLong(i) * b.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     acc
@@ -187,7 +190,9 @@ case class DotProductD(left: Expression, right: Expression)
   override def prettyName: String = "dot_double"
 }
 
-/** dot_long(array<bigint>, array<bigint>) → bigint (exact). */
+/** dot_long(array<bigint>, array<bigint>) → bigint (exact; throws
+  * ArithmeticException on 64-bit overflow — intended for quantized-domain
+  * vectors, e.g. int8 embeddings, where products are bounded by 127²). */
 case class DotProductL(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

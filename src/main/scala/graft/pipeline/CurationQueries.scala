@@ -71,8 +71,9 @@ object CurationQueries {
     *     near-dup graphs produce (those converge in 1–3 rounds).
     *
     * Convergence is checked with a scalar count per round (the Pregel
-    * pattern); lineage is truncated with localCheckpoint so the plan does
-    * not grow with the iteration count. If the cap is ever hit without a
+    * pattern); lineage is truncated per round via [[graft.Engine.materialize]]
+    * (reliable checkpoint when a checkpoint dir is configured, local blocks
+    * on a single JVM) so the plan does not grow with the iteration count. If the cap is ever hit without a
     * fixpoint the method THROWS rather than returning silently-partial
     * labels (a non-canonical cluster id would let near-dups survive
     * downstream dedup unnoticed). */
@@ -81,9 +82,9 @@ object CurationQueries {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.Engine.materialize)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.Engine.materialize)
     var converged = false
     var iter = 0
     val MaxRounds = 64
@@ -99,7 +100,7 @@ object CurationQueries {
                       coalesce(col("nbr_label"), col("label"))).as("label"),
                 (coalesce(col("nbr_label"), col("label")) < col("label"))
                   .as("changed"))
-        .localCheckpoint(true) // referenced twice by the self-join below
+        .transform(graft.Engine.materialize) // referenced twice by the self-join below
       // Pointer jump: label := label(label). Labels are themselves node
       // ids, so the lookup is a self-join; a missing row (label already
       // canonical) keeps its value.
@@ -111,7 +112,7 @@ object CurationQueries {
                 (stepped("changed") ||
                   coalesce(col("l_lbl"), stepped("label")) < stepped("label"))
                   .as("changed"))
-        .localCheckpoint(true)
+        .transform(graft.Engine.materialize)
       converged = jumped.filter(col("changed")).limit(1).isEmpty
       labels = jumped.select(col("doc_id"), col("label"))
       iter += 1
@@ -310,7 +311,7 @@ object CurationQueries {
     // everything downstream reads the (small) materialized frame.
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(max(col("n_toks")).as("n_toks"), count(lit(1)).as("tf_count"))
-      .localCheckpoint(true)
+      .transform(graft.Engine.materialize)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count_distinct(col("doc_id")).as("n_docs"))
     tf.join(df, "term")

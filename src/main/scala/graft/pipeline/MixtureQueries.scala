@@ -134,7 +134,7 @@ object MixtureQueries {
           QueryTerms.zipWithIndex.map { case (term, i) =>
             size(filter(toks, x => x === lit(term))).as(s"tf_$i")
           }: _*)
-      .localCheckpoint(true)
+      .transform(graft.Engine.materialize)
     val statCols =
       count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
         QueryTerms.indices.map(i =>

@@ -75,6 +75,42 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("iterated kmeans: spherical objective is monotone over Lloyd rounds") {
+    // Lloyd's with cosine argmax + mean update is spherical k-means: the
+    // corpus-sum of cosine-to-own-centroid must not decrease round over
+    // round. Tolerance covers only the 6-dp cosine rounding (n · 2e-6).
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embD = pipeline.Clustering.prep(raw)
+    def objective(maxIters: Int): Double =
+      pipeline.Clustering
+        .assign(embD, pipeline.Clustering.trainedCentroidsIter(raw, 8, maxIters))
+        .agg(sum(col("cosine"))).collect()(0).getDouble(0)
+    val objs = (1 to 3).map(objective)
+    val eps = raw.count() * 2e-6
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - eps, s"objective regressed across rounds: $objs")
+    }
+  }
+
+  test("iterated kmeans stops at an exact fixpoint, not the round cap") {
+    // With a generous cap the loop must land on bit-identical centroids —
+    // and adding more allowed rounds past the fixpoint changes nothing.
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def cents(cap: Int): Seq[(Long, Seq[Double])] =
+      pipeline.Clustering.trainedCentroidsIter(raw, 8, cap)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(cents(40) == cents(50), "fixpoint not reached or not stable")
+  }
+
+  test("kmeans K is a real parameter: k=4 trains at most 4 seed-id clusters") {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = pipeline.Clustering.trainedCentroidsIter(raw, 4, 2).collect()
+    assert(cents.length <= 4 && cents.nonEmpty)
+    val seed4 = raw.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(4).collect().map(_.getLong(0)).toSet
+    assert(cents.map(_.getLong(0)).toSet.subsetOf(seed4))
+  }
+
   test("kmeans recovers three planted well-separated groups") {
     import spark.implicits._
     val dim = 16
