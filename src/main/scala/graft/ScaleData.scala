@@ -51,8 +51,24 @@ object ScaleData {
   /** Shared dimensions: copied through unamplified (as dbgen does). */
   val fixed: Seq[String] = Seq("region", "nation")
 
+  /** Cluster key per fact for `layout=clustered` — the layout a real
+    * deployment maintains for its highest-traffic aggregate/join key
+    * (lineitem by orderkey, orders by orderkey, events by time). Emitted as
+    * a RANGE partitioning + within-file sort, so each parquet file covers a
+    * contiguous key range: map-side partial aggregation combines a key's
+    * rows before any exchange, and min/max footer stats prune key-range
+    * scans. Measured motivation (BASELINE.md SF30): q18's per-order
+    * aggregate ran 39.3 s on the random layout vs 22.9 s hash-clustered —
+    * the one super-linear TPC-H residual was layout, not plan. */
+  val clusterKeys: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "events" -> "ts")
+
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, layout: String = "random"): Unit = {
+    require(layout == "random" || layout == "clustered",
+      s"layout must be random|clustered, got $layout")
     val copies = spark.range(factor).select(col("id").as("__copy"))
     // Only the true fact tables need spreading over many files for a
     // 32-thread scan (the cross-join otherwise inherits the source's file
@@ -66,8 +82,12 @@ object ScaleData {
       val out = df.drop("__copy")
       // Fact file count scales with the amplification so SF10 (factor 100)
       // still yields ~full-size splits rather than 32 giant ones.
+      val nFactParts = math.max(32, 32 * factor / 10)
       val shaped =
-        if (facts(name)) out.repartition(math.max(32, 32 * factor / 10))
+        if (facts(name) && layout == "clustered" && clusterKeys.contains(name))
+          out.repartitionByRange(nFactParts, col(clusterKeys(name)))
+            .sortWithinPartitions(clusterKeys(name))
+        else if (facts(name)) out.repartition(nFactParts)
         // Dims keep their (small) source partitioning at SF1 — no shuffle,
         // no 32-tiny-file spray; at factor>10 they do need spreading
         // (customer at factor 100 is ~1.5M rows from a 1-partition source).
@@ -85,10 +105,11 @@ object ScaleData {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val layout = args.lift(3).getOrElse("random")
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     val t0 = System.nanoTime()
-    amplify(spark, srcDir, outDir, factor)
-    println(f"[scaledata] $srcDir x$factor -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    amplify(spark, srcDir, outDir, factor, layout)
+    println(f"[scaledata] $srcDir x$factor ($layout) -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

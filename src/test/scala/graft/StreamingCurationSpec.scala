@@ -42,6 +42,44 @@ class StreamingCurationSpec extends SparkSpec {
       s"expected only first-seen distinct survivors, got $out")
   }
 
+  test("curation stream restarts from checkpoint: no duplicate, no loss") {
+    // Failure-recovery contract: kill the query after a committed batch,
+    // let data arrive while it is DOWN (the crash window), restart from the
+    // same checkpoint, and the output must be exactly-once — the restarted
+    // query must (a) not re-emit batch-1 rows (file-sink transaction log),
+    // (b) still dedup a content copy of a PRE-restart document (the
+    // dropDuplicatesWithinWatermark state store recovered from checkpoint),
+    // (c) not lose the pending documents.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val dir = tmp("restart")
+    def start() = DocumentsStreaming.curationStream(input.toDF())
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", s"$dir/cp")
+      .option("path", s"$dir/out").start()
+    val q1 = start()
+    input.addData(
+      Doc(1, "alpha beta gamma delta epsilon", ts("2024-01-01 10:00:00")),
+      Doc(2, "one two three four five six", ts("2024-01-01 10:00:05")))
+    q1.processAllAvailable()
+    q1.stop()
+    // Arrives while no query is running: a content dup of doc 1 inside the
+    // watermark horizon, plus genuinely new content.
+    input.addData(
+      Doc(3, "ALPHA  beta GAMMA delta epsilon", ts("2024-01-01 10:02:00")),
+      Doc(4, "completely fresh new words here", ts("2024-01-01 10:02:10")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val ids = out.select($"doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 4L),
+      s"exactly-once survivors must be 1,2,4 — got $ids")
+    // belt-and-braces: one row per content fingerprint, no sink replays
+    assert(out.select($"fingerprint").distinct().count() == ids.length)
+  }
+
   test("stream-static near-dup candidates probe the corpus index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
