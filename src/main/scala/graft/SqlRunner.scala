@@ -24,6 +24,10 @@ object SqlRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The dialect-function surface (strleft/nvl/zeroifnull/date-arith
+    // families) is part of the fuzzed grammar — register it like any
+    // engine-owned session would.
+    functions.GraftFunctions.register(spark, overrideBuiltins = true)
     Engine.openCatalog(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val errors = new StringBuilder

@@ -346,10 +346,123 @@ def gen_setop_query(rng, table):
             f"ORDER BY {', '.join(proj)} LIMIT 2000")
 
 
+def gen_dialectfn_query(rng, table):
+    # Dialect-function surface (the 275-signature registry's high-traffic
+    # names). The two engines spell these DIFFERENTLY, so this production
+    # returns an (spark_sql, duck_sql) twin — the harness runs each engine
+    # its own text. Semantics must agree exactly; spelling may not.
+    c_str = rng.choice(cols(table, {"str", "cat"}))
+    c_num = rng.choice(cols(table, {"int", "key"}))
+    key = cols(table, {"key"})[0]
+    n = rng.randint(1, 5)
+    k = rng.randint(0, 5)
+    m = rng.randint(2, 9)
+    d6 = rng.randint(1, 9)
+    pairs = [
+        (f"strleft({c_str}, {n}) AS d1", f"left({c_str}, {n}) AS d1"),
+        (f"strright({c_str}, {n}) AS d2", f"right({c_str}, {n}) AS d2"),
+        (f"nvl(NULLIF({c_num}, {k}), -1) AS d3",
+         f"COALESCE(NULLIF({c_num}, {k}), -1) AS d3"),
+        (f"zeroifnull(NULLIF({c_num}, {k})) AS d4",
+         f"COALESCE(NULLIF({c_num}, {k}), 0) AS d4"),
+        (f"nullifzero({c_num} % {m}) AS d5",
+         f"NULLIF({c_num} % {m}, 0) AS d5"),
+        (f"instr({c_str}, '{d6}') AS d6", f"instr({c_str}, '{d6}') AS d6"),
+        (f"lpad({c_str}, {n + 6}, '*') AS d7",
+         f"lpad({c_str}, {n + 6}, '*') AS d7"),
+        (f"translate({c_str}, 'ae', 'xy') AS d8",
+         f"translate({c_str}, 'ae', 'xy') AS d8"),
+        (f"repeat(strleft({c_str}, 2), {n}) AS d9",
+         f"repeat(left({c_str}, 2), {n}) AS d9"),
+        (f"reverse(lower({c_str})) AS d10", f"reverse(lower({c_str})) AS d10"),
+        (f"concat_ws('-', {c_str}, CAST({c_num} AS STRING)) AS d11",
+         f"concat_ws('-', {c_str}, CAST({c_num} AS VARCHAR)) AS d11"),
+        (f"ascii(strleft({c_str}, 1)) AS d12",
+         f"ascii(left({c_str}, 1)) AS d12"),
+        (f"GREATEST({c_num}, {k}) AS d13", f"GREATEST({c_num}, {k}) AS d13"),
+        (f"LEAST({c_num} % {m}, {n}) AS d14",
+         f"LEAST({c_num} % {m}, {n}) AS d14"),
+    ]
+    picked = rng.sample(pairs, 5)
+    sq = ", ".join(p[0] for p in picked)
+    dq = ", ".join(p[1] for p in picked)
+    # total order on the table's UNIQUE key set: a LIMIT under a non-unique
+    # order would page engine-defined tie rows (not a semantic divergence)
+    uniq = ", ".join(UNIQ[table])
+    tail = f" FROM {table} ORDER BY {uniq} LIMIT 1000"
+    return (f"SELECT {key}, {sq}{tail}", f"SELECT {key}, {dq}{tail}")
+
+
+def gen_datefn_query(rng):
+    # Date-arithmetic dialect family over real timestamp columns; the
+    # Impala-style <unit>s_add/_sub names on the Spark side, ANSI INTERVAL
+    # arithmetic on the DuckDB side (the proven q_date_arith twin pattern).
+    table, c = rng.choice([("orders", "o_orderdate"),
+                           ("lineitem", "l_shipdate")])
+    key = cols(table, {"key"})[0]
+    n = rng.randint(1, 30)
+    y, mo, w = n % 5 + 1, n % 12 + 1, n % 8 + 1
+    pairs = [
+        (f"years_add({c}, {y}) AS t1", f"{c} + INTERVAL {y} YEAR AS t1"),
+        (f"months_sub({c}, {mo}) AS t2", f"{c} - INTERVAL {mo} MONTH AS t2"),
+        (f"days_add({c}, {n}) AS t3", f"{c} + INTERVAL {n} DAY AS t3"),
+        (f"hours_add({c}, {n}) AS t4", f"{c} + INTERVAL {n} HOUR AS t4"),
+        (f"weeks_add({c}, {w}) AS t5", f"{c} + INTERVAL {w * 7} DAY AS t5"),
+        (f"seconds_sub({c}, {n * 7}) AS t6",
+         f"{c} - INTERVAL {n * 7} SECOND AS t6"),
+        (f"dayname({c}) AS t7", f"dayname({c}) AS t7"),
+        (f"date_trunc('month', {c}) AS t8",
+         f"CAST(date_trunc('month', {c}) AS TIMESTAMP) AS t8"),
+        (f"EXTRACT(YEAR FROM {c}) AS t9", f"EXTRACT(YEAR FROM {c}) AS t9"),
+        (f"EXTRACT(DAY FROM {c}) AS t10", f"EXTRACT(DAY FROM {c}) AS t10"),
+    ]
+    picked = rng.sample(pairs, 4)
+    sq = ", ".join(p[0] for p in picked)
+    dq = ", ".join(p[1] for p in picked)
+    w_pred = gen_predicate(rng, table)
+    uniq = ", ".join(UNIQ[table])
+    tail = f" FROM {table} WHERE {w_pred} ORDER BY {uniq} LIMIT 1000"
+    return (f"SELECT {key}, {sq}{tail}", f"SELECT {key}, {dq}{tail}")
+
+
+def gen_decimal_query(rng, table):
+    # DECIMAL(p,s) promotion edges — SURVEY's named highest-risk exactness
+    # item. The corpus money columns carry exactly-2dp values, so casts to
+    # scale >= 2 are exact (no engine rounding-mode edge on input). +/-/*
+    # results are compared AS DECIMAL (string repr pins scale agreement);
+    # division deliberately rides DOUBLE/DOUBLE (the engines' decimal
+    # division scales differ by design, the oracle convention does too).
+    mpool = cols(table, {"double"})
+    if not mpool:
+        table, mpool = "lineitem", cols("lineitem", {"double"})
+    m1 = rng.choice(mpool)
+    m2 = rng.choice(mpool + cols(table, {"int", "key"}))
+    key = cols(table, {"key"})[0]
+    p1, s1 = rng.choice([(12, 2), (14, 4), (18, 6)])
+    lit = f"{rng.randint(1, 99)}.{rng.randint(0, 99):02d}"
+    exprs = [
+        f"CAST({m1} AS DECIMAL({p1},{s1})) + CAST({m2} AS DECIMAL(12,3)) AS d1",
+        f"CAST({m1} AS DECIMAL({p1},{s1})) - CAST({m2} AS DECIMAL(14,2)) AS d2",
+        f"CAST({m1} AS DECIMAL(12,2)) * CAST({lit} AS DECIMAL(4,2)) AS d3",
+        f"CAST({m1} AS DECIMAL(12,2)) * CAST({m2} AS DECIMAL(9,2)) AS d4",
+        f"CAST({m1} AS DOUBLE) / (ABS(CAST({m2} AS DOUBLE)) + 1) AS d5",
+        f"- CAST({m1} AS DECIMAL({p1},{s1})) AS d6",
+    ]
+    picked = rng.sample(exprs, 3)
+    agg = (f"CAST(SUM(CAST({m1} AS DECIMAL(14,2))) AS DECIMAL(24,2)) AS s1, "
+           f"MIN(CAST({m1} AS DECIMAL({p1},{s1}))) AS s2")
+    uniq = ", ".join(UNIQ[table])
+    q = (f"SELECT {key}, {', '.join(picked)} FROM {table} "
+         f"WHERE {gen_predicate(rng, table)} ORDER BY {uniq} LIMIT 1000")
+    qa = (f"SELECT {agg} FROM {table} WHERE {gen_predicate(rng, table)}")
+    return rng.choice([q, q, qa])
+
+
 def generate(rng, i):
     kind = rng.choice(["agg", "agg", "join", "scalar", "having", "subquery",
                        "window", "setop", "rollup", "multijoin", "outerjoin",
-                       "groupingsets", "semijoin", "cte", "offset"])
+                       "groupingsets", "semijoin", "cte", "offset",
+                       "dialectfn", "datefn", "decimal", "decimal"])
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
@@ -377,6 +490,12 @@ def generate(rng, i):
         return gen_cte_query(rng, table)
     if kind == "offset":
         return gen_offset_query(rng, table)
+    if kind == "dialectfn":
+        return gen_dialectfn_query(rng, table)
+    if kind == "datefn":
+        return gen_datefn_query(rng)
+    if kind == "decimal":
+        return gen_decimal_query(rng, table)
     return gen_scalar_query(rng, table)
 
 
@@ -389,12 +508,18 @@ def main():
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
-    queries = {f"f{i:04d}": generate(rng, i) for i in range(args.n)}
+    # A production returns either one cross-dialect string or a
+    # (spark_sql, duck_sql) twin when the engines spell the construct
+    # differently (dialect functions, INTERVAL arithmetic).
+    queries = {}
+    for i in range(args.n):
+        q = generate(rng, i)
+        queries[f"f{i:04d}"] = q if isinstance(q, tuple) else (q, q)
     os.makedirs(args.out, exist_ok=True)
     qfile = os.path.join(args.out, "queries.tsv")
     with open(qfile, "w") as f:
-        for name, q in sorted(queries.items()):
-            f.write(f"{name}\t{q}\n")
+        for name, (sq, _) in sorted(queries.items()):
+            f.write(f"{name}\t{sq}\n")
 
     cmd = ["java"]
     for p in ADD_OPENS:
@@ -420,7 +545,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf}/{t}.parquet')")
     n_ok = n_bad = n_err = 0
-    for name, q in sorted(queries.items()):
+    for name, (sq, q) in sorted(queries.items()):
         try:
             res = con.execute(q)
             duck_cols = [d[0] for d in res.description]
@@ -434,7 +559,8 @@ def main():
             if bool(name in spark_errors) != bool(duck_err):
                 n_bad += 1
                 print(f"[DIVERGE-ERR] {name}: spark="
-                      f"{spark_errors.get(name)} duck={duck_err}\n  {q}")
+                      f"{spark_errors.get(name)} duck={duck_err}\n"
+                      f"  spark: {sq}\n  duck:  {q}")
             else:
                 n_err += 1
             continue
@@ -444,7 +570,7 @@ def main():
         err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         if err:
             n_bad += 1
-            print(f"[DIVERGE] {name}: {err}\n  {q}")
+            print(f"[DIVERGE] {name}: {err}\n  spark: {sq}\n  duck:  {q}")
         else:
             n_ok += 1
     print(f"[fuzz] seed={args.seed} n={args.n} ok={n_ok} "
