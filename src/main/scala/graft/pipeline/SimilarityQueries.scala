@@ -46,10 +46,21 @@ object SimilarityQueries {
       .where(col("norm") > 0)
 
   /** Exact brute-force cosine top-5 for query vectors vec_id < 10. */
-  val annBrute: QueryFn = (s, dir) => {
-    val e = withNorm(t(s, dir, "embeddings"))
+  val annBrute: QueryFn = (s, dir) =>
+    bruteTopKFrame(t(s, dir, "embeddings"), (0L until 10L), 5)
+
+  /** Exact brute top-k over any (vec_id, embedding) frame — the ground
+    * truth the approximate tiers' recall is measured against (specs +
+    * [[graft.AnnScale]]). Queries broadcast; per-query top-k through the
+    * bounded-heap [[graft.plans.TopKPerGroup]] (map-side reduction, ≤ k
+    * rows per query shuffled) rather than a row_number window, which would
+    * funnel each query's full n scored rows into one task at corpus
+    * scale. Same rounded-cosine + lowest-vec_id tie-break as the window
+    * form, so the registered query's oracle is unchanged. */
+  def bruteTopKFrame(embRaw: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = withNorm(embRaw)
     val q = broadcast(
-      e.filter(col("vec_id") < 10)
+      e.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
                 col("norm").as("q_norm")))
     val scored = q.crossJoin(e)
@@ -57,10 +68,13 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"),
         round(dotD(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6)
           .as("cosine"))
+    val top = graft.plans.TopKPerGroup.topK(
+      scored, Seq(col("query_id")),
+      struct(col("cosine"), (-col("vec_id")).as("tb")), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    top.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))
   }
