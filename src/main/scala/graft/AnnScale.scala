@@ -80,20 +80,28 @@ object AnnScale {
     def recall(got: Set[(Long, Long)]): Double =
       if (truth.isEmpty) 1.0 else truth.count(got.contains).toDouble / truth.size
 
-    val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
-    for (nprobe <- Seq(1, 2, 4, 8)) {
-      val got = timed(f"ivf nlist=$nlist nprobe=$nprobe") {
-        graft.pipeline.IvfAnn.search(emb, queryIds, k, nlist, nprobe)
-          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mode = args.lift(3).getOrElse("all")
+
+    if (mode != "lsh") {
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val got = timed(f"ivf nlist=$nlist nprobe=$nprobe") {
+          graft.pipeline.IvfAnn.search(emb, queryIds, k, nlist, nprobe)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        }
+        println(f"[annscale]   -> ivf recall@$k nprobe=$nprobe: ${recall(got)}%.2f")
       }
-      println(f"[annscale]   -> ivf recall@$k nprobe=$nprobe: ${recall(got)}%.2f")
     }
 
-    val gotLsh = timed("lsh 4x12-bit tables") {
-      graft.pipeline.SimilarityQueries.lshTopKFrame(emb, queryIds, k)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // Table-count sensitivity: at fixed 8-bit buckets, tables is the
+    // recall knob that must grow as neighbor cosine falls with corpus size.
+    for (tables <- Seq(4, 8, 16)) {
+      val gotLsh = timed(s"lsh $tables tables x 8-bit buckets") {
+        graft.pipeline.SimilarityQueries.lshTopKFrame(emb, queryIds, k, tables)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      }
+      println(f"[annscale]   -> lsh recall@$k tables=$tables: ${recall(gotLsh)}%.2f")
     }
-    println(f"[annscale]   -> lsh recall@$k: ${recall(gotLsh)}%.2f")
     spark.stop()
   }
 }

@@ -68,7 +68,10 @@ object ScaleSmoke {
         // round 11c: k-means — two broadcast-centroid assignment passes
         // (map-side argmax, one shuffled row per vector) + the n×d
         // (cluster,dim) decimal-mean shuffle, all ∝ corpus size
-        "q_cluster_kmeans")
+        "q_cluster_kmeans",
+        // round 12: the convergence-looped variant — per-round cost is one
+        // materialized-corpus pass; rounds add linearly, lineage constant
+        "q_cluster_kmeans_iter")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 

@@ -105,10 +105,14 @@ object SimilarityQueries {
     lshTopKFrame(t(s, dir, "embeddings"), (0L until 10L), 5)
 
   /** The LSH ANN pipeline over any (vec_id, embedding) frame —
-    * parameterized so specs can measure recall on planted vectors. */
-  def lshTopKFrame(embRaw: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    * parameterized so specs can measure recall on planted vectors, and
+    * `tables` so the scale rehearsal can walk the recall knob: with b sign
+    * bits per bucket, recall ≈ 1−(1−(1−θ/π)^b)^tables — at fixed b the
+    * table count is the only lever that holds recall as the corpus grows
+    * (candidates per query scale ∝ tables·n/2^b). */
+  def lshTopKFrame(embRaw: DataFrame, queryIds: Seq[Long], k: Int,
+                   tables: Int = 4): DataFrame = {
     val e = withNorm(embRaw)
-    val tables = 4
     // array of per-table signatures (not transform-over-sequence: a lambda
     // would drop the codegen'd signature expression back to interpreted eval)
     val sigs = e.select(col("vec_id"), col("embedding"), col("norm"),
