@@ -82,7 +82,7 @@ object AnnScale {
 
     val mode = args.lift(3).getOrElse("all")
 
-    if (mode != "lsh") {
+    if (mode == "all" || mode == "ivf") {
       val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
       for (nprobe <- Seq(1, 2, 4, 8)) {
         val got = timed(f"ivf nlist=$nlist nprobe=$nprobe") {
@@ -90,6 +90,23 @@ object AnnScale {
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         }
         println(f"[annscale]   -> ivf recall@$k nprobe=$nprobe: ${recall(got)}%.2f")
+      }
+    }
+
+    if (mode == "all" || mode == "ivfidx") {
+      // Build-once/probe-many split: the standing partitioned index pays
+      // the O(n·nlist) cost once; each probe batch then reads only its
+      // nprobe cells' partitions.
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+      timed(s"ivf buildIndex nlist=$nlist (once)") {
+        graft.pipeline.IvfAnn.buildIndex(emb, nlist, s"$out/ivf")
+      }
+      for (nprobe <- Seq(1, 8)) {
+        val got = timed(f"ivf probe (standing) nprobe=$nprobe") {
+          graft.pipeline.IvfAnn.searchIndexed(spark, s"$out/ivf", queryIds, k, nprobe)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        }
+        println(f"[annscale]   -> indexed recall@$k nprobe=$nprobe: ${recall(got)}%.2f")
       }
     }
 

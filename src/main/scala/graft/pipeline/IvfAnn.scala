@@ -66,23 +66,12 @@ object IvfAnn {
       .select(col("vec_id"), col("best.embedding").as("embedding"),
               col("best.cell_id").as("cell_id"))
 
-  /** Top-k within the nprobe nearest cells per query. */
-  def search(emb: DataFrame, queryIds: Seq[Long], k: Int,
-             nlist: Int, nprobe: Int): DataFrame = {
-    // Materialize the nlist centroids as a LOCAL relation instead of
-    // .cache(): the trained frame is reused by both the index build and the
-    // probe join, and a per-invocation cached RDD is never unpersisted —
-    // repeated search() calls would pin storage memory for the session
-    // lifetime. nlist rows × one float vector is kilobytes.
-    val trained = trainCentroids(emb, nlist)
-    val centroids = emb.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(trained.collect(): _*)),
-      trained.schema)
-    val index = assignCells(emb, centroids)
-
-    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  /** Probe `nprobe` cells per query against an already-built (index,
+    * centroids) pair and return exact-cosine top-k within them — the
+    * shared core of [[search]] (in-memory build) and [[searchIndexed]]
+    * (standing on-disk index). */
+  private def probeTopK(index: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id"))
     val probed = queries.crossJoin(broadcast(centroids))
@@ -113,6 +102,65 @@ object IvfAnn {
       .withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Top-k within the nprobe nearest cells per query — self-contained form
+    * (trains + assigns per call; for repeated probing build the index once
+    * with [[buildIndex]] and use [[searchIndexed]]: the AnnScale 1.5 M-
+    * vector rehearsal measured the per-call build at ~2 min vs millisecond
+    * probes). */
+  def search(emb: DataFrame, queryIds: Seq[Long], k: Int,
+             nlist: Int, nprobe: Int): DataFrame = {
+    // Materialize the nlist centroids as a LOCAL relation instead of
+    // .cache(): the trained frame is reused by both the index build and the
+    // probe join, and a per-invocation cached RDD is never unpersisted —
+    // repeated search() calls would pin storage memory for the session
+    // lifetime. nlist rows × one float vector is kilobytes.
+    val trained = trainCentroids(emb, nlist)
+    val centroids = emb.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(trained.collect(): _*)),
+      trained.schema)
+    val index = assignCells(emb, centroids)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    probeTopK(index, centroids, queries, k, nprobe)
+  }
+
+  /** Build the IVF index ONCE as a standing artifact under `indexDir`:
+    * `centroids.parquet` (cell_id, centroid — kilobytes) and
+    * `index.parquet`, the corpus PARTITIONED BY cell_id on disk. The
+    * partitioned layout is the point at 100 TB: a probe touches only its
+    * nprobe cells' directories — dynamic partition pruning turns the
+    * probe join into an nprobe/nlist-fraction scan, and the O(n·nlist)
+    * training/assignment cost is paid once, amortized over every
+    * subsequent [[searchIndexed]] call (AnnScale measured the per-call
+    * build at ~2 min for 1.5 M×612 vs seconds per probe batch). */
+  def buildIndex(emb: DataFrame, nlist: Int, indexDir: String): Unit = {
+    val trained = trainCentroids(emb, nlist)
+    trained.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    assignCells(emb, centroids)
+      // co-locate each cell before the partitioned write: without this,
+      // every upstream task writes a file into every cell directory
+      // (tasks × nlist small files — measured 250 s build / 20 s probe at
+      // 1.5 M×612 from file-listing alone); hashed on cell_id each cell
+      // lands in one task ⇒ one file per cell
+      .repartition(math.min(nlist, 1024), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$indexDir/index.parquet")
+  }
+
+  /** Probe a standing [[buildIndex]] artifact: same output, row-for-row,
+    * as [[search]] with the same (nlist, nprobe) — pinned in IvfAnnSpec. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val index = spark.read.parquet(s"$indexDir/index.parquet")
+    val queries = index.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    probeTopK(index, centroids, queries, k, nprobe)
   }
 
   /** Same query/k shape as q_ann_brute / q_ann_lsh; rows-only (approximate

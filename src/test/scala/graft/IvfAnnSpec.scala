@@ -21,6 +21,25 @@ class IvfAnnSpec extends SparkSpec {
     assert(idx.select("cell_id").distinct().count() <= 8)
   }
 
+  test("standing index: searchIndexed equals the self-contained search") {
+    // The build-once/probe-many split must be a pure refactor of cost, not
+    // semantics: same centroids, same cell assignment, same rounded-cosine
+    // top-k, row for row.
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val dir = tmp("ivfindex")
+    IvfAnn.buildIndex(emb, nlist = 16, dir)
+    // the on-disk index is partitioned by cell: a probe prunes to its cells
+    val cellDirs = new java.io.File(s"$dir/index.parquet")
+      .listFiles.filter(_.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+    val viaIndex = IvfAnn.searchIndexed(spark, dir, (0L until 10L), 5, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val direct = IvfAnn.search(emb, (0L until 10L), 5, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.toSeq == direct.toSeq,
+      s"indexed search diverged from direct search")
+  }
+
   test("IVF search returns descending cosine per query and decent recall") {
     val df = IvfAnn.annIvf(spark, sfDir)
     // the candidate top-k must run through the bounded-heap operator, not
