@@ -70,8 +70,10 @@ object ScaleSmoke {
         // (cluster,dim) decimal-mean shuffle, all ∝ corpus size
         "q_cluster_kmeans",
         // round 12: the convergence-looped variant — per-round cost is one
-        // materialized-corpus pass; rounds add linearly, lineage constant
-        "q_cluster_kmeans_iter")
+        // materialized-corpus pass; rounds add linearly, lineage constant —
+        // and the two cluster-consumers (semantic-blocked dedup's Σ|cell|²
+        // candidate join, the per-cluster quota sampler)
+        "q_cluster_kmeans_iter", "q_dedup_semantic", "q_sample_percluster")
     val only = args.lift(2).map(_.split(",").toSet)
     heavy.filter(q => only.forall(_.contains(q))).foreach(time)
 
