@@ -85,10 +85,19 @@ object Bench {
       names.map(_ -> Vector.empty[Double]): _*)
     val gcSamples = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Long]): _*)
-    for (_ <- 1 to runs; n <- names) {
-      val (sec, gcMs) = runNoop(n)
-      samples(n) :+= sec
-      gcSamples(n) :+= gcMs
+    for (r <- 1 to runs) {
+      for (n <- names) {
+        val (sec, gcMs) = runNoop(n)
+        samples(n) :+= sec
+        gcSamples(n) :+= gcMs
+      }
+      // Between passes (never inside a timed query): give ContextCleaner a
+      // full-GC cycle to actually unpersist dead broadcast blocks. Measured
+      // motivation (round 12, SF100 TPC-DS): 38 min of back-to-back queries
+      // at the 16 g ceiling accumulated enough dead broadcast/hash state
+      // that a pass-3 1 GiB broadcast build died on GCLocker exhaustion
+      // (qds55 run 3 = -1) — the same query runs 22-31 s in isolation.
+      if (r < runs) System.gc()
     }
 
     // median of the successful samples; -1 only if every run failed

@@ -181,7 +181,18 @@ object TpcdsQueries {
 
   /** Q8-shape: semi-join on a derived expression key (type-prefix) against a
     * HAVING-filtered subquery; the 16%-of-total threshold is scale-invariant
-    * (a scalar subquery, broadcast as a 1-row aggregate). */
+    * (a scalar subquery, broadcast as a 1-row aggregate).
+    *
+    * SF100 scale note (round 12): the popular-prefix filter keeps most of
+    * part, which at SF100 is genuinely fact-sized for a single JVM — the
+    * plan correctly falls from broadcast (≤ SF30) to a sort-merge join
+    * whose fact shuffle is the scale-transition cost (measured identical
+    * at 16 g and at 32 g/256 MB threshold: NOT a threshold edge). The
+    * per-partkey partial-agg-below-join rewrite was tried and measured
+    * WORSE (80 vs 45.6 s): on the amplifier's random layout each map
+    * partition sees ~unique partkeys, so the partial aggregate reduces
+    * nothing and adds hash-spill — the q18 layout lesson. The minimal
+    * 16-byte (key, price) shuffle payload below is already the floor. */
   val qds8PrefixJoin: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
     val p = t(s, dir, "part")
