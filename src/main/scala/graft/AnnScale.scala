@@ -101,9 +101,15 @@ object AnnScale {
       timed(s"ivf buildIndex nlist=$nlist (once)") {
         graft.pipeline.IvfAnn.buildIndex(emb, nlist, s"$out/ivf")
       }
+      // Query frame from the CORPUS, not the index: the index is
+      // partitioned by cell_id, so a vec_id filter over it scans every
+      // cell — the corpus parquet serves the 10-row fetch with a pushed
+      // vec_id predicate instead (the query-frame searchIndexed overload).
+      val qFrame = emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       for (nprobe <- Seq(1, 8)) {
         val got = timed(f"ivf probe (standing) nprobe=$nprobe") {
-          graft.pipeline.IvfAnn.searchIndexed(spark, s"$out/ivf", queryIds, k, nprobe)
+          graft.pipeline.IvfAnn.searchIndexed(spark, s"$out/ivf", qFrame, k, nprobe)
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         }
         println(f"[annscale]   -> indexed recall@$k nprobe=$nprobe: ${recall(got)}%.2f")
@@ -112,7 +118,9 @@ object AnnScale {
 
     // Table-count sensitivity: at fixed 8-bit buckets, tables is the
     // recall knob that must grow as neighbor cosine falls with corpus size.
-    for (tables <- Seq(4, 8, 16)) {
+    // Gated like the IVF sections: a mode=ivf/ivfidx run must not pay
+    // three full LSH passes over the amplified corpus.
+    if (mode == "all" || mode == "lsh") for (tables <- Seq(4, 8, 16)) {
       val gotLsh = timed(s"lsh $tables tables x 8-bit buckets") {
         graft.pipeline.SimilarityQueries.lshTopKFrame(emb, queryIds, k, tables)
           .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -147,8 +147,16 @@ object Bench {
     // committed full-registry sf0.1 record (this clobber happened twice in
     // round 10 — once mis-scaled, once by the driver's own run).
     val defaultSf = "/root/testdata/sf0.1"
+    // The COMMITTED record (BENCH_FULL.json) is only written when the
+    // operator explicitly asks for a record refresh (GRAFT_RECORD=1): the
+    // driver's per-round run lands in BENCH_DRIVER.json (gitignored), so a
+    // driver round can never clobber the record or dirty the tree — its
+    // numbers are graded from the stdout JSON line, and the last driver
+    // run stays inspectable on disk for attribution.
+    val isRecord = sys.env.contains("GRAFT_RECORD")
     val fullName =
-      if (only.isEmpty && sfDir == defaultSf) "BENCH_FULL.json"
+      if (only.isEmpty && sfDir == defaultSf)
+        (if (isRecord) "BENCH_FULL.json" else "BENCH_DRIVER.json")
       else if (only.isEmpty) s"BENCH_${sfDir.split('/').last}.json"
       else s"BENCH_SUBSET_${sfDir.split('/').last}_n${results.size}.json"
     for (p <- Seq(

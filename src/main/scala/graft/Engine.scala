@@ -155,10 +155,49 @@ object Engine {
     * Both truly TRUNCATE lineage (unlike `persist`, which keeps the full
     * logical plan and re-analyzes it on every reuse — quadratic planning in
     * iterative loops). At 100 TB the deployment sets a checkpoint dir and
-    * every call site below is fault-tolerant with no code change. */
+    * every call site below is fault-tolerant with no code change.
+    *
+    * The reliable arm persists the frame BEFORE checkpointing: RDD
+    * checkpointing runs a second job to write the files, and without the
+    * persist that job recomputes the whole plan — 2× compute per cut,
+    * which an iterative pipeline (connectedComponents: up to 64 rounds ×
+    * 4 cuts) pays per round. With the persist the first (eager count) job
+    * populates the cache and the checkpoint-write job reads blocks; the
+    * cache is dropped immediately after, so no storage memory is pinned
+    * past the cut. MaterializeSpec pins the compute-once property with an
+    * accumulator. */
   def materialize(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
+
+  /** Release a frame returned by [[materialize]]: delete its reliable
+    * checkpoint files (they are never deleted by Spark unless the RDD is
+    * GC'd under `spark.cleaner.referenceTracking.cleanCheckpoints`, which
+    * is nondeterministic) or unpersist its local-checkpoint blocks.
+    * Iterative loops call this on round N−1's frames as soon as round N is
+    * materialized — without it a 64-round connected-components run grows
+    * the checkpoint dir by rounds × cuts × frame-size. No-op for frames
+    * that did not come from [[materialize]]. The frame must not be read
+    * again after release. */
+  def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          try fs.delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort cleanup
+        }
+        // localCheckpoint keeps its data as persisted blocks — a non-NONE
+        // storage level identifies that arm (isLocallyCheckpointed is
+        // private[spark]).
+        if (lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -192,7 +192,12 @@ case class DotProductD(left: Expression, right: Expression)
 
 /** dot_long(array<bigint>, array<bigint>) → bigint (exact; throws
   * ArithmeticException on 64-bit overflow — intended for quantized-domain
-  * vectors, e.g. int8 embeddings, where products are bounded by 127²). */
+  * vectors, e.g. int8 embeddings, where products are bounded by 127²).
+  * NOT registered in the SQL function registry (GraftExtensions): the only
+  * caller is the int8 ANN tier, whose values are quantizer-bounded, so no
+  * user SQL or fuzz production can reach the overflow throw. Registering
+  * it for SQL would require documenting the exception in the registry
+  * help text first. */
 case class DotProductL(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

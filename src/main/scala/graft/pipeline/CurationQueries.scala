@@ -85,6 +85,9 @@ object CurationQueries {
       .transform(graft.Engine.materialize)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .transform(graft.Engine.materialize)
+    // The materialized frame backing `labels` — releaseMaterialized must
+    // see the LogicalRDD itself, not a projection over it.
+    var labelsCut = labels
     var converged = false
     var iter = 0
     val MaxRounds = 64
@@ -114,9 +117,17 @@ object CurationQueries {
                   .as("changed"))
         .transform(graft.Engine.materialize)
       converged = jumped.filter(col("changed")).limit(1).isEmpty
+      // Round N is safely on stable storage — drop round N−1's cuts now
+      // (stepped fed only jumped; prev labels fed only this round).
+      // Without this, rounds × cuts checkpoint files accumulate for the
+      // whole session (Engine.releaseMaterialized scaladoc).
+      graft.Engine.releaseMaterialized(stepped)
+      graft.Engine.releaseMaterialized(labelsCut)
+      labelsCut = jumped
       labels = jumped.select(col("doc_id"), col("label"))
       iter += 1
     }
+    graft.Engine.releaseMaterialized(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $MaxRounds rounds — " +

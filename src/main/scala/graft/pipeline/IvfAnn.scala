@@ -152,15 +152,30 @@ object IvfAnn {
       .parquet(s"$indexDir/index.parquet")
   }
 
-  /** Probe a standing [[buildIndex]] artifact: same output, row-for-row,
-    * as [[search]] with the same (nlist, nprobe) — pinned in IvfAnnSpec. */
+  /** Probe a standing [[buildIndex]] artifact with an external query frame
+    * `(query_id, q_emb)`: same output, row-for-row, as [[search]] with the
+    * same (nlist, nprobe) — pinned in IvfAnnSpec. The query frame comes
+    * from the CALLER (the original corpus, a request batch, a file): the
+    * index is partitioned by cell_id, so fetching queries by vec_id FROM
+    * the index would prune nothing — a whole-index scan per probe batch,
+    * exactly what the partitioned layout exists to avoid. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val index = spark.read.parquet(s"$indexDir/index.parquet")
+    probeTopK(index, centroids, queries, k, nprobe)
+  }
+
+  /** Convenience vec_id form of [[searchIndexed]] — fetches the query
+    * vectors by scanning the index (no partition pruning on vec_id; fine
+    * for fixtures/specs, use the query-frame overload for repeated
+    * production probing). */
   def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                     queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val index = spark.read.parquet(s"$indexDir/index.parquet")
     val queries = index.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    probeTopK(index, centroids, queries, k, nprobe)
+    searchIndexed(spark, indexDir, queries, k, nprobe)
   }
 
   /** Same query/k shape as q_ann_brute / q_ann_lsh; rows-only (approximate

@@ -184,9 +184,17 @@ object SimilarityQueries {
         round(graft.functions.VectorOps.dotLong(col("q_qv"), col("qv")).cast("double")
                 / (col("q_qnorm") * col("qnorm")), 6)
           .as("cosine"))
+    // Per-query top-k through the bounded-heap TopKPerGroup, same as
+    // [[bruteTopKFrame]]: the heap reduces map-side so the shuffle carries
+    // ≤ k rows per query; a row_number window here would funnel each
+    // query's full n scored rows into one task for a full sort. The final
+    // window runs over the already-k-bounded frame (k·|queries| rows).
+    val top = graft.plans.TopKPerGroup.topK(
+      scored, Seq(col("query_id")),
+      struct(col("cosine"), (-col("vec_id")).as("tb")), 5)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
+    top.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))

@@ -38,6 +38,15 @@ class IvfAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(viaIndex.toSeq == direct.toSeq,
       s"indexed search diverged from direct search")
+    // Query-frame overload (the production form: queries come from the
+    // caller, not a vec_id filter over the cell-partitioned index, which
+    // prunes nothing): must be row-equal to the vec_id convenience form.
+    val qFrame = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val viaFrame = IvfAnn.searchIndexed(spark, dir, qFrame, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaFrame.toSeq == direct.toSeq,
+      s"query-frame searchIndexed diverged from direct search")
   }
 
   test("IVF search returns descending cosine per query and decent recall") {

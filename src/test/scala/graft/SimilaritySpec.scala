@@ -16,6 +16,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 ANN top-k plans through the bounded heap, no sort below it") {
+    // The per-query top-k must be TopKPerGroupExec (map-side heap, ≤ k rows
+    // per query shuffled) — a row_number window here would funnel each
+    // query's FULL scored corpus into one task for a full sort. Any
+    // SortExec may only sit ABOVE the heap (over the k-bounded frame).
+    // string-walk the printed tree: AdaptiveSparkPlanExec hides its
+    // subtree from plan.collect until execution, but toString prints it
+    val lines = pipeline.SimilarityQueries.annInt8(spark, sfDir)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    val heapIdx = lines.lastIndexWhere(_.contains("TopKPerGroup"))
+    assert(heapIdx >= 0, s"no TopKPerGroupExec in:\n${lines.mkString("\n")}")
+    // everything printed after the partial (deepest) heap is its subtree
+    val below = lines.drop(heapIdx + 1).filter(_.matches(""".*\bSort \[.*"""))
+    assert(below.isEmpty,
+      s"SortExec below the bounded heap:\n${lines.mkString("\n")}")
+  }
+
   test("LSH ANN candidates are a subset of the corpus and self-consistent") {
     val lsh = pipeline.SimilarityQueries.annLsh(spark, sfDir).collect()
     assert(lsh.nonEmpty)
