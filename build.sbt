@@ -36,3 +36,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// local-cluster mode (graft.ClusterMode): the in-JVM standalone Worker
+// locates Spark via SPARK_HOME when launching executor JVMs. Point it at
+// the /tmp shim (jars/ symlinked to /opt/spark/jars) so executor work dirs
+// land under /tmp and the image's distribution stays pristine.
+val sparkHomeShim = Map("SPARK_HOME" -> "/tmp/graft-spark-home")
+Test / envVars ++= sparkHomeShim
+run / envVars ++= sparkHomeShim
+// LocalClusterSpec creates and stops its own SparkContexts (a plain local
+// reference session, then the local-cluster one). The other 40+ suites
+// share one lazy session object (SparkSpec.spark) — mixing the two in one
+// JVM would hand those suites a stopped context, so the cluster suite runs
+// in its own forked JVM, and forked groups are serialized (two concurrent
+// Spark JVMs would fight for ports and poison any timing-sensitive spec).
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars(sparkHomeShim)
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.LocalClusterSpec")
+  Seq(Tests.Group("cluster", cluster, Tests.SubProcess(opts)),
+      Tests.Group("rest", rest, Tests.SubProcess(opts)))
+    .filter(_.tests.nonEmpty)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
