@@ -116,6 +116,60 @@ object AnnScale {
       }
     }
 
+    // Append-drift rehearsal (mode=drift, not part of `all` — it re-derives
+    // brute truth per tranche): build the standing index on HALF the
+    // corpus, then ingest the other half via appendToIndex in tranches.
+    // The appended copies are sign-decorrelated directions the centroids
+    // were never trained on, so this measures exactly the production decay
+    // question: how far can cheap append-ingest run before stale centroids
+    // cost recall and a buildIndex retrain is due? The closing full
+    // rebuild quantifies how much recall a retrain buys back at the same
+    // nprobe — BASELINE.md records the curve and names the trigger.
+    if (mode == "drift") {
+      val copyOf = floor(col("vec_id") / 1000000000L)
+      val half = math.max(1, factor / 2)
+      val initial = emb.filter(copyOf < half)
+      val nInit = initial.count()
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+      val nprobe = 8
+      timed(f"drift buildIndex on $nInit vectors nlist=$nlist") {
+        graft.pipeline.IvfAnn.buildIndex(initial, nlist, s"$out/drift")
+      }
+      val qFrame = emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      def recallNow(hi: Long, label: String): Unit = {
+        val corpus = emb.filter(copyOf < hi)
+        val truthNow = graft.pipeline.SimilarityQueries
+          .bruteTopKFrame(corpus, queryIds, k)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val got = timed(f"$label probe nprobe=$nprobe") {
+          graft.pipeline.IvfAnn
+            .searchIndexed(spark, s"$out/drift", qFrame, k, nprobe)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        }
+        val r = if (truthNow.isEmpty) 1.0
+                else truthNow.count(got.contains).toDouble / truthNow.size
+        println(f"[annscale]   -> drift $label recall@$k: $r%.2f")
+      }
+      recallNow(half, f"appended 0%%")
+      val tranches = 4
+      val per = math.max(1, (factor - half + tranches - 1) / tranches)
+      var lo = half.toLong
+      while (lo < factor) {
+        val hi = math.min(factor.toLong, lo + per)
+        val batch = emb.filter(copyOf >= lo && copyOf < hi)
+        timed(f"append copies $lo..${hi - 1} (${batch.count()} vectors)") {
+          graft.pipeline.IvfAnn.appendToIndex(batch, s"$out/drift")
+        }
+        recallNow(hi, f"appended ${(hi - half) * 100 / (factor - half)}%%")
+        lo = hi
+      }
+      timed(f"drift full rebuild nlist=$nlist") {
+        graft.pipeline.IvfAnn.buildIndex(emb, nlist, s"$out/drift")
+      }
+      recallNow(factor.toLong, "rebuilt 100%")
+    }
+
     // Table-count sensitivity: at fixed 8-bit buckets, tables is the
     // recall knob that must grow as neighbor cosine falls with corpus size.
     // Gated like the IVF sections: a mode=ivf/ivfidx run must not pay

@@ -32,16 +32,40 @@ object Bench {
     // Heap-sized broadcast threshold (see Engine.sizedBroadcastThreshold):
     // dims keep broadcasting as their byte size grows with SF, until they
     // are genuinely fact-sized for the JVM.
-    val broadcastBytes =
-      Engine.sizedBroadcastThreshold(Runtime.getRuntime.maxMemory)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,12288] benches the multi-executor
+    // shape: real executor JVMs, shuffle/broadcast over netty (see
+    // ClusterMode). Default stays single-JVM local[cpus].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val isCluster = master.startsWith("local-cluster")
+    // local-cluster[w,c,m]: per-worker grant; executors take the full grant.
+    val clusterSpec = "local-cluster\\[(\\d+),(\\d+),(\\d+)\\]".r
+    val (executorMemMb, totalCores) = master match {
+      case clusterSpec(w, c, m) => (m.toInt, w.toInt * c.toInt)
+      case _ => (0, cpus.toInt)
+    }
+    // Broadcast threshold must be sized from EXECUTOR heap (the process
+    // that builds/holds the hashed relation), which is the driver's own
+    // heap only in local mode.
+    val broadcastBytes = Engine.sizedBroadcastThreshold(
+      if (isCluster) executorMemMb * 1024L * 1024L
+      else Runtime.getRuntime.maxMemory)
+    if (isCluster) ClusterMode.ensureSparkHomeShim()
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        math.max(shufflePartitions, totalCores))
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (isCluster) {
+      builder
+        .config("spark.executor.memory", s"${executorMemMb}m")
+        .config("spark.executor.extraClassPath", ClusterMode.absoluteClassPath)
+        .config("spark.executor.extraJavaOptions", ClusterMode.executorJavaOptions)
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // Cumulative stop-the-world GC time across all collectors; the per-run
@@ -136,7 +160,7 @@ object Bench {
           ",\"runs\":[" + xs.map(f3).mkString(",") + "]" +
           ",\"gc_ms\":[" + gcSamples(n).map(_.toString).mkString(",") + "]}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"heap_mb":$heapMb,"shuffle_partitions":$shufflePartitions,"broadcast_mb":${broadcastBytes / (1024L * 1024L)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${f3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"master":"$master","heap_mb":$heapMb,"executor_mem_mb":$executorMemMb,"shuffle_partitions":${math.max(shufflePartitions, totalCores)},"broadcast_mb":${broadcastBytes / (1024L * 1024L)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full record next to the checkout (cwd), not a hardcoded absolute
     // path — a silently-swallowed write failure elsewhere would lose the
@@ -153,12 +177,20 @@ object Bench {
     // driver round can never clobber the record or dirty the tree — its
     // numbers are graded from the stdout JSON line, and the last driver
     // run stays inspectable on disk for attribution.
+    // EVERY non-record invocation lands on a gitignored name (BENCH_DRIVER
+    // or BENCH_SCRATCH_*) — previously a full-registry run at a non-default
+    // sfDir wrote an ungated, unignored BENCH_<sf>.json (ADVICE r13).
     val isRecord = sys.env.contains("GRAFT_RECORD")
+    val clusterTag = if (isCluster) "CLUSTER_" else ""
+    val sfLast = sfDir.split('/').last
+    val stem =
+      if (only.isEmpty && sfDir == defaultSf && !isCluster) "BENCH_FULL"
+      else if (only.isEmpty) s"BENCH_$clusterTag$sfLast"
+      else s"BENCH_${clusterTag}SUBSET_${sfLast}_n${results.size}"
     val fullName =
-      if (only.isEmpty && sfDir == defaultSf)
-        (if (isRecord) "BENCH_FULL.json" else "BENCH_DRIVER.json")
-      else if (only.isEmpty) s"BENCH_${sfDir.split('/').last}.json"
-      else s"BENCH_SUBSET_${sfDir.split('/').last}_n${results.size}.json"
+      if (isRecord) stem + ".json"
+      else if (stem == "BENCH_FULL") "BENCH_DRIVER.json"
+      else "BENCH_SCRATCH_" + stem.stripPrefix("BENCH_") + ".json"
     for (p <- Seq(
         java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "bench_timings.txt"),
         java.nio.file.Paths.get(sys.props("user.dir"), fullName)))

@@ -43,6 +43,20 @@ object ClusterMode {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
+  /** JVM options every executor needs (spark-submit would inject these on a
+    * real cluster; the standalone Worker does not). */
+  val executorJavaOptions: String = s"$addOpens -Duser.timezone=UTC"
+
+  /** This JVM's classpath with every entry absolutized: executors run from
+    * their work dir, so a relative `-cp target/...` on the driver command
+    * line would silently strip the application classes from executors
+    * (ClassNotFound on the first custom-kernel task). */
+  def absoluteClassPath: String =
+    sys.props("java.class.path").split(java.io.File.pathSeparator)
+      .filter(_.nonEmpty)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+
   /** SPARK_HOME shim for the in-JVM Worker: jars/ symlinked to the real
     * distribution, executor work dirs under /tmp. Idempotent. The JVM must
     * have been LAUNCHED with SPARK_HOME pointing here (build.sbt sets it for
@@ -78,9 +92,8 @@ object ClusterMode {
         "runs must export it)")
     val spark = Engine.builder(master)
       .config("spark.executor.memory", s"${executorMemMb}m")
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions",
-        s"$addOpens -Duser.timezone=UTC")
+      .config("spark.executor.extraClassPath", absoluteClassPath)
+      .config("spark.executor.extraJavaOptions", executorJavaOptions)
       // Executor JVMs cold-start slower than local[*] threads; don't let
       // the first heavy stage time out waiting for registration.
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")

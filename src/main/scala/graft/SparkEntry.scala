@@ -34,6 +34,7 @@ object SparkEntry {
       pipeline.MixtureQueries.all ++
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
+      pipeline.Utf8Queries.all ++
       pipeline.CurationQueries.all ++
       pipeline.SimilarityQueries.all ++
       pipeline.IvfAnn.all ++
@@ -60,6 +61,7 @@ object SparkEntry {
       pipeline.MixtureQueries.oracle ++
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
+      pipeline.Utf8Queries.oracle ++
       pipeline.CurationQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++
       pipeline.Clustering.oracle ++

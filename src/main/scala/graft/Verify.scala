@@ -39,6 +39,12 @@ object Verify {
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // Non-ASCII (the UTF-8 gate corpus carries multilingual literals):
+      // escape to \uXXXX so the dump is pure ASCII and immune to the
+      // consumer's locale default encoding. Java strings hold supplementary
+      // chars as surrogate pairs; escaping each half yields the valid JSON
+      // surrogate-escape form.
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

@@ -152,6 +152,35 @@ object IvfAnn {
       .parquet(s"$indexDir/index.parquet")
   }
 
+  /** Append a batch of NEW vectors to a standing [[buildIndex]] artifact
+    * without retraining: assign the batch against the STANDING centroids
+    * (one broadcast scoring pass over only the new rows) and append into
+    * the existing cell partitions. This is the production ingest path — a
+    * daily 0.1% batch costs O(batch·nlist), not the O(corpus·nlist) full
+    * rebuild.
+    *
+    * Exact contract (pinned in IvfAnnSpec): after appends, the index holds
+    * BYTE-IDENTICAL rows to a single [[assignCells]] pass of the combined
+    * corpus against the same centroids — append changes freshness, never
+    * assignment semantics. What appends DO degrade is centroid fit: the
+    * cells were trained on the original distribution, so recall against
+    * the drifted corpus decays as the appended fraction grows
+    * (`graft.AnnScale` drift mode measures recall@k per appended tranche;
+    * BASELINE.md names the measured retrain trigger). Callers retrain by
+    * re-running [[buildIndex]] over the full corpus. */
+  def appendToIndex(newEmb: DataFrame, indexDir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val nlist = centroids.count().toInt
+    assignCells(newEmb, centroids)
+      // same one-file-per-cell co-location as buildIndex — an append that
+      // skipped this would scatter tasks × nlist small files per batch and
+      // erode probe-time file listing round over round
+      .repartition(math.min(nlist, 1024), col("cell_id"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$indexDir/index.parquet")
+  }
+
   /** Probe a standing [[buildIndex]] artifact with an external query frame
     * `(query_id, q_emb)`: same output, row-for-row, as [[search]] with the
     * same (nlist, nprobe) — pinned in IvfAnnSpec. The query frame comes
@@ -172,10 +201,14 @@ object IvfAnn {
     * production probing). */
   def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                     queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val index = spark.read.parquet(s"$indexDir/index.parquet")
     val queries = index.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    searchIndexed(spark, indexDir, queries, k, nprobe)
+    // Hand probeTopK the already-loaded frames rather than delegating to
+    // the path-based overload, which would re-read index.parquet for the
+    // probe side (one extra full listing+scan per call — ADVICE r13).
+    probeTopK(index, centroids, queries, k, nprobe)
   }
 
   /** Same query/k shape as q_ann_brute / q_ann_lsh; rows-only (approximate

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.operators.{t, QueryFn}
@@ -51,8 +51,8 @@ object TextQueries {
 
   /** Token counting: whitespace tokens + a BPE-ish subword proxy (4 chars ≈
     * 1 token, the common rule-of-thumb estimator) + non-space char count. */
-  val tokenCount: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val tokenCount: QueryFn = (s, dir) => tokenCountFrame(t(s, dir, "documents"))
+  def tokenCountFrame(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nChars = length(regexp_replace(col("text"), "\\s+", ""))
     d.select(
@@ -122,8 +122,8 @@ object TextQueries {
     * counts; highest count wins (threshold 1, else 'und'). The corpus is
     * synthetic word-soup so most rows land 'en'/'und' — the point is the
     * mechanism: pure projection, no shuffle. */
-  val langId: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val langId: QueryFn = (s, dir) => langIdFrame(t(s, dir, "documents"))
+  def langIdFrame(d: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
     def hits(words: Seq[String]): Column =
       size(filter(toks, tk => tk.isInCollection(words)))
@@ -190,8 +190,8 @@ object TextQueries {
     * the overlap factor for no verification gain. */
   val ChunkW = 64
   val ChunkStride = 48
-  val chunk: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val chunk: QueryFn = (s, dir) => chunkFrame(t(s, dir, "documents"))
+  def chunkFrame(d: DataFrame): DataFrame = {
     val toks = filter(tokens(col("text")), _ =!= "")
     val n = size(toks)
     val nChunks = when(n <= ChunkW, lit(1))

@@ -49,6 +49,39 @@ class IvfAnnSpec extends SparkSpec {
       s"query-frame searchIndexed diverged from direct search")
   }
 
+  test("append lifecycle: appended index is byte-identical to a one-shot " +
+      "assignment of the combined corpus against the standing centroids") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val first = emb.filter(col("vec_id") % 3 =!= 0)   // initial build corpus
+    val batch = emb.filter(col("vec_id") % 3 === 0)   // later ingest batch
+    val dir = tmp("ivfappend")
+    IvfAnn.buildIndex(first, nlist = 16, dir)
+    IvfAnn.appendToIndex(batch, dir)
+
+    // Append must be pure ingest: same rows as assigning the combined
+    // corpus against the SAME standing (first-trained) centroids.
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    // cell_id comes back as an int partition column from disk but as a
+    // long from assignCells — normalize before comparing
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val onDisk = canon(spark.read.parquet(s"$dir/index.parquet"))
+    val oneShot = canon(IvfAnn.assignCells(emb, centroids))
+    assert(onDisk.size == emb.count())
+    assert(onDisk == oneShot, "append changed assignment semantics")
+
+    // Probes over the appended index must surface appended vectors (a
+    // third of the corpus is appended; 10 queries × top-5 finding none
+    // would mean the appended partitions are invisible to the probe join).
+    val viaIndex = IvfAnn.searchIndexed(spark, dir, (0L until 10L), 5, 4)
+    assert(viaIndex.count() > 0)
+    val appendedIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val retrieved = viaIndex.collect().map(_.getLong(2)).toSet
+    assert(retrieved.exists(appendedIds.contains),
+      "no appended vector ever surfaces in the probe results")
+  }
+
   test("IVF search returns descending cosine per query and decent recall") {
     val df = IvfAnn.annIvf(spark, sfDir)
     // the candidate top-k must run through the bounded-heap operator, not
