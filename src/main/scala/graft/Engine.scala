@@ -166,13 +166,31 @@ object Engine {
     * cache is dropped immediately after, so no storage memory is pinned
     * past the cut. MaterializeSpec pins the compute-once property with an
     * accumulator. */
+  /** RDD ids of frames [[materialize]] produced and [[releaseMaterialized]]
+    * has not yet freed. Guards release from acting on ANY LogicalRDD-backed
+    * frame (an RDD-sourced or caller-persisted frame must never have its
+    * blocks unpersisted or checkpoint files deleted from under it just
+    * because it shares the plan shape — ADVICE r13). Bounded: every entry
+    * is removed on release, and non-iterative callers leak at most a few
+    * Int ids per query, not storage. */
+  private val materializedRddIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   def materialize(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint(eager = true)
-      finally df.unpersist(blocking = false)
-    } else df.localCheckpoint(eager = true)
+      : org.apache.spark.sql.DataFrame = {
+    val cut =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
+      } else df.localCheckpoint(eager = true)
+    cut.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        materializedRddIds.add(lr.rdd.id)
+      case _ => ()
+    }
+    cut
+  }
 
   /** Release a frame returned by [[materialize]]: delete its reliable
     * checkpoint files (they are never deleted by Spark unless the RDD is
@@ -180,12 +198,13 @@ object Engine {
     * is nondeterministic) or unpersist its local-checkpoint blocks.
     * Iterative loops call this on round N−1's frames as soon as round N is
     * materialized — without it a 64-round connected-components run grows
-    * the checkpoint dir by rounds × cuts × frame-size. No-op for frames
-    * that did not come from [[materialize]]. The frame must not be read
-    * again after release. */
+    * the checkpoint dir by rounds × cuts × frame-size. Strict no-op for
+    * frames that did not come from [[materialize]] (tracked by RDD id, not
+    * plan shape). The frame must not be read again after release. */
   def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if materializedRddIds.remove(lr.rdd.id) =>
         lr.rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val fs = p.getFileSystem(

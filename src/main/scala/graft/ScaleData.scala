@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *
   * The output is NOT committed — it regenerates deterministically from the
   * driver's seed-42 sf0.1 parquet (TESTDATA.md) in ~30 s. Run:
-  * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor]"`.
+  * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor] [random|clustered|skewed]"`.
   */
 object ScaleData {
   /** Key columns shifted per copy. Every FK shifts with its PK so each copy
@@ -51,6 +51,27 @@ object ScaleData {
   /** Shared dimensions: copied through unamplified (as dbgen does). */
   val fixed: Seq[String] = Seq("region", "nation")
 
+  /** FACT-side foreign keys that collapse onto zipfian hot universes under
+    * `layout=skewed` (PK columns always keep the full disjoint shift, so
+    * every collapsed FK still references a real PK universe). */
+  val skewFkCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_custkey"),
+    "events" -> Seq("user_id"))
+
+  /** DENSE foreign keys (generator keys run 0..N−1) that additionally
+    * collapse onto [[HotKeys]] mega-keys for the hot half of the copies:
+    * universe-level zipf alone cannot skew a hash PARTITION (a universe
+    * holds many distinct keys, which hashing re-balances) — partition-level
+    * skew needs half the fact mass on fewer keys than there are shuffle
+    * partitions. l_orderkey is excluded (sparse — a value collapse could
+    * dangle), so it carries universe/groupBy skew only. */
+  val hotFkCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_custkey"),
+    "events" -> Seq("user_id"))
+  val HotKeys = 8
+
   /** Cluster key per fact for `layout=clustered` — the layout a real
     * deployment maintains for its highest-traffic aggregate/join key
     * (lineitem by orderkey, orders by orderkey, events by time). Emitted as
@@ -67,9 +88,24 @@ object ScaleData {
 
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, layout: String = "random"): Unit = {
-    require(layout == "random" || layout == "clustered",
-      s"layout must be random|clustered, got $layout")
+    require(layout == "random" || layout == "clustered" || layout == "skewed",
+      s"layout must be random|clustered|skewed, got $layout")
     val copies = spark.range(factor).select(col("id").as("__copy"))
+    // layout=skewed (VERDICT r12 #4): the uniform amplifier gives every key
+    // exactly sf0.1's per-key cardinality, so the AQE-skew-split claim was
+    // only ever pinned on balanced data. Here each copy's FACT-side FKs
+    // collapse onto universe t(c) = floor(factor/(c+1)) − 1: universe t
+    // receives ~factor/((t+1)(t+2)) copies, i.e. a zipf-like tail where
+    // universe 0 (the ORIGINAL keys) absorbs HALF of all fact rows — the
+    // one-tenant-is-half-the-traffic shape real deployments see. Join
+    // cardinality and groupBy fan-in on l_orderkey/o_custkey/user_id
+    // become zipfian while referential integrity holds (every target
+    // universe's PKs exist — PK columns keep the full shift). Document
+    // LENGTHS skew the same way: copy c's texts repeat ~factor/(2(c+1))×,
+    // so the text tier sees a heavy-tailed length distribution instead of
+    // the fixture's uniform short docs.
+    val zipfTarget = greatest(lit(0L),
+      floor(lit(factor.toDouble) / (col("__copy") + 1)).cast("long") - 1)
     // Only the true fact tables need spreading over many files for a
     // 32-thread scan (the cross-join otherwise inherits the source's file
     // count); repartitioning every amplified dimension produced 32 tiny
@@ -78,7 +114,28 @@ object ScaleData {
     val facts = Set("lineitem", "orders", "events")
     for ((name, keys) <- shiftCols) {
       var df = Tables.table(spark, srcDir, name).crossJoin(broadcast(copies))
-      keys.foreach(k => df = df.withColumn(k, col(k) + col("__copy") * 1000000000L))
+      val fkSkewed: Set[String] =
+        if (layout == "skewed") skewFkCols.getOrElse(name, Nil).toSet
+        else Set.empty
+      val fkHot: Set[String] =
+        if (layout == "skewed") hotFkCols.getOrElse(name, Nil).toSet
+        else Set.empty
+      keys.foreach { k =>
+        val shift = if (fkSkewed(k)) zipfTarget else col("__copy")
+        val shifted = col(k) + shift * 1000000000L
+        df = df.withColumn(k,
+          if (fkHot(k))
+            // Hot half (t(c)=0): squash onto HotKeys dense universe-0 keys
+            // — half of all fact rows land on 8 customers/suppliers/parts/
+            // users, the real-world mega-tenant shape.
+            when(zipfTarget === 0, pmod(col(k), lit(HotKeys.toLong)))
+              .otherwise(shifted)
+          else shifted)
+      }
+      if (name == "documents" && layout == "skewed")
+        df = df.withColumn("text", array_join(array_repeat(col("text"),
+          greatest(lit(1), floor(lit(factor.toDouble) /
+            ((col("__copy") + 1) * 2)).cast("int"))), " "))
       val out = df.drop("__copy")
       // Fact file count scales with the amplification so SF10 (factor 100)
       // still yields ~full-size splits rather than 32 giant ones.

@@ -145,7 +145,9 @@ object Clustering {
     * per-round cost is one corpus pass + an n-row shuffle, K×d doubles of
     * driver traffic. */
   def trainedCentroidsIter(raw: DataFrame, k: Int = K,
-                           maxIters: Int = IterRounds): DataFrame = {
+                           maxIters: Int = IterRounds,
+                           onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      : DataFrame = {
     require(k > 0 && maxIters > 0, s"k=$k maxIters=$maxIters must be positive")
     val spark = raw.sparkSession
     val embD = graft.Engine.materialize(prep(raw))
@@ -157,9 +159,22 @@ object Clustering {
       converged = next == cents
       cents = next
       it += 1
+      // observation hook (round number, centroids after that round) — the
+      // KmeansSpec inertia invariant and the KmeansScale rehearsal read
+      // the run without a second training pass
+      onRound(it, centroidFrame(spark, cents))
     }
+    graft.Engine.releaseMaterialized(embD)
     centroidFrame(spark, cents)
   }
+
+  /** Spherical-k-means objective of a centroid set over the corpus:
+    * Σ (1 − cosine(v, assigned centroid)). The iterated trainer descends
+    * this (KmeansSpec pins per-round monotonicity; KmeansScale records the
+    * curve at amplified scale). */
+  def inertia(raw: DataFrame, centroids: DataFrame): Double =
+    assign(prep(raw), centroids)
+      .agg(sum(lit(1.0) - col("cosine"))).head().getDouble(0)
 
   /** K-means with deterministic seeding, one exact-decimal Lloyd update and
     * a final reassignment: (vec_id, cluster_id, cosine-to-centroid). */

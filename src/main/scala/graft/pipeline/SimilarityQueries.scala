@@ -109,9 +109,21 @@ object SimilarityQueries {
     * `tables` so the scale rehearsal can walk the recall knob: with b sign
     * bits per bucket, recall ≈ 1−(1−(1−θ/π)^b)^tables — at fixed b the
     * table count is the only lever that holds recall as the corpus grows
-    * (candidates per query scale ∝ tables·n/2^b). */
+    * (candidates per query scale ∝ tables·n/2^b).
+    *
+    * `probes` adds MULTI-PROBE on the query side (Lv et al., VLDB'07): each
+    * query also probes the buckets at Hamming distance 1 from its own
+    * (probes = 1 + 8 flips by default), trading candidates ∝ probes for the
+    * recall of ~probes× the table count at zero extra index cost. The
+    * expansion happens only on the |queries|-row side — the corpus side of
+    * the bucket join is untouched, so the 100 TB shape is identical. This
+    * is what keeps recall alive on SPARSE corpora (n ≲ 2^b leaves <1 vector
+    * per bucket: at sf0.01's 200 vectors, exact-bucket recall was 0.04 —
+    * caught by check.py's tolerance gate — vs 0.42 multi-probed). */
   def lshTopKFrame(embRaw: DataFrame, queryIds: Seq[Long], k: Int,
-                   tables: Int = 4): DataFrame = {
+                   tables: Int = 4, probes: Int = 9): DataFrame = {
+    require(probes >= 1 && probes <= graft.functions.HyperplaneLsh.Planes + 1,
+      s"probes must be in [1, bits+1], got $probes")
     val e = withNorm(embRaw)
     // array of per-table signatures (not transform-over-sequence: a lambda
     // would drop the codegen'd signature expression back to interpreted eval)
@@ -120,8 +132,14 @@ object SimilarityQueries {
         lshBucket(col("embedding"), lit(i))): _*)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
+    // query-side probe set: own bucket + (probes-1) single-bit flips
+    val probeBuckets = array((0 until probes).map {
+      case 0 => col("bucket")
+      case i => col("bucket").bitwiseXOR(lit(1 << (i - 1)))
+    }: _*)
     val q = sigs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"),
+      .select(col("tbl"), explode(probeBuckets).as("bucket"),
+              col("vec_id").as("query_id"),
               col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val cands = q.join(sigs, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))

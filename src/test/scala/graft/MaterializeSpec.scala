@@ -92,4 +92,24 @@ class MaterializeSpec extends SparkSpec {
     // non-materialized frame: release must be a safe no-op
     Engine.releaseMaterialized(spark.range(5).toDF("v"))
   }
+
+  test("releaseMaterialized never touches a LogicalRDD frame it did not make") {
+    // A caller's own localCheckpoint is plan-shape-identical to a
+    // materialize() output (LogicalRDD over persisted blocks) — release is
+    // tracked by RDD id, so foreign frames keep their blocks (ADVICE r13).
+    val foreign = spark.range(30).toDF("v").localCheckpoint(eager = true)
+    val rdd = foreign.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    Engine.releaseMaterialized(foreign)
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "release unpersisted a frame that did not come from materialize()")
+    // A released id leaves the tracking set: double-release is also a no-op.
+    val mine = Engine.materialize(spark.range(10).toDF("v"))
+    assert(mine.count() == 10)
+    Engine.releaseMaterialized(mine)
+    Engine.releaseMaterialized(mine)
+  }
 }

@@ -21,16 +21,33 @@ class SimilaritySpec extends SparkSpec {
     // per query shuffled) — a row_number window here would funnel each
     // query's FULL scored corpus into one task for a full sort. Any
     // SortExec may only sit ABOVE the heap (over the k-bounded frame).
-    // string-walk the printed tree: AdaptiveSparkPlanExec hides its
-    // subtree from plan.collect until execution, but toString prints it
-    val lines = pipeline.SimilarityQueries.annInt8(spark, sfDir)
-      .queryExecution.executedPlan.toString.linesIterator.toSeq
-    val heapIdx = lines.lastIndexWhere(_.contains("TopKPerGroup"))
-    assert(heapIdx >= 0, s"no TopKPerGroupExec in:\n${lines.mkString("\n")}")
-    // everything printed after the partial (deepest) heap is its subtree
-    val below = lines.drop(heapIdx + 1).filter(_.matches(""".*\bSort \[.*"""))
-    assert(below.isEmpty,
-      s"SortExec below the bounded heap:\n${lines.mkString("\n")}")
+    // Assert on the EXECUTED tree (AQE final plan after an action),
+    // expanding the leaf QueryStageExec wrappers — a printed-tree string
+    // walk could go vacuously green on a formatting change (ADVICE r13).
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = pipeline.SimilarityQueries.annInt8(spark, sfDir)
+    df.collect()
+    def expand(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other
+    }
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val e = expand(p)
+      e +: e.children.flatMap(subtree)
+    }
+    val nodes = subtree(df.queryExecution.executedPlan)
+    val heaps = nodes.collect { case h: plans.TopKPerGroupExec => h }
+    assert(heaps.nonEmpty,
+      s"no TopKPerGroupExec in:\n${df.queryExecution.executedPlan}")
+    heaps.foreach { h =>
+      val below = h.children.flatMap(subtree)
+      assert(below.nonEmpty, "heap subtree empty — nothing was asserted on")
+      val sorts = below.collect { case s: SortExec => s }
+      assert(sorts.isEmpty,
+        s"SortExec below the bounded heap:\n${df.queryExecution.executedPlan}")
+    }
   }
 
   test("LSH ANN candidates are a subset of the corpus and self-consistent") {
