@@ -314,14 +314,23 @@ object CurationQueries {
   val tfidf: QueryFn = (s, dir) => {
     val d = t(s, dir, "documents")
     val toks = tokens(col("text"))
-    val terms = d.select(col("doc_id"), size(toks).as("n_toks"),
-                         explode(toks).as("term"))
+    // Per-doc counting INSIDE the row (graft.functions.TermCounts), then
+    // explode the already-aggregated map: one output row per DISTINCT
+    // (doc, term) instead of one Tungsten row per token occurrence pushed
+    // through a partition-wide partial hash aggregate. Same rows, same
+    // types as the explode→groupBy it replaces; the SF10-skew rehearsal
+    // measured the old shape at 857 s (≈ all of q_text_tfidf), dominated
+    // by that per-token aggregate probe. Two-step select so the token
+    // split materializes once (the wordNgrams CollapseProject note).
+    val tokd = d.select(col("doc_id"), toks.as("toks"))
     // Materialized: df aggregates OVER tf, and without a cut Catalyst
-    // re-derives the whole (doc,term) aggregate — a second full corpus
+    // re-derives the whole (doc,term) frame — a second full corpus
     // pass — for the df branch. The checkpoint makes tf compute once;
     // everything downstream reads the (small) materialized frame.
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(max(col("n_toks")).as("n_toks"), count(lit(1)).as("tf_count"))
+    val tf = tokd.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(graft.functions.TermCounts(col("toks"))))
+      .select(col("doc_id"), col("key").as("term"), col("n_toks"),
+              col("value").as("tf_count"))
       .transform(graft.Engine.materialize)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count_distinct(col("doc_id")).as("n_docs"))

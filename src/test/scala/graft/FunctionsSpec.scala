@@ -32,6 +32,37 @@ class FunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("term_counts equals explode+groupBy on the documents corpus, " +
+      "null and empty tokens handled") {
+    import spark.implicits._
+    // semantic twin of the aggregate shape it replaces in q_text_tfidf
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val viaExpr = d
+      .select(col("doc_id"), explode(graft.functions.TermCounts(col("toks"))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaAgg = d
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaExpr == viaAgg)
+    // edge rows: repeats counted, null elements skipped, empty map on
+    // empty array, null array → null (nullIntolerant)
+    val edge = Seq(
+      (1L, Seq("a", "b", "a", "a")),
+      (2L, Seq.empty[String]),
+    ).toDF("id", "toks")
+    val m = edge.select(col("id"), graft.functions.TermCounts(col("toks")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1)).toMap
+    assert(m(1L) == Map("a" -> 3L, "b" -> 1L))
+    assert(m(2L).isEmpty)
+    val viaCol = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("toks")
+      .select(graft.functions.TermCounts(col("toks")).as("m"))
+      .head().getMap[String, Long](0)
+    assert(viaCol == Map("x" -> 2L))
+  }
+
   test("group_concat concatenates with separator, null-safe") {
     val r = sql1(
       "SELECT group_concat(n_name, '|') FROM nation WHERE n_regionkey = 0")
