@@ -241,32 +241,36 @@ object TextQueries {
     * plagiarism/near-dup index joins on. The expression is a single
     * codegen'd O(n) pass (monotonic-deque window minimum over a true
     * rolling hash); output is the canonical sorted distinct VALUE set, so
-    * the DuckDB oracle can rebuild it positionally with list ops (its
-    * per-char ascii() byte walk is exact on this ASCII corpus, same domain
-    * note as the fnv oracle). At 100 TB the (fingerprint → doc) inverted
+    * the DuckDB oracle can rebuild it positionally with list ops over the
+    * text's UTF-8 BYTES ([[DedupQueries.utf8BytesSql]] — the expression
+    * walks `UTF8String.getBytes`, so the oracle expands code points to
+    * their encoded octets; exact on every code-point width, gated by
+    * q_doc_winnow_utf8). At 100 TB the (fingerprint → doc) inverted
     * index this explodes into is an ordinary hash-shuffle groupBy. */
-  val winnowFp: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val winnowFp: QueryFn = (s, dir) => winnowFpFrame(t(s, dir, "documents"))
+  def winnowFpFrame(d: DataFrame): DataFrame =
     // No global orderBy: the compare harness sorts rows itself, and a
     // range-exchange over the exploded fingerprint frame would be pure
     // waste at scale (same convention as fingerprint/dedup outputs).
     d.select(col("doc_id"),
         explode(graft.functions.Winnow(normalizedText(col("text"))))
           .as("fingerprint"))
-  }
   val winnowFpSql: String =
-    """WITH nt AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+    s"""WITH nt AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
       |  FROM documents),
+      |bs AS (
+      |  SELECT doc_id,
+      |    list_transform(${DedupQueries.utf8BytesSql("s")},
+      |                   b -> CAST(b AS BIGINT)) AS b
+      |  FROM nt),
       |h AS (
       |  SELECT doc_id,
-      |    list_transform(range(1, greatest(len(s) - 7, 0) + 1),
+      |    list_transform(range(1, greatest(len(b) - 7, 0) + 1),
       |      i -> list_reduce(
-      |        list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(range(i, i + 8),
-      |            j -> CAST(ascii(s[j]) AS BIGINT))),
+      |        list_prepend(CAST(0 AS BIGINT), b[i:i+7]),
       |        (acc, c) -> (acc * 263 + c) % 2147483647)) AS hs
-      |  FROM nt),
+      |  FROM bs),
       |fp AS (
       |  SELECT doc_id,
       |    CASE WHEN len(hs) = 0 THEN []

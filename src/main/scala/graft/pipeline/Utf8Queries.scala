@@ -97,6 +97,8 @@ object Utf8Queries {
       ((s, _) => TextQueries.langIdFrame(corpus(s))),
     "q_text_chunk_utf8" ->
       ((s, _) => TextQueries.chunkFrame(corpus(s))),
+    "q_doc_winnow_utf8" ->
+      ((s, _) => TextQueries.winnowFpFrame(corpus(s))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +109,6 @@ object Utf8Queries {
     "q_text_token_utf8" -> overUtf8(TextQueries.tokenCountSql),
     "q_text_langid_utf8" -> overUtf8(TextQueries.langIdSql),
     "q_text_chunk_utf8" -> overUtf8(TextQueries.chunkSql),
+    "q_doc_winnow_utf8" -> overUtf8(TextQueries.winnowFpSql),
   )
 }
