@@ -7,12 +7,27 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[w,c,mem] runs the WHOLE oracle gate
+    // across real executor JVMs (same wiring as Bench/ClusterMode) — the
+    // multi-executor rehearsal's correctness half.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val isCluster = master.startsWith("local-cluster")
+    if (isCluster) ClusterMode.ensureSparkHomeShim()
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (isCluster) {
+      val clusterSpec = "local-cluster\\[(\\d+),(\\d+),(\\d+)\\]".r
+      val memMb = master match { case clusterSpec(_, _, m) => m.toInt; case _ => 2048 }
+      builder
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraClassPath", ClusterMode.absoluteClassPath)
+        .config("spark.executor.extraJavaOptions", ClusterMode.executorJavaOptions)
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Manifest FIRST (replacing any stale one from a previous run in this
