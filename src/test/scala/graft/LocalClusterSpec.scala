@@ -179,6 +179,39 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stale checkpoints not released: ${leftover.map(_.getName)}")
   }
 
+  test("streaming curation runs its state store across executor JVMs") {
+    // The watermarked dropDuplicatesWithinWatermark state lives in
+    // EXECUTOR-side state stores checkpointed to a shared dir — a surface
+    // local[*] exercises only in-process. Same scenario as
+    // StreamingCurationSpec's first test, here spanning two executor JVMs.
+    val s = spark // stable identifier (the session field is a var)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingCurationSpec.Doc
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val dir = tmp("cluster-stream")
+    val query = streaming.DocumentsStreaming.curationStream(input.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .format("memory").queryName("cluster_cur").start()
+    val loop = Seq.fill(40)("buy now").mkString(" ")
+    input.addData(
+      Doc(1, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:00:00")),
+      Doc(2, loop, ts("2024-01-01 10:00:10")),
+      Doc(3, "Alpha  beta GAMMA delta epsilon zeta", ts("2024-01-01 10:00:20")))
+    query.processAllAvailable()
+    input.addData(
+      Doc(4, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:05:00")),
+      Doc(5, "totally different words entirely here", ts("2024-01-01 10:05:10")))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("cluster_cur").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 5L),
+      s"cross-executor state store dedup diverged: $out")
+  }
+
   test("a query survives an executor JVM killed mid-stage") {
     val markerPath = new File(tmp("graft-kill"), "executor-killed").getAbsolutePath
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
