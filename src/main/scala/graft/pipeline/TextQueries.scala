@@ -73,8 +73,8 @@ object TextQueries {
 
   /** Quality scoring: stopword ratio, type-token ratio (vocabulary
     * diversity), digit ratio; combined into one [0,1] score. */
-  val quality: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val quality: QueryFn = (s, dir) => qualityFrame(t(s, dir, "documents"))
+  def qualityFrame(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast(DoubleType)
     val stopHits = size(filter(toks, tk => tk.isInCollection(EnStopwords)))
@@ -162,8 +162,8 @@ object TextQueries {
   /** Document fingerprinting: md5 over whitespace-normalized lowercase text
     * (the content hash exact-dedup keys on) + a 16-bit shard bucket derived
     * from it — the partition key a 100 TB dedup would shuffle on. */
-  val fingerprint: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val fingerprint: QueryFn = (s, dir) => fingerprintFrame(t(s, dir, "documents"))
+  def fingerprintFrame(d: DataFrame): DataFrame = {
     val fp = md5(normalizedText(col("text")).cast("binary"))
     d.select(
         col("doc_id"), fp.as("fingerprint"),
@@ -298,8 +298,8 @@ object TextQueries {
     * size. The per-row top-count is distinct×total element comparisons,
     * bounded by the document's own length (no joins, no state); docs
     * shorter than n emit 0.0 for that window. */
-  val repetition: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
+  val repetition: QueryFn = (s, dir) => repetitionFrame(t(s, dir, "documents"))
+  def repetitionFrame(d: DataFrame): DataFrame = {
     def grams(toks: Column, n: Int): Column =
       wordNgrams(toks, n, distinct = false)
     // Top-frequency via longest equal-run in the SORTED gram array —

@@ -99,6 +99,12 @@ object Utf8Queries {
       ((s, _) => TextQueries.chunkFrame(corpus(s))),
     "q_doc_winnow_utf8" ->
       ((s, _) => TextQueries.winnowFpFrame(corpus(s))),
+    "q_doc_fingerprint_utf8" ->
+      ((s, _) => TextQueries.fingerprintFrame(corpus(s))),
+    "q_text_quality_utf8" ->
+      ((s, _) => TextQueries.qualityFrame(corpus(s))),
+    "q_text_repetition_utf8" ->
+      ((s, _) => TextQueries.repetitionFrame(corpus(s))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,5 +116,8 @@ object Utf8Queries {
     "q_text_langid_utf8" -> overUtf8(TextQueries.langIdSql),
     "q_text_chunk_utf8" -> overUtf8(TextQueries.chunkSql),
     "q_doc_winnow_utf8" -> overUtf8(TextQueries.winnowFpSql),
+    "q_doc_fingerprint_utf8" -> overUtf8(TextQueries.fingerprintSql),
+    "q_text_quality_utf8" -> overUtf8(TextQueries.qualitySql),
+    "q_text_repetition_utf8" -> overUtf8(TextQueries.repetitionSql),
   )
 }
