@@ -55,7 +55,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_int8",          // int8 quantized kernel through the same heap
     "q_text_tfidf",        // materialize (reliable arm) + two-pass reuse
     "q_dedup_cluster",     // iterative connected components + release
-    "q_cluster_kmeans_iter" // convergence loop, centroid broadcast per round
+    "q_cluster_kmeans_iter", // convergence loop, centroid broadcast per round
+    "q_fmt_avro",          // avro container reader in executor JVMs
+    "q_fmt_seqfile",       // SequenceFile reader + distributed writer
+    "q_fmt_lzo"            // clean-room lzo1x codec class-loads on executors
   )
 
   private val tmpDirs = scala.collection.mutable.ListBuffer.empty[Path]
@@ -210,6 +213,45 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = spark.table("cluster_cur").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 5L),
       s"cross-executor state store dedup diverged: $out")
+  }
+
+  test("streaming state survives an executor JVM loss between microbatches") {
+    // The dedup state lived in the killed executor's memory; the next
+    // microbatch must reload it from the checkpoint dir on a surviving /
+    // relaunched executor and still recognize a pre-kill document's
+    // content duplicate. This is the streaming half of the executor-loss
+    // story (the batch half is the halt-mid-stage test below).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingCurationSpec.Doc
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val dir = tmp("cluster-stream-kill")
+    val query = streaming.DocumentsStreaming.curationStream(input.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .format("memory").queryName("cluster_cur_kill").start()
+    input.addData(
+      Doc(1, "alpha beta gamma delta epsilon zeta", ts("2024-01-01 10:00:00")),
+      Doc(2, "one two three four five six seven", ts("2024-01-01 10:00:10")))
+    query.processAllAvailable()
+    // Halt one executor via a plain side job (marker race picks exactly one).
+    val markerPath = new File(dir, "stream-killed").getAbsolutePath
+    spark.sparkContext.parallelize(1 to 8, 8).foreach { _ =>
+      if (new File(markerPath).createNewFile()) Runtime.getRuntime.halt(42)
+    }
+    assert(new File(markerPath).exists(), "kill job never fired")
+    input.addData(
+      Doc(3, "ALPHA  beta GAMMA delta epsilon zeta", // dup of pre-kill doc 1
+          ts("2024-01-01 10:02:00")),
+      Doc(4, "completely fresh new words arrive here", ts("2024-01-01 10:02:10")))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("cluster_cur_kill").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L),
+      s"state lost or rows dropped across executor death: $out")
   }
 
   test("a query survives an executor JVM killed mid-stage") {
