@@ -41,6 +41,12 @@ object Bench {
     val clusterSpec = "local-cluster\\[(\\d+),(\\d+),(\\d+)\\]".r
     val (executorMemMb, totalCores) = master match {
       case clusterSpec(w, c, m) => (m.toInt, w.toInt * c.toInt)
+      case _ if isCluster =>
+        // A malformed spec would otherwise fall through to executorMemMb=0
+        // and size the broadcast threshold from a zero-byte heap.
+        sys.error(
+          s"SPARK_GRAFT_MASTER looks like local-cluster but does not match " +
+            s"local-cluster[w,c,memMb]: '$master'")
       case _ => (0, cpus.toInt)
     }
     // Broadcast threshold must be sized from EXECUTOR heap (the process

@@ -170,11 +170,19 @@ object Engine {
     * has not yet freed. Guards release from acting on ANY LogicalRDD-backed
     * frame (an RDD-sourced or caller-persisted frame must never have its
     * blocks unpersisted or checkpoint files deleted from under it just
-    * because it shares the plan shape — ADVICE r13). Bounded: every entry
+    * because it shares the plan shape — ADVICE r13). Keyed by
+    * (applicationId, rdd.id), not bare id: RDD ids restart from 0 in a new
+    * SparkContext in the same JVM, so an unreleased id left by a stopped
+    * session could otherwise alias a later session's foreign LogicalRDD
+    * and defeat the strict no-op guard (ADVICE r14). Bounded: every entry
     * is removed on release, and non-iterative callers leak at most a few
-    * Int ids per query, not storage. */
+    * small strings per query, not storage. */
   private val materializedRddIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def materializedKey(
+      rdd: org.apache.spark.rdd.RDD[_]): String =
+    s"${rdd.context.applicationId}:${rdd.id}"
 
   def materialize(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -186,7 +194,7 @@ object Engine {
       } else df.localCheckpoint(eager = true)
     cut.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        materializedRddIds.add(lr.rdd.id)
+        materializedRddIds.add(materializedKey(lr.rdd))
       case _ => ()
     }
     cut
@@ -204,7 +212,7 @@ object Engine {
   def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD
-          if materializedRddIds.remove(lr.rdd.id) =>
+          if materializedRddIds.remove(materializedKey(lr.rdd)) =>
         lr.rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val fs = p.getFileSystem(

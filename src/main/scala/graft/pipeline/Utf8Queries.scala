@@ -70,8 +70,22 @@ object Utf8Queries {
     .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
     .mkString("(VALUES ", ", ", ") documents(doc_id, lang, text)")
 
-  private def overUtf8(sql: String): String =
+  /** Retarget a `documents` twin at the VALUES corpus. Asserts the
+    * substitution count matches every appearance of the table name (any
+    * syntactic role: `FROM documents`, `JOIN documents`, `documents d`) —
+    * a missed occurrence would otherwise silently bind the UTF-8 query's
+    * oracle to the sf-parquet documents view, i.e. the wrong corpus
+    * (ADVICE r14). */
+  private def overUtf8(sql: String): String = {
+    val occurrences =
+      "(?i)\\bdocuments\\b".r.findAllMatchIn(sql).length
+    val replaced = "FROM documents".r.findAllMatchIn(sql).length
+    require(occurrences == replaced && replaced > 0,
+      s"overUtf8: $occurrences 'documents' references but only $replaced " +
+        s"'FROM documents' substitution points — rewrite the twin so every " +
+        s"reference is a plain 'FROM documents' (no alias/JOIN forms):\n$sql")
     sql.replace("FROM documents", "FROM " + valuesSql)
+  }
 
   /** Direct known-construction gate on the base hash: one fnv_hash per text
     * — non-empty by construction, so it can never pass vacuously. */

@@ -173,9 +173,13 @@ def main():
 # correctness artifacts. A bound violation counts as a gate FAILURE.
 TOLERANCE = {
     "ndv_rel_err": 0.10,        # HLL++ at default rsd 0.05 — 2x headroom
-    "distinctpc_rel_err": 0.50, # FM/PCSA 64-map variance (FunctionsSpec)
-    "ivf_recall_min": 0.20,     # nprobe=4 of nlist=16 (IvfAnnSpec bound)
-    "lsh_recall_min": 0.10,     # 8 tables x 8-bit buckets (SimilaritySpec)
+    "distinctpc_rel_err": 0.25, # FM/PCSA 64-map variance; measured 0.101
+                                # (pcsa) at sf0.01 — 2.5x headroom (r15)
+    "ivf_recall_min": 0.50,     # nprobe=4 of nlist=16; measured 0.90 at
+                                # sf0.01 — catches a partial probe regression
+    "lsh_recall_min": 0.30,     # multi-probe (bucket + hamming-1 flips) is
+                                # the pinned shape since r14: measured 0.42;
+                                # exact-bucket-only regression = 0.04 → FAIL
 }
 
 
@@ -230,8 +234,13 @@ def tolerance_bounds(out_dir, only):
                       if truth else 1.0)
             check(f"{name}:{key}", recall, recall >= TOLERANCE[key])
     if report:
-        for dest in (os.path.join(out_dir, "TOLERANCE.json"),
-                     os.path.join(REPO, "TOLERANCE.json")):
+        # The repo-root copy is the committed record: only a FULL-registry
+        # run may refresh it — a partial --only run would silently shrink
+        # the 6-entry record (ADVICE r14). The out_dir copy always writes.
+        dests = [os.path.join(out_dir, "TOLERANCE.json")]
+        if only is None:
+            dests.append(os.path.join(REPO, "TOLERANCE.json"))
+        for dest in dests:
             with open(dest, "w") as f:
                 json.dump(report, f, indent=1, sort_keys=True)
         print(f"[check] tolerance bounds -> TOLERANCE.json "
