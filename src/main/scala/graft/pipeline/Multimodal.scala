@@ -1,111 +1,132 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{t, QueryFn}
+import MediaCodec.MediaInfo
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, and a batched decode/feature-extract stage.
+/** Multimodal-column pipeline: media as opaque `binary` columns with typed
+  * metadata, a batched decode/feature-extract stage, and downstream
+  * aggregation over the extracted features.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * DETERMINISTIC FAKE (clearly marked below) — what is real and tested is
-  * everything Spark-side: the schema convention (binary payload + mime +
-  * metadata struct), the partition-preserving batched `mapPartitions`
-  * decode stage (the Scala analogue of `mapInPandas` — one buffer reused
-  * per batch, no per-row setup cost), and the downstream aggregation over
-  * extracted features.
+  * The payloads are REAL encoded files — BMP images, RIFF/WAVE PCM audio,
+  * and concatenated-P6-PPM frame streams (raw "video") — built by
+  * [[MediaCodec]]'s spec-compliant encoders, and the decode stage parses the
+  * genuine container headers (magic bytes, RIFF chunk walk, PPM token scan).
+  * Nothing in the decode path replays the generation formulas: dimensions
+  * come off the wire, so a header-offset or endianness bug in either codec
+  * half is hash-visible in the DuckDB oracle, which derives the expected
+  * values independently from the corpus spec + the published size formulas
+  * of each format ([[mediaMetaSql]]).
   *
-  * Scale notes: media payloads dominate row size, so the decode stage keys
-  * nothing and shuffles nothing — it runs scan-side with per-partition
-  * parallelism. Feature rows (small) are what flow into joins/aggs.
+  * Scale notes: media payloads dominate row size, so the encode and decode
+  * stages key nothing and shuffle nothing — they run scan-side with
+  * per-partition parallelism (batched mapPartitions, the Scala analogue of
+  * `mapInPandas`). Feature rows (small) are what flow into joins/aggs.
+  *
+  * Reference analogue: scanner-batch decode in be/src/exec/hdfs-scan-node.cc;
+  * opaque-binary column handling in be/src/runtime/string-value.h.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                            width: Int, height: Int, n_frames: Int,
-                           checksum: Long)
+                           sample_rate: Int, checksum: Long)
 
-  /** Wrap documents as a media table: payload = utf8 bytes standing in for
-    * an encoded image/audio blob. */
+  /** Corpus spec: deterministic media parameters per document. These are the
+    * FIXTURE-GENERATION rules (what the encoder is told to write), mirrored
+    * verbatim in the DuckDB oracle; the engine's decode path never sees them.
+    *   doc_id%3=0 → BMP   (4+n_chars%61) × (4+n_chars*7%47), 24bpp
+    *   doc_id%3=1 → WAV   mono 16-bit, 8000+4000*((doc_id%9)/3) Hz,
+    *                      64+n_chars%1901 samples
+    *   doc_id%3=2 → PPM   (4+n_chars%29) × (4+n_chars*3%23), 2+doc_id%7 frames
+    */
+  def encodeFor(docId: Long, nChars: Long): (String, Array[Byte]) =
+    (docId % 3) match {
+      case 0 => ("image/bmp", MediaCodec.encodeBmp(
+        (4 + nChars % 61).toInt, (4 + nChars * 7 % 47).toInt, docId))
+      case 1 => ("audio/wav", MediaCodec.encodeWav(
+        (8000 + 4000 * ((docId % 9) / 3)).toInt, (64 + nChars % 1901).toInt, docId))
+      case _ => ("video/x-ppm", MediaCodec.encodePpmStream(
+        (4 + nChars % 29).toInt, (4 + nChars * 3 % 23).toInt,
+        (2 + docId % 7).toInt, docId))
+    }
+
+  /** Documents → media table with real encoded payloads. Batched
+    * partition-preserving encode, no shuffle. */
   def asMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image/png")
-          .when(col("doc_id") % 3 === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val (mime, payload) = encodeFor(id, nc)
+          MediaRow(id, mime, payload)
+        }
+      }
   }
 
-  /** === STUBBED DECODE ===
-    * Stands in for an image/audio/video decoder (not present in this
-    * container). Deterministic fake: dimensions and frame count derived
-    * from the payload bytes via FNV — stable across runs/engines, so specs
-    * can assert on it. A real deployment swaps only this function body. */
-  def decodeStub(mime: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val h = graft.functions.FnvHash.hashBytes(payload)
-    val w = 16 + (((h & 0x7fffffffL) % 2033L).toInt)
-    val ht = 16 + ((((h >>> 32) & 0x7fffffffL) % 1017L).toInt)
-    val frames = mime match {
-      case m if m.startsWith("video") => 1 + ((h >>> 17) & 0xffL).toInt
-      case m if m.startsWith("audio") => 1
-      case _ => 1
-    }
-    (w, ht, frames)
-  }
-
-  /** Batched decode/feature-extract stage: partition-preserving, one
-    * iterator pass, no shuffle — the `mapInPandas` shape in Scala. */
+  /** Batched decode/feature-extract stage: parses each payload's real
+    * container header via [[MediaCodec.decode]]. Partition-preserving, one
+    * iterator pass, no shuffle — the `mapInPandas` shape in Scala. Throws on
+    * malformed payloads (fail loud, not fake-a-row). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, frames) = decodeStub(r.mime, r.payload)
-        MediaFeatures(r.doc_id, r.mime, r.payload.length, w, h, frames,
+        val MediaInfo(w, h, frames, sr) = MediaCodec.decode(r.mime, r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length, w, h, frames, sr,
           graft.functions.FnvHash.hashBytes(r.payload))
       }
     }
   }
 
-  /** Media metadata projection — the SQL-expressible half (byte length,
-    * content hashes, deterministic fake dims from n_chars), oracle-checked. */
-  val mediaMeta: QueryFn = (s, dir) => {
-    val d = t(s, dir, "documents")
-    val payload = encode(col("text"), "UTF-8")
-    d.select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image/png")
-          .when(col("doc_id") % 3 === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
-        length(payload).as("n_bytes"),
-        md5(payload).as("content_md5"),
-        sha2(payload, 256).as("content_sha256"),
-        (lit(16) + pmod(col("n_chars"), lit(2033))).as("fake_width"),
-        (lit(16) + pmod(col("n_chars") * 7, lit(1017))).as("fake_height"))
-    // no global sort: per-doc metadata is a set, and a total order over the
-    // whole corpus is a needless range-exchange at scale
-  }
-  val mediaMetaSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |       ELSE 'video/mp4' END AS mime,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  sha256(text) AS content_sha256,
-      |  16 + (n_chars % 2033) AS fake_width,
-      |  16 + ((n_chars * 7) % 1017) AS fake_height
-      |FROM documents""".stripMargin
+  /** Per-document media metadata, every column read back off the encoded
+    * bytes (encode → binary → header parse). Oracle-checked row-by-row. */
+  val mediaMeta: QueryFn = (s, dir) =>
+    extractFeatures(asMediaTable(s, dir))
+      .toDF()
+      .select("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "sample_rate")
+  // no global sort: per-doc metadata is a set, and a total order over the
+  // whole corpus is a needless range-exchange at scale
 
-  /** Feature aggregation over the decoded (stubbed) features — exercises
-    * the full media → decode → analyze pipeline as one query. Oracle-checked:
-    * the stub's feature math is FNV-1a over the payload bytes plus modular
-    * arithmetic, all SQL-expressible — [[mediaFeatureAggSql]] re-derives it
-    * in DuckDB (FNV loop via list_reduce over the hex-encoded payload with
-    * HUGEINT mod-2^64 arithmetic), so a drift in the decode stage, the
-    * mapPartitions plumbing, or the aggregation is hash-visible. */
+  /** DuckDB twin: re-derives each column from the corpus spec
+    * ([[encodeFor]]'s scaladoc) plus the container size formulas —
+    * BMP = 54 + height·stride with stride = 3·width padded to 4 bytes;
+    * WAV = 44-byte canonical header + 2 bytes/sample;
+    * PPM stream = frames · (header "P6\\n{w} {h}\\n255\\n" + 3·w·h).
+    * Independent of the engine's parser: a decode bug cannot cancel out. */
+  val mediaMetaSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |         ELSE 'video/x-ppm' END AS mime,
+      |    4 + n_chars % 61 AS iw, 4 + n_chars * 7 % 47 AS ih,
+      |    64 + n_chars % 1901 AS ns, 8000 + 4000 * ((doc_id % 9) // 3) AS sr,
+      |    4 + n_chars % 29 AS vw, 4 + n_chars * 3 % 23 AS vh,
+      |    2 + doc_id % 7 AS vf
+      |  FROM documents
+      |)
+      |SELECT doc_id, mime,
+      |  CAST(CASE WHEN mime = 'image/bmp' THEN 54 + ih * (((3*iw + 3) // 4) * 4)
+      |            WHEN mime = 'audio/wav' THEN 44 + 2 * ns
+      |            ELSE vf * (9 + length(CAST(vw AS VARCHAR))
+      |                         + length(CAST(vh AS VARCHAR)) + 3 * vw * vh)
+      |       END AS INT) AS n_bytes,
+      |  CAST(CASE WHEN mime = 'image/bmp' THEN iw
+      |            WHEN mime = 'audio/wav' THEN 0 ELSE vw END AS INT) AS width,
+      |  CAST(CASE WHEN mime = 'image/bmp' THEN ih
+      |            WHEN mime = 'audio/wav' THEN 0 ELSE vh END AS INT) AS height,
+      |  CAST(CASE WHEN mime = 'image/bmp' THEN 1
+      |            WHEN mime = 'audio/wav' THEN ns ELSE vf END AS INT) AS n_frames,
+      |  CAST(CASE WHEN mime = 'audio/wav' THEN sr ELSE 0 END AS INT) AS sample_rate
+      |FROM p""".stripMargin
+
+  /** Feature aggregation over the decoded features — exercises the full
+    * media → encode → decode → analyze pipeline as one query. */
   val mediaFeatureAgg: QueryFn = (s, dir) => {
     extractFeatures(asMediaTable(s, dir))
       .toDF()
@@ -114,44 +135,25 @@ object Multimodal {
            sum(col("n_bytes")).as("total_bytes"),
            min(col("width")).as("min_width"),
            max(col("width")).as("max_width"),
-           sum(col("n_frames")).as("total_frames"))
+           max(col("height")).as("max_height"),
+           sum(col("n_frames")).as("total_frames"),
+           max(col("sample_rate")).as("max_sample_rate"))
       .orderBy(col("mime"))
   }
 
-  /** DuckDB twin of media → [[decodeStub]] → aggregate. The unsigned FNV
-    * state lives in HUGEINT (the 64-bit multiply overflows BIGINT; DuckDB
-    * raises on overflow rather than wrapping), reduced mod 2^64 per step;
-    * the stub's masks/shifts become mod/div on the unsigned value:
-    * `h & 0x7fffffff` = `uh % 2^31`, `(h >>> 32) & 0x7fffffff` =
-    * `(uh // 2^32) % 2^31`, `(h >>> 17) & 0xff` = `(uh // 2^17) % 256`. */
+  /** DuckDB twin of the aggregate — same independent derivation as
+    * [[mediaMetaSql]], aggregated. */
   val mediaFeatureAggSql: String =
-    """WITH f AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |         ELSE 'video/mp4' END AS mime,
-      |    octet_length(encode(text)) AS n_bytes,
-      |    hex(encode(text)) AS hx
-      |  FROM documents
-      |), h AS (
-      |  SELECT mime, n_bytes,
-      |    list_reduce(
-      |      list_prepend(14695981039346656037::HUGEINT,
-      |        list_transform(range(0, n_bytes),
-      |          i -> ('0x' || hx[1+2*i:2+2*i])::INT::HUGEINT)),
-      |      (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
-      |                  % 18446744073709551616::HUGEINT) AS uh
-      |  FROM f
-      |)
+    s"""WITH meta AS (${mediaMetaSql.replace("\n", "\n  ")})
       |SELECT mime,
       |  count(*) AS n_media,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-      |  CAST(min(16 + (uh % 2147483648) % 2033) AS INT) AS min_width,
-      |  CAST(max(16 + (uh % 2147483648) % 2033) AS INT) AS max_width,
-      |  CAST(sum(CASE WHEN mime = 'video/mp4'
-      |                THEN 1 + ((uh // 131072) % 256)
-      |                ELSE 1 END) AS BIGINT) AS total_frames
-      |FROM h
+      |  min(width) AS min_width,
+      |  max(width) AS max_width,
+      |  max(height) AS max_height,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  max(sample_rate) AS max_sample_rate
+      |FROM meta
       |GROUP BY mime
       |ORDER BY mime""".stripMargin
 
