@@ -38,7 +38,10 @@ object Bench {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val isCluster = master.startsWith("local-cluster")
     // local-cluster[w,c,m]: per-worker grant; executors take the full grant.
-    val clusterSpec = "local-cluster\\[(\\d+),(\\d+),(\\d+)\\]".r
+    // Whitespace allowed exactly where Spark's own SparkMasterRegex allows
+    // it (ADVICE r15: 'local-cluster[2, 4, 4096]' is a valid Spark spec).
+    val clusterSpec =
+      "local-cluster\\[\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\]".r
     val (executorMemMb, totalCores) = master match {
       case clusterSpec(w, c, m) => (m.toInt, w.toInt * c.toInt)
       case _ if isCluster =>

@@ -29,15 +29,39 @@ object BenchOne {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .map(_.toInt)
       .getOrElse(Engine.sizedShufflePartitions(sfDir, cpus.toInt))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+    // SPARK_GRAFT_MASTER=local-cluster[w,c,memMb] audits a query in the
+    // multi-executor shape (same contract as Bench — real executor JVMs,
+    // netty shuffle); broadcast threshold then sizes from EXECUTOR heap.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val isCluster = master.startsWith("local-cluster")
+    val clusterSpec =
+      "local-cluster\\[\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\]".r
+    val (executorMemMb, totalCores) = master match {
+      case clusterSpec(w, c, m) => (m.toInt, w.toInt * c.toInt)
+      case _ if isCluster =>
+        sys.error(s"SPARK_GRAFT_MASTER does not match local-cluster[w,c,memMb]: '$master'")
+      case _ => (0, cpus.toInt)
+    }
+    if (isCluster) ClusterMode.ensureSparkHomeShim()
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        math.max(shufflePartitions, totalCores))
       .config("spark.sql.autoBroadcastJoinThreshold",
-        Engine.sizedBroadcastThreshold(Runtime.getRuntime.maxMemory))
+        Engine.sizedBroadcastThreshold(
+          if (isCluster) executorMemMb * 1024L * 1024L
+          else Runtime.getRuntime.maxMemory))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (isCluster) {
+      builder
+        .config("spark.executor.memory", s"${executorMemMb}m")
+        .config("spark.executor.extraClassPath", ClusterMode.absoluteClassPath)
+        .config("spark.executor.extraJavaOptions", ClusterMode.executorJavaOptions)
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (reps <= 0) {
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

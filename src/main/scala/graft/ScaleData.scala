@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   *
   * The output is NOT committed — it regenerates deterministically from the
   * driver's seed-42 sf0.1 parquet (TESTDATA.md) in ~30 s. Run:
-  * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor] [random|clustered|skewed]"`.
+  * `sbt "runMain graft.ScaleData [srcDir] [outDir] [factor]
+  * [random|clustered|skewed|bucketed]"`.
   */
 object ScaleData {
   /** Key columns shifted per copy. Every FK shifts with its PK so each copy
@@ -86,10 +87,28 @@ object ScaleData {
     "orders" -> "o_orderkey",
     "events" -> "ts")
 
+  /** Bucket key per table for `layout=bucketed` (VERDICT r14/r15 #4):
+    * orders AND customer bucketed on custkey, the join+agg key of the
+    * q13 shape whose two fact-sized exchanges are the measured residual.
+    * Both sides share ONE bucket count, so the join plans with zero
+    * Exchange below it (see Tables.bucketedTable / BucketedJoinSpec). */
+  val bucketKeys: Map[String, String] = Map(
+    "orders" -> "o_custkey",
+    "customer" -> "c_custkey")
+
+  /** One file per bucket; sized so SF30 orders buckets land near full
+    * parquet splits (~45 M rows / 320 ≈ 140 k rows each). */
+  def bucketCount(factor: Int): Int = math.max(32, 32 * factor / 30)
+
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int, layout: String = "random"): Unit = {
-    require(layout == "random" || layout == "clustered" || layout == "skewed",
-      s"layout must be random|clustered|skewed, got $layout")
+      factor: Int, layout: String = "random",
+      tables: Option[Set[String]] = None): Unit = {
+    require(Set("random", "clustered", "skewed", "bucketed")(layout),
+      s"layout must be random|clustered|skewed|bucketed, got $layout")
+    tables.foreach { ts =>
+      val unknown = ts.diff(shiftCols.keySet ++ fixed)
+      require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+    }
     val copies = spark.range(factor).select(col("id").as("__copy"))
     // layout=skewed (VERDICT r12 #4): the uniform amplifier gives every key
     // exactly sf0.1's per-key cardinality, so the AQE-skew-split claim was
@@ -112,7 +131,7 @@ object ScaleData {
     // parquet files each (customer/supplier/part at sf0.1 scale) plus a
     // needless full shuffle per table.
     val facts = Set("lineitem", "orders", "events")
-    for ((name, keys) <- shiftCols) {
+    for ((name, keys) <- shiftCols if tables.forall(_.contains(name))) {
       var df = Tables.table(spark, srcDir, name).crossJoin(broadcast(copies))
       val fkSkewed: Set[String] =
         if (layout == "skewed") skewFkCols.getOrElse(name, Nil).toSet
@@ -140,19 +159,41 @@ object ScaleData {
       // Fact file count scales with the amplification so SF10 (factor 100)
       // still yields ~full-size splits rather than 32 giant ones.
       val nFactParts = math.max(32, 32 * factor / 10)
-      val shaped =
-        if (facts(name) && layout == "clustered" && clusterKeys.contains(name))
-          out.repartitionByRange(nFactParts, col(clusterKeys(name)))
-            .sortWithinPartitions(clusterKeys(name))
-        else if (facts(name)) out.repartition(nFactParts)
-        // Dims keep their (small) source partitioning at SF1 — no shuffle,
-        // no 32-tiny-file spray; at factor>10 they do need spreading
-        // (customer at factor 100 is ~1.5M rows from a 1-partition source).
-        else if (factor > 10) out.repartition(math.max(2, factor / 10))
-        else out
-      shaped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (layout == "bucketed" && bucketKeys.contains(name)) {
+        // Bucketed layout: the write-time shuffle IS the product — files
+        // carry Spark's bucket-id naming, and the marker lets Tables
+        // re-register the catalog spec in any later session. saveAsTable
+        // with an explicit path makes the table EXTERNAL: dropping the
+        // writer-session catalog entry leaves the files.
+        val key = bucketKeys(name)
+        val n = bucketCount(factor)
+        val path = s"$outDir/$name.parquet"
+        val tmpTbl = s"graft_gen_bkt_$name"
+        spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+        out.repartition(n, col(key)) // one file per bucket, not tasks×n
+          .write.bucketBy(n, key).sortBy(key)
+          .option("path", path).mode("overwrite")
+          .format("parquet").saveAsTable(tmpTbl)
+        spark.sql(s"DROP TABLE $tmpTbl")
+        val props = s"key=$key\nbuckets=$n\nsort=$key\n"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, Tables.BucketMarker),
+          props.getBytes("UTF-8"))
+      } else {
+        val shaped =
+          if (facts(name) && layout == "clustered" && clusterKeys.contains(name))
+            out.repartitionByRange(nFactParts, col(clusterKeys(name)))
+              .sortWithinPartitions(clusterKeys(name))
+          else if (facts(name)) out.repartition(nFactParts)
+          // Dims keep their (small) source partitioning at SF1 — no shuffle,
+          // no 32-tiny-file spray; at factor>10 they do need spreading
+          // (customer at factor 100 is ~1.5M rows from a 1-partition source).
+          else if (factor > 10) out.repartition(math.max(2, factor / 10))
+          else out
+        shaped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
     }
-    fixed.foreach { n =>
+    fixed.withFilter(n => tables.forall(_.contains(n))).foreach { n =>
       Tables.table(spark, srcDir, n).write.mode("overwrite")
         .parquet(s"$outDir/$n.parquet")
     }
@@ -163,9 +204,14 @@ object ScaleData {
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val layout = args.lift(3).getOrElse("random")
+    // optional 5th arg: comma list restricting generation to named tables
+    // (e.g. `orders,customer` to add a bucketed pair beside an existing
+    // corpus, symlinking the rest — regenerating 300× lineitem to re-layout
+    // two tables would be 25 min of wasted amplification)
+    val tables = args.lift(4).map(_.split(",").map(_.trim).toSet)
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     val t0 = System.nanoTime()
-    amplify(spark, srcDir, outDir, factor, layout)
+    amplify(spark, srcDir, outDir, factor, layout, tables)
     println(f"[scaledata] $srcDir x$factor ($layout) -> $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }

@@ -24,7 +24,48 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.registered(spark)
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val path = s"$dir/$name.parquet"
+      if (new java.io.File(path, BucketMarker).isFile)
+        bucketedTable(spark, path, name)
+      else spark.read.parquet(path)
+    }
+  }
+
+  /** Marker file a bucketed-layout generator (ScaleData `bucketed`) drops
+    * inside a table directory: Spark's bucket spec lives in the CATALOG,
+    * not in the parquet files, so a plain `read.parquet` of bucketed files
+    * silently discards the co-location the write-time shuffle paid for.
+    * Properties format: `key=o_custkey`, `buckets=N`, `sort=o_custkey`. */
+  val BucketMarker = "_graft_buckets"
+
+  /** Register (once per session+path) an external bucketed table over the
+    * marker-described files and return it through the catalog, so every
+    * downstream join/agg on the bucket key plans WITHOUT an Exchange —
+    * the whole point of the layout at 100 TB: one write-time shuffle
+    * amortized over every subsequent read. Underscore-prefixed marker
+    * files are invisible to Spark's file listing, so the same directory
+    * still reads as plain parquet anywhere else. */
+  private def bucketedTable(spark: SparkSession, path: String,
+                            name: String): DataFrame = {
+    val abs = new java.io.File(path).getAbsolutePath
+    val tbl = s"graft_bkt_${name}_${Integer.toHexString(abs.hashCode)}"
+    registeredDirs.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(new java.io.File(path, BucketMarker))
+        try props.load(in) finally in.close()
+        val key = props.getProperty("key")
+        val n = props.getProperty("buckets").toInt
+        val sort = props.getProperty("sort", key)
+        require(key != null && n > 0, s"malformed $BucketMarker in $path")
+        val ddl = spark.read.parquet(abs).schema.toDDL
+        spark.sql(s"""CREATE TABLE `$tbl` ($ddl) USING parquet
+                     |CLUSTERED BY ($key) SORTED BY ($sort) INTO $n BUCKETS
+                     |LOCATION '$abs'""".stripMargin)
+      }
+    }
+    spark.table(tbl)
   }
 
   /** The driver has shipped `events.ts` in two parquet encodings across

@@ -217,6 +217,49 @@ object IvfAnn {
     search(t(s, dir, "embeddings"), queryIds = (0L until 10L),
       k = 5, nlist = 16, nprobe = 4)
 
-  val all: Map[String, QueryFn] = Map("q_ann_ivf" -> annIvf)
+  /** Standing-index location for a gate corpus, keyed by the corpus
+    * fingerprint (absolute path hash + total byte size + newest mtime of
+    * the embeddings parquet) so a regenerated corpus can never be probed
+    * through a stale index. A `graft_index_ready` marker gates against a
+    * half-built artifact from a killed prior run. */
+  private def corpusIndexDir(dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val (size, mtime) =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val parts = java.nio.file.Files.list(src).iterator().asScala.toSeq
+        (parts.map(java.nio.file.Files.size).sum,
+         parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max)
+      } else (java.nio.file.Files.size(src),
+              java.nio.file.Files.getLastModifiedTime(src).toMillis)
+    val key = Integer.toHexString(src.toAbsolutePath.toString.hashCode)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_ivf_idx_${key}_${size}_$mtime")
+  }
+
+  /** The PRODUCTION probe path as a registry entry (VERDICT r14/r15 #5):
+    * [[buildIndex]] runs once per gate corpus (amortized across every
+    * subsequent Verify/Bench invocation via the fingerprint-keyed standing
+    * artifact), then [[searchIndexed]] probes it with a caller-provided
+    * query frame — the exact shape a serving deployment runs. Same
+    * (nlist, nprobe, k) as q_ann_ivf, so the same ivf_recall_min bound in
+    * tools/check.py applies against the q_ann_brute ground truth. */
+  val annIvfIndexed: QueryFn = (s, dir) => {
+    val idxDir = corpusIndexDir(dir)
+    val marker = idxDir.resolve("graft_index_ready")
+    if (!java.nio.file.Files.exists(marker)) {
+      buildIndex(t(s, dir, "embeddings"), nlist = 16, idxDir.toString)
+      java.nio.file.Files.createDirectories(idxDir)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    val queries = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    searchIndexed(s, idxDir.toString, queries, k = 5, nprobe = 4)
+  }
+
+  val all: Map[String, QueryFn] = Map(
+    "q_ann_ivf" -> annIvf,
+    "q_ann_ivf_indexed" -> annIvfIndexed)
   val oracle: Map[String, String] = Map.empty
 }

@@ -70,21 +70,26 @@ object Utf8Queries {
     .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
     .mkString("(VALUES ", ", ", ") documents(doc_id, lang, text)")
 
-  /** Retarget a `documents` twin at the VALUES corpus. Asserts the
-    * substitution count matches every appearance of the table name (any
-    * syntactic role: `FROM documents`, `JOIN documents`, `documents d`) —
-    * a missed occurrence would otherwise silently bind the UTF-8 query's
-    * oracle to the sf-parquet documents view, i.e. the wrong corpus
-    * (ADVICE r14). */
+  /** Retarget a `documents` twin at the VALUES corpus. The COUNT and the
+    * REPLACE use the same word-boundary regex, so every appearance of the
+    * table name (any syntactic role — `JOIN documents`, a trailing alias,
+    * a prefix-named table like `documentsx`) either is a substitution point
+    * or trips the guard; a missed occurrence would otherwise silently bind
+    * the UTF-8 query's oracle to the sf-parquet documents view, i.e. the
+    * wrong corpus (ADVICE r14/r15). An aliased `FROM documents d` passes
+    * the count but rewrites to doubled-alias SQL that fails loudly at parse
+    * time (the VALUES relation carries its own alias) — acceptable: no
+    * silent wrong-corpus binding is possible. */
+  private val fromDocuments = "(?i)\\bFROM\\s+documents\\b".r
   private def overUtf8(sql: String): String = {
-    val occurrences =
-      "(?i)\\bdocuments\\b".r.findAllMatchIn(sql).length
-    val replaced = "FROM documents".r.findAllMatchIn(sql).length
+    val occurrences = "(?i)\\bdocuments\\b".r.findAllMatchIn(sql).length
+    val replaced = fromDocuments.findAllMatchIn(sql).length
     require(occurrences == replaced && replaced > 0,
       s"overUtf8: $occurrences 'documents' references but only $replaced " +
-        s"'FROM documents' substitution points — rewrite the twin so every " +
-        s"reference is a plain 'FROM documents' (no alias/JOIN forms):\n$sql")
-    sql.replace("FROM documents", "FROM " + valuesSql)
+        s"bare 'FROM documents' substitution points — rewrite the twin so " +
+        s"every reference is a plain un-aliased 'FROM documents':\n$sql")
+    fromDocuments.replaceAllIn(sql,
+      java.util.regex.Matcher.quoteReplacement("FROM " + valuesSql))
   }
 
   /** Direct known-construction gate on the base hash: one fnv_hash per text

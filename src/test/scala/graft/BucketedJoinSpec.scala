@@ -52,4 +52,43 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP DATABASE graft_bkt")
     }
   }
+
+  test("ScaleData bucketed layout: generated corpus joins custkey without " +
+      "an exchange and matches the plain corpus row-for-row") {
+    val dir = tmp("bucketed_corpus")
+    ScaleData.amplify(spark, sfDir, dir, factor = 1, layout = "bucketed")
+    // marker written, plain-parquet read still works elsewhere
+    assert(new java.io.File(s"$dir/orders.parquet", Tables.BucketMarker).isFile)
+    assert(spark.read.parquet(s"$dir/orders.parquet").count() ==
+      Tables.table(spark, sfDir, "orders").count())
+
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the q13 shape: customer LEFT JOIN orders ON custkey, per-customer
+      // count — both sides bucketed on custkey ⇒ no Exchange below the join
+      val q13 = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+      val plan = q13.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("c_custkey") || l.contains("o_custkey")))
+      assert(exchanges == 0,
+        s"bucketed q13 shape must not shuffle its inputs:\n$plan")
+      // same histogram as the source corpus (factor=1 keeps keys unshifted)
+      val got = q13.groupBy(col("c_count")).count()
+        .orderBy(col("c_count")).collect().toSeq
+      val want = Tables.table(spark, sfDir, "customer")
+        .join(Tables.table(spark, sfDir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).count()
+        .orderBy(col("c_count")).collect().toSeq
+      assert(got == want, "bucketed corpus changed q13 results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }

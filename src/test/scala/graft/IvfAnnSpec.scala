@@ -82,6 +82,20 @@ class IvfAnnSpec extends SparkSpec {
       "no appended vector ever surfaces in the probe results")
   }
 
+  test("q_ann_ivf_indexed registry entry: builds once, reuses the standing " +
+      "artifact, matches the self-contained q_ann_ivf") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val first = rows(IvfAnn.annIvfIndexed(spark, sfDir))
+    // same (nlist, nprobe, k) ⇒ row-identical to the in-memory form
+    assert(first == rows(IvfAnn.annIvf(spark, sfDir)),
+      "indexed registry entry diverged from q_ann_ivf")
+    // second call must hit the fingerprint-keyed standing index (the ready
+    // marker exists now) and return the same rows from the on-disk artifact
+    assert(rows(IvfAnn.annIvfIndexed(spark, sfDir)) == first,
+      "standing-index reuse changed results")
+  }
+
   test("IVF search returns descending cosine per query and decent recall") {
     val df = IvfAnn.annIvf(spark, sfDir)
     // the candidate top-k must run through the bounded-heap operator, not

@@ -171,6 +171,12 @@ def main():
 # counts ride along in the ndv/distinctpc outputs; q_ann_brute is the
 # ground truth for the ANN tiers) and writes TOLERANCE.json next to the
 # correctness artifacts. A bound violation counts as a gate FAILURE.
+# NOTE (ADVICE r15): the two ANN recall floors are CALIBRATED FOR THE
+# sf0.01 GATE CORPUS (the only corpus the driver runs this file against).
+# Recall legitimately drops on larger/sparser corpora — a run against
+# another sfDir that trips a recall floor is a calibration artifact, not a
+# regression; rehearse larger corpora with `graft.AnnScale` (which measures
+# recall against its own brute-force pass) instead of this gate.
 TOLERANCE = {
     "ndv_rel_err": 0.10,        # HLL++ at default rsd 0.05 — 2x headroom
     "distinctpc_rel_err": 0.25, # FM/PCSA 64-map variance; measured 0.101
@@ -225,6 +231,7 @@ def tolerance_bounds(out_dir, only):
     if brute:
         truth = {(r["query_id"], r["vec_id"]) for r in brute}
         for name, key in (("q_ann_ivf", "ivf_recall_min"),
+                          ("q_ann_ivf_indexed", "ivf_recall_min"),
                           ("q_ann_lsh", "lsh_recall_min")):
             got_rows = load(name)
             if got_rows is None or (only is not None and name not in only):

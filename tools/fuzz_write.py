@@ -137,8 +137,108 @@ def gen_ctas_agg(rng, name, s):
     return spark, duck
 
 
+# --- UTF-8 write-path coverage (VERDICT r14/r15 task #7) --------------------
+# Multibyte PAYLOADS (2/3/4-byte planes) and multibyte PARTITION VALUES.
+# Partition values are the interesting half: Spark escapes them into
+# partition directory names and must parse them back on read, so a
+# dynamic-overwrite + read-back round trip catches any encode/decode drift.
+# Content rules: no apostrophes (literal safety), no leading/trailing
+# whitespace in partition values (Hive-layout path trimming), no '/' or
+# control chars (kept to the letters+emoji planes the read fuzzer probes).
+UTF8_PARTS = ["中文", "русский", "ελληνικά", "emoji🚀", "naïve", "한국어",
+              "עברית", "𝒻𝓊𝓃", "ASCII"]
+UTF8_WORDS = ["café", "crème", "müller", "зелёная", "ёлочка", "θάλασσα",
+              "الشمس", "השמש", "天空", "蓝色", "오늘", "날씨", "आज", "अच्छा",
+              "🚀", "😀", "𝕛𝕠𝕪", "𐌰𐌱𐌲", "plain", "text"]
+
+
+def utf8_values(rng, parts=None):
+    """Inline multilingual relation, identical text for both engines."""
+    parts = parts or UTF8_PARTS
+    rows = []
+    for i in range(rng.randrange(8, 30)):
+        k = rng.randrange(0, 10 ** 6)
+        t = " ".join(rng.choice(UTF8_WORDS)
+                     for _ in range(rng.randrange(1, 4)))
+        p = rng.choice(parts)
+        v = f"{rng.randrange(0, 100000)}.{rng.randrange(0, 100):02d}"
+        rows.append(f"({k}, '{t}', {v}, '{p}')")
+    return ("(VALUES " + ", ".join(rows) + ") src(k, t, v, p)")
+
+
+def _utf8_select(rng, parts=None):
+    return (f"SELECT k, t, CAST(v AS DECIMAL(12,2)) AS v, p "
+            f"FROM {utf8_values(rng, parts)}")
+
+
+def gen_utf8_ctas(rng, name, s):
+    q = _utf8_select(rng)
+    spark = (f"CREATE TABLE t_{name} USING parquet AS {q} ;; "
+             f"SELECT k, t, v, p FROM t_{name}")
+    duck = (f"CREATE TABLE t_{name} AS {q} ;; "
+            f"SELECT k, t, v, p FROM t_{name}")
+    return spark, duck
+
+
+def gen_utf8_dynamic_overwrite(rng, name, s):
+    q1 = _utf8_select(rng)
+    # the overwriting slice targets a subset of the multibyte partitions
+    q2 = _utf8_select(rng, rng.sample(UTF8_PARTS, rng.randrange(1, 4)))
+    ddl = "(k BIGINT, t STRING, v DECIMAL(12,2), p STRING)"
+    spark = (f"CREATE TABLE t_{name} {ddl} USING parquet PARTITIONED BY (p) ;; "
+             f"INSERT INTO t_{name} {q1} ;; "
+             f"INSERT OVERWRITE TABLE t_{name} {q2} ;; "
+             f"SELECT k, t, v, p FROM t_{name}")
+    duck = (f"CREATE TABLE t_{name} (k BIGINT, t VARCHAR, v DECIMAL(12,2), p VARCHAR) ;; "
+            f"INSERT INTO t_{name} {q1} ;; "
+            f"DELETE FROM t_{name} WHERE p IN (SELECT DISTINCT p FROM ({q2})) ;; "
+            f"INSERT INTO t_{name} {q2} ;; "
+            f"SELECT k, t, v, p FROM t_{name}")
+    return spark, duck
+
+
+def gen_utf8_static_overwrite(rng, name, s):
+    q1 = _utf8_select(rng)
+    part = rng.choice(UTF8_PARTS)
+    # overwriting slice: may be empty — overwrite must still clear the
+    # multibyte-named partition
+    sub = _utf8_select(rng, rng.sample(UTF8_PARTS, 2))
+    q2cols = f"SELECT k, t, v FROM ({sub}) WHERE p = '{part}' OR k % 3 = 0"
+    ddl = "(k BIGINT, t STRING, v DECIMAL(12,2), p STRING)"
+    spark = (f"CREATE TABLE t_{name} {ddl} USING parquet PARTITIONED BY (p) ;; "
+             f"INSERT INTO t_{name} {q1} ;; "
+             f"INSERT OVERWRITE TABLE t_{name} PARTITION (p='{part}') {q2cols} ;; "
+             f"SELECT k, t, v, p FROM t_{name}")
+    duck = (f"CREATE TABLE t_{name} (k BIGINT, t VARCHAR, v DECIMAL(12,2), p VARCHAR) ;; "
+            f"INSERT INTO t_{name} {q1} ;; "
+            f"DELETE FROM t_{name} WHERE p = '{part}' ;; "
+            f"INSERT INTO t_{name} SELECT k, t, v, '{part}' AS p FROM ({q2cols}) q ;; "
+            f"SELECT k, t, v, p FROM t_{name}")
+    return spark, duck
+
+
+def gen_utf8_tagged_corpus(rng, name, s):
+    # real-table slice tagged with multibyte partition values via CASE —
+    # larger row counts than the VALUES form, same dir-escaping round trip
+    tbl, key, icol, mcol, cat, vals = s
+    arms = " ".join(f"WHEN '{v}' THEN '{p}·{v}'"
+                    for v, p in zip(vals, rng.sample(UTF8_PARTS, len(vals))))
+    lo = rng.randrange(0, 797)
+    q = (f"SELECT {key} AS k, {icol} AS i, "
+         f"CAST({mcol} AS DECIMAL(12,2)) AS v, "
+         f"CASE {cat} {arms} ELSE 'другое' END AS p "
+         f"FROM {tbl} WHERE {key} % 7919 BETWEEN {lo} AND {lo + rng.randrange(50, 400)}")
+    spark = (f"CREATE TABLE t_{name} USING parquet PARTITIONED BY (p) AS {q} ;; "
+             f"SELECT k, i, v, p FROM t_{name}")
+    duck = (f"CREATE TABLE t_{name} AS {q} ;; "
+            f"SELECT k, i, v, p FROM t_{name}")
+    return spark, duck
+
+
 GENS = [gen_ctas, gen_append, gen_dynamic_overwrite, gen_dynamic_overwrite,
-        gen_static_overwrite, gen_static_overwrite, gen_ctas_agg]
+        gen_static_overwrite, gen_static_overwrite, gen_ctas_agg,
+        gen_utf8_ctas, gen_utf8_dynamic_overwrite, gen_utf8_dynamic_overwrite,
+        gen_utf8_static_overwrite, gen_utf8_tagged_corpus]
 
 
 def main():
