@@ -527,6 +527,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // path (two tokens never match the single-ident regex).
   private val InvalidateMetadataRe =
     """(?is)\s*invalidate\s+metadata(?:\s+([\w.]+))?\s*;?\s*""".r
+  // HDFS cache-directive DDL (sql-parser.y cache_op_val; see
+  // plans/CacheCommands.scala). WITH REPLICATION is parsed and ignored —
+  // replication count is a NameNode knob with no catalog meaning here.
+  private val CreateCachedRe =
+    ("""(?is)^(\s*create\s+table\s+([\w.]+)\b.*?)\s+""" +
+      """cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?\s*;?\s*$""").r
+  private val SetCachedRe =
+    ("""(?is)^\s*alter\s+table\s+([\w.]+)\s+set\s+""" +
+      """(?:cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?|(uncached))\s*;?\s*$""").r
+  private val SetPartCachedRe =
+    ("""(?is)^\s*alter\s+table\s+([\w.]+)\s+partition\s*\(([^)]*)\)\s+set\s+""" +
+      """(?:cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?|(uncached))\s*;?\s*$""").r
+  private val AddPartCachedRe =
+    ("""(?is)^(\s*alter\s+table\s+([\w.]+)\s+add\s+(?:if\s+not\s+exists\s+)?""" +
+      """partition\s*\(([^)]*)\))\s+""" +
+      """(?:cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?|(uncached))\s*;?\s*$""").r
   private val BareRefreshRe =
     """(?is)\s*refresh\s+([\w.]+)\s*;?\s*""".r
   private val StoredAsRe =
@@ -636,6 +652,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ShowDataSourcesCommand(Option(pattern))
     case InvalidateMetadataRe(ident) =>
       InvalidateMetadataCommand(Option(ident))
+    case SetCachedRe(ident, pool, _) =>
+      GraftSetCachedCommand(ident.split('.').toIndexedSeq, None, Option(pool))
+    case SetPartCachedRe(ident, spec, pool, _) =>
+      GraftSetCachedCommand(ident.split('.').toIndexedSeq,
+        Some(TableCache.parseSpec(spec)), Option(pool))
+    case AddPartCachedRe(inner, ident, spec, pool, _) =>
+      GraftCachedDdlCommand(inner, ident.split('.').toIndexedSeq,
+        Some(TableCache.parseSpec(spec)), Option(pool))
+    case CreateCachedRe(inner, ident, pool) =>
+      GraftCachedDdlCommand(inner, ident.split('.').toIndexedSeq,
+        None, Some(pool))
     case BareRefreshRe(ident)
         if !Set("table", "function").contains(ident.toLowerCase) =>
       InvalidateMetadataCommand(Some(ident))

@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   *  - SHOW COLUMN STATS reads the column stats ANALYZE wrote: NDV, null
   *    count, max/avg widths (−1 for unknown, the reference's convention).
   *
-  * Caching columns always render 'NOT CACHED'/'0B': HDFS caching is out of
-  * scope (SURVEY §2.1), matching the fixtures' uncached environment.
+  * The 'Bytes Cached' column resolves the cache DIRECTIVE state
+  * ([[TableCache]] — round 16): a cached table/partition renders its file
+  * bytes (the reference reports the NameNode's pinned byte count; with no
+  * cache-pool RPC in Spark, the directive's footprint is the data size),
+  * an uncached one 'NOT CACHED', and the summary row totals the cached
+  * partitions' bytes.
   */
 case class GraftComputeStatsCommand(ident: Seq[String])
     extends LeafRunnableCommand {
@@ -85,23 +89,32 @@ case class GraftShowTableStatsCommand(ident: Seq[String])
       }
     }
     val fmt = StatsCommands.formatName(meta)
+    val tablePool = meta.properties.get(TableCache.TablePoolProp)
     if (partCols.isEmpty) {
       val (nf, sz) = fileStats(meta.location)
       val rows = meta.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
-      Seq(Row(rows, nf, StatsCommands.printBytes(sz), "NOT CACHED", fmt))
+      val cached = if (tablePool.isDefined) StatsCommands.printBytes(sz)
+                   else "NOT CACHED"
+      Seq(Row(rows, nf, StatsCommands.printBytes(sz), cached, fmt))
     } else {
       val parts = session.sessionState.catalog.listPartitions(ti)
         .sortBy(_.spec.toSeq.sortBy(_._1).map(_._2).mkString("/"))
       val pf = meta.partitionSchema.fields
       var totBytes = 0L // accumulated in the single per-partition listing
+      var cachedBytes = 0L
       val body = parts.map { p =>
         val (nf, sz) = fileStats(p.location)
         totBytes += sz
+        val isCached = TableCache.resolve(tablePool,
+          p.parameters.get(TableCache.PartParam))
+        if (isCached) cachedBytes += sz
         val rows = p.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
         val vals = pf.map(f => StatsCommands.castPartValue(
           p.spec.getOrElse(f.name, null), f.dataType))
         Row.fromSeq(vals.toIndexedSeq ++
-          Seq(rows, nf, StatsCommands.printBytes(sz), "NOT CACHED", fmt))
+          Seq(rows, nf, StatsCommands.printBytes(sz),
+            if (isCached) StatsCommands.printBytes(sz) else "NOT CACHED",
+            fmt))
       }
       // summary row — the reference prints 'Total' in the first partition
       // column; typed columns render NULL there instead
@@ -111,7 +124,8 @@ case class GraftShowTableStatsCommand(ident: Seq[String])
         if (known.nonEmpty) known.sum else -1L
       }
       body :+ Row.fromSeq(pf.map(_ => null).toIndexedSeq ++
-        Seq(totRows, totFiles, StatsCommands.printBytes(totBytes), "0B", ""))
+        Seq(totRows, totFiles, StatsCommands.printBytes(totBytes),
+          StatsCommands.printBytes(cachedBytes), ""))
     }
   }
 }
