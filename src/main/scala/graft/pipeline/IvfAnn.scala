@@ -227,7 +227,12 @@ object IvfAnn {
     val (size, mtime) =
       if (java.nio.file.Files.isDirectory(src)) {
         import scala.jdk.CollectionConverters._
-        val parts = java.nio.file.Files.list(src).iterator().asScala.toSeq
+        val stream = java.nio.file.Files.list(src)
+        val parts =
+          try stream.iterator().asScala.toSeq
+          finally stream.close()
+        require(parts.nonEmpty,
+          s"empty embeddings.parquet directory at $src — cannot fingerprint an empty corpus")
         (parts.map(java.nio.file.Files.size).sum,
          parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max)
       } else (java.nio.file.Files.size(src),
@@ -248,9 +253,26 @@ object IvfAnn {
     val idxDir = corpusIndexDir(dir)
     val marker = idxDir.resolve("graft_index_ready")
     if (!java.nio.file.Files.exists(marker)) {
-      buildIndex(t(s, dir, "embeddings"), nlist = 16, idxDir.toString)
-      java.nio.file.Files.createDirectories(idxDir)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      // Build into a process-unique staging dir, then atomically rename into
+      // place: two concurrent builders (e.g. Bench and Verify racing on a
+      // fresh corpus) each complete a private build and one rename wins —
+      // nobody can observe a half-written artifact (ADVICE r16). The loser's
+      // rename fails on the now-existing target; since the marker then
+      // exists, the loser just probes the winner's identical index.
+      val staging = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"${idxDir.getFileName}_build_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      buildIndex(t(s, dir, "embeddings"), nlist = 16, staging.toString)
+      java.nio.file.Files.write(staging.resolve("graft_index_ready"),
+        Array.emptyByteArray)
+      try java.nio.file.Files.move(staging, idxDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(marker) =>
+          // a concurrent builder won the rename; discard our staging copy
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
     }
     val queries = t(s, dir, "embeddings")
       .filter(col("vec_id") < 10L)

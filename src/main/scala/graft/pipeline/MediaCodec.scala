@@ -203,11 +203,16 @@ object MediaCodec {
       while (fields < 3) {
         while (off < b.length && (b(off) == ' ' || b(off) == '\n' || b(off) == '\r' || b(off) == '\t')) off += 1
         require(off < b.length && b(off) >= '0' && b(off) <= '9', s"expected digit at offset $off")
-        var x = 0
+        // Accumulate in Long with a hard ceiling: an unbounded Int
+        // accumulation can wrap to a small/negative value that passes the
+        // > 0 checks and walks `off` backwards (ADVICE r16). 1e6 px/side is
+        // far above any real frame and far below Int overflow.
+        var x = 0L
         while (off < b.length && b(off) >= '0' && b(off) <= '9') {
           x = x * 10 + (b(off) - '0'); off += 1
+          require(x <= 1000000L, s"ppm header field overflow at offset $off")
         }
-        v(fields) = x
+        v(fields) = x.toInt
         fields += 1
       }
       require(off < b.length, "ppm header truncated")
@@ -216,9 +221,9 @@ object MediaCodec {
       require(v(2) == 255, s"unsupported maxval ${v(2)}")
       if (frames == 0) { w = v(0); h = v(1) }
       else require(w == v(0) && h == v(1), s"frame $frames dims ${v(0)}x${v(1)} != ${w}x$h")
-      val pix = 3 * v(0) * v(1)
-      require(off + pix <= b.length, s"frame $frames pixel data truncated")
-      off += pix
+      val pixL = 3L * v(0) * v(1)
+      require(off + pixL <= b.length, s"frame $frames pixel data truncated")
+      off += pixL.toInt
       frames += 1
     }
     require(frames > 0, "empty ppm stream")

@@ -530,9 +530,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // HDFS cache-directive DDL (sql-parser.y cache_op_val; see
   // plans/CacheCommands.scala). WITH REPLICATION is parsed and ignored —
   // replication count is a NameNode knob with no catalog meaning here.
+  // The directive sits between the storage clauses and an optional
+  // TBLPROPERTIES / AS-query tail (sql-parser.y puts cached_clause before
+  // tblproperties and the CTAS query), so anchor on that position rather
+  // than end-of-statement — a cached CTAS must not fall through to the
+  // delegate parser, and a trailing string literal that happens to contain
+  // "cached in 'x'" must not be rewritten (the prefix is quote-aware: it
+  // can only stop at complete-literal boundaries) — ADVICE r16.
   private val CreateCachedRe =
-    ("""(?is)^(\s*create\s+table\s+([\w.]+)\b.*?)\s+""" +
-      """cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?\s*;?\s*$""").r
+    ("""(?is)^(\s*create\s+table\s+([\w.]+)\b(?:[^']|'[^']*')*?)\s+""" +
+      """cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?""" +
+      """((?:\s+(?:tblproperties\b|as\s+(?:select|with|values)\b)(?:[^']|'[^']*')*)?)\s*;?\s*$""").r
   private val SetCachedRe =
     ("""(?is)^\s*alter\s+table\s+([\w.]+)\s+set\s+""" +
       """(?:cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?|(uncached))\s*;?\s*$""").r
@@ -660,8 +668,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AddPartCachedRe(inner, ident, spec, pool, _) =>
       GraftCachedDdlCommand(inner, ident.split('.').toIndexedSeq,
         Some(TableCache.parseSpec(spec)), Option(pool))
-    case CreateCachedRe(inner, ident, pool) =>
-      GraftCachedDdlCommand(inner, ident.split('.').toIndexedSeq,
+    case CreateCachedRe(inner, ident, pool, tail) =>
+      GraftCachedDdlCommand(inner + tail, ident.split('.').toIndexedSeq,
         None, Some(pool))
     case BareRefreshRe(ident)
         if !Set("table", "function").contains(ident.toLowerCase) =>

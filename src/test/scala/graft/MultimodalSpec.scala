@@ -12,10 +12,11 @@ class MultimodalSpec extends SparkSpec {
     Files.readAllBytes(Paths.get(url.toURI))
   }
 
-  // The fixture files were written by an INDEPENDENT implementation (a
-  // Python struct-pack script, committed under src/test/resources/media/),
-  // so these assertions validate the decoder against the format spec, not
-  // against our own encoder.
+  // The fixture files were written by an INDEPENDENT implementation
+  // (src/test/resources/media/gen_fixtures.py, pure Python struct-pack —
+  // rerunning it reproduces the committed bytes exactly), so these
+  // assertions validate the decoder against the format spec, not against
+  // our own encoder.
   test("decoder parses independently-written BMP/WAV/PPM fixture files") {
     assert(MediaCodec.decodeBmp(fixture("fixture_5x3.bmp")) == MediaInfo(5, 3, 1, 0))
     assert(MediaCodec.decodeWav(fixture("fixture_8k_100.wav")) == MediaInfo(0, 0, 100, 8000))
@@ -50,6 +51,15 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       MediaCodec.decodePpmStream("P5\n4 2\n255\n".getBytes)) // greyscale magic
     intercept[IllegalArgumentException](MediaCodec.decode("text/plain", Array[Byte](1)))
+    // crafted headers whose Int math would wrap (3*w*h overflow → small or
+    // negative pix passing the bounds check) must be rejected, and an
+    // absurd digit run must terminate instead of accumulating forever
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpmStream("P6\n65536 65536\n255\n".getBytes)) // 3wh > Int.Max
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpmStream("P6\n37838 37838\n255\n".getBytes)) // wraps negative
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpmStream(("P6\n" + "9" * 40 + " 2\n255\n").getBytes))
   }
 
   test("media table carries real encoded binary payloads with typed metadata") {

@@ -446,6 +446,35 @@ class WriteDdlSpec extends SparkSpec {
     spark.sql("DROP FUNCTION native_id(int)")
   }
 
+  test("cached CTAS: directive before AS SELECT lands on the catalog, not the parser floor") {
+    Tables.registerViews(spark, sfDir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.cached_ctas")
+    // reference grammar places CACHED IN before the AS-query tail
+    // (sql-parser.y cache_op_val before the CTAS query) — r16 only matched
+    // the directive at end-of-statement, so a cached CTAS fell through to
+    // the delegate parser and failed
+    spark.sql("CREATE TABLE graft_test.cached_ctas CACHED IN 'testPool' " +
+      "AS SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("cached_ctas", Some("graft_test")))
+    assert(meta.properties.get(graft.plans.TableCache.TablePoolProp)
+      .contains("testPool"))
+    assert(spark.table("graft_test.cached_ctas").count() == 5)
+    // a trailing string literal that happens to END with "cached in 'x'"
+    // must NOT be rewritten — the quote-aware prefix keeps it intact
+    spark.sql("DROP TABLE IF EXISTS graft_test.cached_lit")
+    spark.sql("CREATE TABLE graft_test.cached_lit AS " +
+      "SELECT 'data cached in ''poolX''' AS note")
+    val litMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("cached_lit", Some("graft_test")))
+    assert(!litMeta.properties.contains(graft.plans.TableCache.TablePoolProp))
+    assert(spark.table("graft_test.cached_lit").head().getString(0)
+      == "data cached in 'poolX'")
+    spark.sql("DROP TABLE graft_test.cached_ctas")
+    spark.sql("DROP TABLE graft_test.cached_lit")
+  }
+
   test("CREATE/DROP VIEW and WITH-clause queries") {
     Tables.registerViews(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW big_nations AS " +
