@@ -587,15 +587,114 @@ def gen_utf8_query(rng):
     return (f"SELECT id, {sq}{tail}", f"SELECT id, {dq}{tail}")
 
 
+def _utf8_rel(rng, pool, name, nrows):
+    """A VALUES relation `name(id, k, v, s)` whose k column is a MULTIBYTE
+    key drawn from a small duplicated set (so joins and GROUP BY have real
+    matches), v an int measure, s a multibyte sentence."""
+    keys = [rng.choice(pool) for _ in range(max(2, nrows // 3))]
+    rows = [(i + 1, rng.choice(keys), rng.randint(-50, 100),
+             " ".join(rng.choice(pool) for _ in range(rng.randint(1, 3))))
+            for i in range(nrows)]
+    rel = ("(VALUES " + ", ".join(f"({i}, '{k}', {v}, '{s}')"
+                                  for i, k, v, s in rows)
+           + f") {name}(id, k, v, s)")
+    return rel, sorted(set(keys))
+
+
+def _utf8_rel_pred(rng, pool, keys, p=""):
+    """Predicate over a `(id, k, v, s)` relation whose key is multibyte.
+    String comparisons (=, IN, >=, LIKE) are binary/code-point in BOTH
+    engines — UTF-8 byte order equals code-point order, so range and
+    equality semantics agree by construction."""
+    r = rng.random()
+    if r < 0.25:
+        return f"{p}k = '{rng.choice(keys)}'"
+    if r < 0.45:
+        ks = ", ".join(f"'{x}'" for x in rng.sample(keys, min(3, len(keys))))
+        return f"{p}k IN ({ks})"
+    if r < 0.60:
+        a = rng.randint(-50, 20)
+        return f"{p}v BETWEEN {a} AND {a + rng.randint(10, 90)}"
+    if r < 0.80:
+        ch = _utf8_chars(rng, pool, 1)
+        return f"{p}s LIKE '%{ch}%'"
+    return f"{p}k >= '{rng.choice(keys)}'"
+
+
+def gen_utf8rel_query(rng):
+    """Relational operators KEYED on multibyte strings (VERDICT r16 #5):
+    the `utf8` production exercises the string-function surface over
+    multibyte projections; this one puts 2/3/4-byte (and optionally
+    combining-mark) strings into join keys, GROUP BY keys, window
+    partitions, set-op columns and CTE predicates — the hash/sort/compare
+    paths of every relational operator, not the expression kernels."""
+    use_combining = rng.random() < 0.3
+    pool = UTF8_SAFE + (UTF8_COMBINING if use_combining else [])
+    a, akeys = _utf8_rel(rng, pool, "a", rng.randint(8, 16))
+    b, bkeys = _utf8_rel(rng, pool, "b", rng.randint(6, 12))
+    keys = sorted(set(akeys) | set(bkeys))
+    shape = rng.choice(["join", "leftjoin", "agg", "having", "window",
+                        "setop", "cte", "distinct", "offset", "semijoin"])
+    if shape == "join":
+        w = _utf8_rel_pred(rng, pool, keys, "a.")
+        return (f"SELECT a.id, a.k, b.id AS bid, b.v AS bv "
+                f"FROM {a} JOIN {b} ON a.k = b.k WHERE {w}")
+    if shape == "leftjoin":
+        return (f"SELECT a.id, a.k, COALESCE(b.v, -1) AS bv, "
+                f"CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS hit "
+                f"FROM {a} LEFT JOIN {b} ON a.k = b.k AND b.v > 0")
+    if shape == "agg":
+        w = _utf8_rel_pred(rng, pool, keys)
+        return (f"SELECT k, COUNT(1) AS cnt, CAST(SUM(v) AS BIGINT) AS sv, "
+                f"MIN(s) AS mn, MAX(s) AS mx FROM {a} WHERE {w} GROUP BY k")
+    if shape == "having":
+        return (f"SELECT k, COUNT(1) AS cnt FROM {a} GROUP BY k "
+                f"HAVING COUNT(1) > 1 AND MIN(k) >= '{rng.choice(keys)[:1]}'")
+    if shape == "window":
+        # partition hashing + intra-partition ordering on a multibyte key
+        return (f"SELECT id, k, ROW_NUMBER() OVER "
+                f"(PARTITION BY k ORDER BY id) AS rn, "
+                f"CAST(SUM(v) OVER (PARTITION BY k ORDER BY id "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS BIGINT) AS rs FROM {a}")
+    if shape == "setop":
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                         "INTERSECT ALL", "EXCEPT ALL"])
+        return (f"SELECT k FROM {a} {op} SELECT k FROM {b}")
+    if shape == "cte":
+        w = _utf8_rel_pred(rng, pool, keys, "a.")
+        # g referenced twice: once joined to the base rel, once re-aggregated
+        return (f"WITH g AS (SELECT k, COUNT(1) AS cnt, "
+                f"CAST(SUM(v) AS BIGINT) AS sv FROM {b} GROUP BY k) "
+                f"SELECT a.id, a.k, g.cnt, g.sv, "
+                f"(SELECT COUNT(1) FROM g) AS ng "
+                f"FROM {a} JOIN g ON a.k = g.k WHERE {w}")
+    if shape == "distinct":
+        return (f"SELECT COUNT(DISTINCT k) AS dk, COUNT(DISTINCT s) AS ds, "
+                f"MIN(k) AS mn, MAX(k) AS mx FROM {a}")
+    if shape == "offset":
+        # pagination over a multibyte sort key needs a unique tiebreaker —
+        # (k, id) is total, so the page content is engine-independent
+        off = rng.choice([0, 2, 5])
+        return (f"SELECT id, k, v FROM {a} ORDER BY k, id "
+                f"LIMIT {rng.randint(3, 8)} OFFSET {off}")
+    # semijoin: EXISTS / NOT EXISTS correlated on the multibyte key
+    neg = rng.choice(["", "NOT "])
+    return (f"SELECT a.id, a.k FROM {a} WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM {b} WHERE b.k = a.k AND b.v >= 0)")
+
+
 def generate(rng, i, force_kind=None):
     kind = force_kind or rng.choice(
         ["agg", "agg", "join", "scalar", "having", "subquery",
          "window", "setop", "rollup", "multijoin", "outerjoin",
          "groupingsets", "semijoin", "cte", "offset",
          "dialectfn", "datefn", "decimal", "decimal",
-         "utf8", "utf8"])
+         "utf8", "utf8", "utf8rel", "utf8rel"])
     if kind == "utf8":
         return gen_utf8_query(rng)
+    if kind == "utf8rel":
+        return gen_utf8rel_query(rng)
     table = rng.choice(list(SCHEMAS))
     if kind == "agg":
         return gen_agg_query(rng, table, gen_predicate(rng, table))
