@@ -168,4 +168,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.subsetOf(lsh), s"missed pairs: ${brute.diff(lsh)}")
   }
+
+  test("minhash band self-join never broadcasts a corpus-derived side") {
+    // At SF30 on the cluster the old array-carrying band join tricked the
+    // planner into a BroadcastHashJoin whose build side OOMed the driver
+    // (the compressed-scan size estimate is blind to the in-memory width
+    // of repeated shingle arrays). The candidate join is now id-only with
+    // a SHUFFLE_MERGE pin; assert on the EXECUTED plan — at this corpus
+    // size broadcast would otherwise be the planner's natural pick, so
+    // this test fails if the pin is ever lost.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = pipeline.DedupQueries.minhashPairs(docsWithPlants)
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec        => flatten(q.plan)
+        case _                        => Seq.empty
+      }
+      p +: (p.children.flatMap(flatten) ++ nested)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    def onBandHash(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.references.exists(_.name == "band_hash"))
+    val broadcastBand = nodes.collect {
+      case j: BroadcastHashJoinExec if onBandHash(j.leftKeys) => j
+    }
+    assert(broadcastBand.isEmpty,
+      s"band self-join chose broadcast:\n${df.queryExecution.executedPlan}")
+    val smjBand = nodes.collect {
+      case j: SortMergeJoinExec if onBandHash(j.leftKeys) => j
+    }
+    assert(smjBand.nonEmpty,
+      s"expected a sort-merge band join:\n${df.queryExecution.executedPlan}")
+  }
 }
