@@ -191,13 +191,13 @@ class DedupSpec extends SparkSpec {
       p +: (p.children.flatMap(flatten) ++ nested)
     }
     val nodes = flatten(df.queryExecution.executedPlan)
+    // All three joins (band self-join + the two shingle back-joins) are
+    // corpus x corpus and pinned: none may be broadcast, at any size.
+    val broadcasts = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(broadcasts.isEmpty,
+      s"corpus-derived join chose broadcast:\n${df.queryExecution.executedPlan}")
     def onBandHash(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       keys.exists(_.references.exists(_.name == "band_hash"))
-    val broadcastBand = nodes.collect {
-      case j: BroadcastHashJoinExec if onBandHash(j.leftKeys) => j
-    }
-    assert(broadcastBand.isEmpty,
-      s"band self-join chose broadcast:\n${df.queryExecution.executedPlan}")
     val smjBand = nodes.collect {
       case j: SortMergeJoinExec if onBandHash(j.leftKeys) => j
     }
