@@ -72,12 +72,17 @@ class FactScanSpec extends SparkSpec {
   test("pipeline dedup/ANN double references are the two-sided kind, not unbounded") {
     // Dedup join-backs and ANN query-vs-corpus joins legitimately reference
     // their table twice (candidate pairs join back to the original rows);
-    // the n-gram tiers reference documents 4x (2 sides x (shingles + text
-    // join-back)). Pin the counts so a rewrite that starts re-scanning per
-    // candidate (or loses the prefix filter's single-derivation) shows up.
+    // the n-gram tiers and minhash reference documents 4x (2 sides x
+    // (signatures + shingle-set join-back)). minhash moved 2 -> 4 in round
+    // 17 ON PURPOSE: the 2-scan form carried the full shingle array through
+    // the band self-join's exchange, whose estimate-blind width OOM'd the
+    // SF30 cluster driver (see DedupQueries.minhashPairs scaladoc) — two
+    // extra column-pruned scans buy narrow exchanges and no corpus
+    // broadcasts. Pin the counts so a rewrite that starts re-scanning per
+    // candidate (or loses the single-derivation) shows up.
     val expected = Map(
       "q_dedup_exact" -> ("documents", 1),
-      "q_dedup_minhash_lsh" -> ("documents", 2),
+      "q_dedup_minhash_lsh" -> ("documents", 4),
       "q_dedup_simhash" -> ("documents", 2),
       "q_dedup_ngram_jaccard" -> ("documents", 4),
       "q_dedup_ngram_jaccard_hi" -> ("documents", 4),
