@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // Custom whole-operator plans (SURVEY build-guidance path (c)).
     e.injectPlannerStrategy(_ => plans.TopKPerGroupStrategy)
+    // Engine-level broadcast safety: a collection-typed corpus side must
+    // never be broadcast on a width-blind size estimate (the round-17 SF30
+    // OOM class) — see plans.CorpusBroadcastGuard.
+    e.injectPreCBORule(_ => plans.CorpusBroadcastGuard)
     // Reference column DDL missing from Spark's v1 path (ALTER TABLE DROP
     // COLUMN / RENAME COLUMN as metadata-only ops) — see plans.AlterColumns.
     e.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))

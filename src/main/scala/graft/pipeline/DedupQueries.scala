@@ -55,6 +55,50 @@ object DedupQueries {
   private def jaccard(a: Column, b: Column): Column =
     graft.functions.VectorOps.jaccard(a, b)
 
+  /** LSH banding geometry shared by the inline pipeline and the standing
+    * signature artifact ([[MinhashIndex]]): 32 lanes, 8 bands × 4 rows. */
+  private[pipeline] val MinhashLanes = 32
+  private[pipeline] val MinhashBands = 8
+  private[pipeline] val MinhashRowsPerBand = MinhashLanes / MinhashBands
+
+  /** The 8 band hashes of a 32-lane signature column: xxhash64 over each
+    * band's 4 consecutive lanes — an internal join-key compression (the
+    * oracle joins on the raw 4-lane tuple; a 64-bit collision would need
+    * odds ~2⁻⁶⁴ to diverge). Must stay identical between the inline and
+    * indexed pipelines: both feed the same oracle. */
+  private[pipeline] def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(MinhashBands - 1)),
+      bnd => xxhash64((0 until MinhashRowsPerBand).map(r =>
+        element_at(sig, bnd * MinhashRowsPerBand + r + 1)): _*))
+
+  /** Exact-Jaccard verification of id-only candidate pairs by back-joining
+    * one shingle-set row per doc (never carry arrays through the candidate
+    * exchange — the round-17 lesson; [[graft.plans.CorpusBroadcastGuard]]
+    * keeps every one of these joins off the broadcast path). */
+  private[pipeline] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh_sorted").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh_sorted").as("sh_b"))
+    cand.join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Id-only band-collision candidate pairs (doc_a < doc_b, distinct) from
+    * a (band_id, band_hash, doc_id) frame. */
+  private[pipeline] def bandCandidates(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band_id"), col("band_hash"),
+                          col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+                          col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** Exact dedup: one survivor (min doc_id) per content fingerprint.
     * Deliberately NO global ORDER BY: the result is a set, and a total sort
     * of the deduped corpus is a full range-exchange we'd pay at 100 TB for
@@ -124,10 +168,6 @@ object DedupQueries {
     * legal on a STREAMING frame (the stream side of
     * [[graft.streaming.DocumentsStreaming.nearDupCandidates]]). */
   private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
-    val numHashes = 32
-    val bands = 8
-    val rows = numHashes / bands
-
     val sh = shingled(docs)
     // One codegen'd pass: shingle hashes are already computed by shingled();
     // a single tight loop derives all 32 lanes
@@ -139,9 +179,7 @@ object DedupQueries {
 
     sig.select(
       col("doc_id"), col("sh_sorted"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64((0 until rows).map(r =>
-          element_at(col("sig"), bnd * rows + r + 1)): _*))))
+      posexplode(bandHashes(col("sig"))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
   }
@@ -158,38 +196,24 @@ object DedupQueries {
     * planner pick a BroadcastHashJoin whose build side then blew past the
     * driver heap ("Not enough memory to build and broadcast"). Narrow
     * (band_id, band_hash, doc_id) rows shrink the candidate exchange ~8×
-    * in payload, and the SHUFFLE_MERGE hint pins the self-join to the
-    * co-partitioned form — both sides shuffle on the same key, so one
-    * exchange feeds both and no broadcast of a corpus-sized relation can
-    * ever be attempted, at any scale (MinhashPlanSpec asserts this on the
-    * executed plan). Jaccard verification then joins the (far smaller)
+    * in payload; the self-join takes the co-partitioned sort-merge form —
+    * both sides shuffle on the same key, so one exchange feeds both and no
+    * broadcast of a corpus-sized relation can ever be attempted, at any
+    * scale. That guarantee is no longer a per-site hint: the engine-level
+    * [[graft.plans.CorpusBroadcastGuard]] stamps every corpus×corpus join
+    * (both sides collection-typed and scan-derived) NO_BROADCAST_HASH at
+    * plan time — DedupSpec asserts it on this pipeline's EXECUTED plan,
+    * CorpusBroadcastGuardSpec on the logical stamps. The same blindness
+    * recurred on the verify back-joins (a ~100 MB estimate under the sized
+    * 128 MB threshold for a multi-GB true HashedRelation); the guard
+    * covers them identically. Jaccard verification joins the (far smaller)
     * deduplicated candidate pairs back to one shingle-set row per doc. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val sh = shingled(docs)
     val banded = bandedSignatures(docs)
       .select(col("band_id"), col("band_hash"), col("doc_id"))
-    val a = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_b"))
-    val cand = a.hint("SHUFFLE_MERGE").join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    // The verify back-joins get the same SHUFFLE_MERGE pin: the shingle
-    // side is corpus-derived with the same estimate-blind array payload,
-    // and at 16 g single-JVM its ~100 MB estimate slipped UNDER the sized
-    // 128 MB broadcast threshold while its true in-memory HashedRelation
-    // is GBs — the same OOM one threshold notch later (the cluster's 96 MB
-    // threshold had already rejected it). Neither side of a corpus × corpus
-    // join may ever be broadcast on an estimate.
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh_sorted").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh_sorted").as("sh_b"))
-    cand.join(shA.hint("SHUFFLE_MERGE"), Seq("doc_a"))
-      .join(shB.hint("SHUFFLE_MERGE"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+    verifyJaccard(bandCandidates(banded),
+      sh.select(col("doc_id"), col("sh_sorted")), threshold = 0.2)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints from token hashes, banded

@@ -173,10 +173,11 @@ class DedupSpec extends SparkSpec {
     // At SF30 on the cluster the old array-carrying band join tricked the
     // planner into a BroadcastHashJoin whose build side OOMed the driver
     // (the compressed-scan size estimate is blind to the in-memory width
-    // of repeated shingle arrays). The candidate join is now id-only with
-    // a SHUFFLE_MERGE pin; assert on the EXECUTED plan — at this corpus
-    // size broadcast would otherwise be the planner's natural pick, so
-    // this test fails if the pin is ever lost.
+    // of repeated shingle arrays). The candidate join is id-only, and the
+    // no-broadcast guarantee is engine-level (plans.CorpusBroadcastGuard
+    // — the query itself carries NO hints). Assert on the EXECUTED plan:
+    // at this corpus size broadcast would otherwise be the planner's
+    // natural pick, so this test fails if the guard is ever lost.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
