@@ -34,6 +34,7 @@ object SparkEntry {
       pipeline.MixtureQueries.all ++
       pipeline.TextQueries.all ++
       pipeline.DedupQueries.all ++
+      pipeline.MinhashIndex.all ++
       pipeline.Utf8Queries.all ++
       pipeline.CurationQueries.all ++
       pipeline.SimilarityQueries.all ++
@@ -61,6 +62,7 @@ object SparkEntry {
       pipeline.MixtureQueries.oracle ++
       pipeline.TextQueries.oracle ++
       pipeline.DedupQueries.oracle ++
+      pipeline.MinhashIndex.oracle ++
       pipeline.Utf8Queries.oracle ++
       pipeline.CurationQueries.oracle ++
       pipeline.SimilarityQueries.oracle ++

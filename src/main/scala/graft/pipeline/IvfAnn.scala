@@ -217,62 +217,19 @@ object IvfAnn {
     search(t(s, dir, "embeddings"), queryIds = (0L until 10L),
       k = 5, nlist = 16, nprobe = 4)
 
-  /** Standing-index location for a gate corpus, keyed by the corpus
-    * fingerprint (absolute path hash + total byte size + newest mtime of
-    * the embeddings parquet) so a regenerated corpus can never be probed
-    * through a stale index. A `graft_index_ready` marker gates against a
-    * half-built artifact from a killed prior run. */
-  private def corpusIndexDir(dir: String): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val (size, mtime) =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.list(src)
-        val parts =
-          try stream.iterator().asScala.toSeq
-          finally stream.close()
-        require(parts.nonEmpty,
-          s"empty embeddings.parquet directory at $src — cannot fingerprint an empty corpus")
-        (parts.map(java.nio.file.Files.size).sum,
-         parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max)
-      } else (java.nio.file.Files.size(src),
-              java.nio.file.Files.getLastModifiedTime(src).toMillis)
-    val key = Integer.toHexString(src.toAbsolutePath.toString.hashCode)
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_ivf_idx_${key}_${size}_$mtime")
-  }
-
   /** The PRODUCTION probe path as a registry entry (VERDICT r14/r15 #5):
     * [[buildIndex]] runs once per gate corpus (amortized across every
     * subsequent Verify/Bench invocation via the fingerprint-keyed standing
-    * artifact), then [[searchIndexed]] probes it with a caller-provided
-    * query frame — the exact shape a serving deployment runs. Same
-    * (nlist, nprobe, k) as q_ann_ivf, so the same ivf_recall_min bound in
-    * tools/check.py applies against the q_ann_brute ground truth. */
+    * artifact — build-once lifecycle, atomic publish, and stale-debris
+    * self-heal all in [[StandingIndex.ensure]]), then [[searchIndexed]]
+    * probes it with a caller-provided query frame — the exact shape a
+    * serving deployment runs. Same (nlist, nprobe, k) as q_ann_ivf, so the
+    * same ivf_recall_min bound in tools/check.py applies against the
+    * q_ann_brute ground truth. */
   val annIvfIndexed: QueryFn = (s, dir) => {
-    val idxDir = corpusIndexDir(dir)
-    val marker = idxDir.resolve("graft_index_ready")
-    if (!java.nio.file.Files.exists(marker)) {
-      // Build into a process-unique staging dir, then atomically rename into
-      // place: two concurrent builders (e.g. Bench and Verify racing on a
-      // fresh corpus) each complete a private build and one rename wins —
-      // nobody can observe a half-written artifact (ADVICE r16). The loser's
-      // rename fails on the now-existing target; since the marker then
-      // exists, the loser just probes the winner's identical index.
-      val staging = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"${idxDir.getFileName}_build_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
-      buildIndex(t(s, dir, "embeddings"), nlist = 16, staging.toString)
-      java.nio.file.Files.write(staging.resolve("graft_index_ready"),
-        Array.emptyByteArray)
-      try java.nio.file.Files.move(staging, idxDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException
-            if java.nio.file.Files.exists(marker) =>
-          // a concurrent builder won the rename; discard our staging copy
-          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      }
+    val idxDir = StandingIndex.artifactDir(dir, "embeddings", "graft_ivf_idx")
+    StandingIndex.ensure(idxDir) { staging =>
+      buildIndex(t(s, dir, "embeddings"), nlist = 16, staging)
     }
     val queries = t(s, dir, "embeddings")
       .filter(col("vec_id") < 10L)

@@ -83,6 +83,11 @@ class FactScanSpec extends SparkSpec {
     val expected = Map(
       "q_dedup_exact" -> ("documents", 1),
       "q_dedup_minhash_lsh" -> ("documents", 4),
+      // The standing-signature probe is the designed endpoint of that
+      // trade: after the one-time build, a sweep reads the corpus text
+      // ZERO times (all four reads hit the narrow artifact instead —
+      // MinhashIndexSpec pins those and their column pruning).
+      "q_dedup_minhash_indexed" -> ("documents", 0),
       "q_dedup_simhash" -> ("documents", 2),
       "q_dedup_ngram_jaccard" -> ("documents", 4),
       "q_dedup_ngram_jaccard_hi" -> ("documents", 4),
