@@ -35,6 +35,85 @@ class CurationSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L), s"stragglers: ${got.filter(_._2 != 1L)}")
   }
 
+  test("planted 129-node chain converges within the doubling bound (round pin)") {
+    // Diameter 128 = 2^7. Each round moves labels one hop (neighbour min)
+    // and then composes the pointer function with itself (jump), so reach
+    // grows ~2× per round: convergence must land in O(log d) rounds, never
+    // O(d). The pin fails if a rewrite quietly degrades the jump back to
+    // one-hop propagation (which would need ~128 rounds and trip the cap).
+    val n = 129L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      CurationQueries.connectedComponentsCounted(nodes, edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L), s"stragglers: ${got.filter(_._2 != 1L)}")
+    assert(rounds <= 9,
+      s"chain of diameter ${n - 1} took $rounds rounds — doubling bound lost")
+  }
+
+  test("isolated nodes skip the iteration and still label themselves") {
+    // Edge-incident restriction: only nodes that appear in an edge go
+    // through the label loop; everything else must come back label = self.
+    val nodes = (1L to 100L).toDF("doc_id")
+    val edges = Seq((7L, 9L)).toDF("doc_a", "doc_b")
+    val got = CurationQueries.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100)
+    assert(got(9L) == 7L)
+    assert(got.filter(p => p._1 != 9L).forall(p => p._2 == p._1))
+  }
+
+  test("exact-dup contraction: clusters identical to the uncontracted pipeline") {
+    val base = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val r0 = base.filter($"doc_id" === 0).head()
+    val t0 = r0.getAs[String]("text")
+    val l0 = r0.getAs[String]("lang")
+    val near = t0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 1) "SWAPPED" else w }.mkString(" ")
+    val plants = Seq(
+      // identical-copy group of doc 0 — must contract to one representative
+      (9001L, l0, t0), (9002L, l0, t0), (9003L, l0, t0),
+      // near-copy bridging INTO that group (tests group↔group edges)
+      (9004L, l0, near),
+      // identical text under a DIFFERENT lang — blocked from pairing with
+      // doc 0's group (the fingerprint must include lang)
+      (9005L, if (l0 == "en") "de" else "en", t0),
+      // two identical sub-shingle-floor docs: both must stay singletons
+      // (never contracted, never paired)
+      (9101L, l0, "xy"), (9102L, l0, "xy"))
+      .toDF("doc_id", "lang", "text")
+    val docs = base.union(plants)
+
+    // Uncontracted reference: the pre-round-18 shape, verbatim.
+    val pairs = pipeline.AllPairs
+      .jaccardPairs(spark, pipeline.DedupQueries.shingled(docs), 20, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = CurationQueries.connectedComponents(
+      docs.select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val expected = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label"), col("cluster_size"),
+              (col("doc_id") === col("label")).as("c"))
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+
+    val got = CurationQueries.dedupClusterFrame(spark, docs)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == expected,
+      s"contraction diverged:\n got=${got.filterNot(expected.contains)}\n " +
+        s"want=${expected.filterNot(got.contains)}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(9001L)._2 == 0L && byId(9004L)._2 == 0L,
+      "identical copies and the bridging near-copy must join doc 0's cluster")
+    assert(byId(9005L)._2 == 9005L, "different lang must not merge")
+    assert(byId(9101L)._2 == 9101L && byId(9102L)._2 == 9102L &&
+      byId(9101L)._3 == 1L,
+      "sub-shingle-floor identical docs must stay singletons")
+  }
+
   test("connectedComponents is orientation-independent") {
     val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
     // Edges deliberately "backwards" (larger id first).
