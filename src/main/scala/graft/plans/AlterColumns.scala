@@ -540,7 +540,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateCachedRe =
     ("""(?is)^(\s*create\s+table\s+([\w.]+)\b(?:[^']|'[^']*')*?)\s+""" +
       """cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?""" +
-      """((?:\s+(?:tblproperties\b|as\s+(?:select|with|values)\b)(?:[^']|'[^']*')*)?)\s*;?\s*$""").r
+      // the AS tail accepts an optional parenthesized query — the delegate
+      // parser does (ADVICE r17), so `... CACHED IN 'p' AS (SELECT ...)`
+      // must rewrite rather than fall through and error on CACHED IN
+      """((?:\s+(?:tblproperties\b|as\s+\(?\s*(?:select|with|values)\b)(?:[^']|'[^']*')*)?)\s*;?\s*$""").r
   private val SetCachedRe =
     ("""(?is)^\s*alter\s+table\s+([\w.]+)\s+set\s+""" +
       """(?:cached\s+in\s+'([^']+)'(?:\s+with\s+replication\s*=\s*\d+)?|(uncached))\s*;?\s*$""").r

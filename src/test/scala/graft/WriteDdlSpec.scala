@@ -471,8 +471,19 @@ class WriteDdlSpec extends SparkSpec {
     assert(!litMeta.properties.contains(graft.plans.TableCache.TablePoolProp))
     assert(spark.table("graft_test.cached_lit").head().getString(0)
       == "data cached in 'poolX'")
+    // parenthesized CTAS query — the delegate parser accepts
+    // AS (SELECT ...), so the directive rewrite must too (ADVICE r17)
+    spark.sql("DROP TABLE IF EXISTS graft_test.cached_paren")
+    spark.sql("CREATE TABLE graft_test.cached_paren CACHED IN 'testPool' " +
+      "AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+    val parenMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("cached_paren", Some("graft_test")))
+    assert(parenMeta.properties.get(graft.plans.TableCache.TablePoolProp)
+      .contains("testPool"))
+    assert(spark.table("graft_test.cached_paren").count() == 5)
     spark.sql("DROP TABLE graft_test.cached_ctas")
     spark.sql("DROP TABLE graft_test.cached_lit")
+    spark.sql("DROP TABLE graft_test.cached_paren")
   }
 
   test("CREATE/DROP VIEW and WITH-clause queries") {

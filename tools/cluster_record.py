@@ -28,9 +28,15 @@ def main():
     if retimes_p != "-":
         re_q = load(retimes_p)["queries"]
         for name, entry in re_q.items():
+            # a typo'd retime name must not silently ADD a query (inflating
+            # the summed value while n_queries goes stale) — ADVICE r17
+            assert name in battery["queries"], (
+                f"retime '{name}' is not in the battery — typo?")
             battery["queries"][name] = entry
             retimed.append(name)
     battery["retimed_in_isolation"] = sorted(retimed)
+    assert battery["n_queries"] == len(battery["queries"]), (
+        f"n_queries {battery['n_queries']} != {len(battery['queries'])}")
     total = sum(q["med"] for q in battery["queries"].values())
     battery["value"] = round(total, 3)
     with open(out_p, "w") as f:
