@@ -73,7 +73,7 @@ object LegacyFormats {
     * newline cannot round-trip under its semantics; fields fed to the
     * line-oriented sinks must not contain `\n`/`\r` (the corpus's don't —
     * multi-line documents belong in parquet/sequence containers). */
-  private[sources] def delimitedLine(df: DataFrame, sep: String) = {
+  private[graft] def delimitedLine(df: DataFrame, sep: String) = {
     require(sep.length == 1, s"separator must be a single char, got '$sep'")
     concat_ws(sep, df.columns.map { c =>
       val s = col(c).cast(StringType)
