@@ -61,6 +61,10 @@ object Bench {
     if (isCluster) ClusterMode.ensureSparkHomeShim()
     val builder = SparkSession.builder()
       .master(master)
+      // engine extensions (function pack, planner strategy, broadcast
+      // guard) — see Verify; without this the bench session silently
+      // loses every extension-injected rule
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         math.max(shufflePartitions, totalCores))
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastBytes)

@@ -45,6 +45,9 @@ object BenchOne {
     if (isCluster) ClusterMode.ensureSparkHomeShim()
     val builder = SparkSession.builder()
       .master(master)
+      // engine extensions — see Verify/Bench; the plan-audit session must
+      // plan with the same rules the engine sessions do
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         math.max(shufflePartitions, totalCores))
       .config("spark.sql.autoBroadcastJoinThreshold",

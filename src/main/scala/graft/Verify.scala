@@ -15,6 +15,11 @@ object Verify {
     if (isCluster) ClusterMode.ensureSparkHomeShim()
     val builder = SparkSession.builder()
       .master(master)
+      // engine extensions (function pack, planner strategy, broadcast
+      // guard) — attachable only at builder time; the register()-time
+      // ExperimentalMethods hook is the fallback for sessions built
+      // elsewhere, but the gate session should be a first-class one
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -207,6 +207,20 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         strategies :+ graft.plans.TopKPerGroupStrategy
     }
+    // The broadcast-safety rule must hold in sessions we did NOT build
+    // (the Verify/Bench harness mains construct stock sessions): extensions
+    // can only be attached at builder time, but ExperimentalMethods rules
+    // run as the optimizer's final batch — still before physical planning,
+    // which is all the hint stamping needs. In Engine-built sessions the
+    // preCBO copy stamps first and this one no-ops (the rule skips sides
+    // that already carry a strategy hint). Round-18 find: the r17 SF30
+    // broadcast-OOM fix would have silently vanished from the bench/gate
+    // sessions without this — GuardInstallSpec pins it.
+    val extraOpts = spark.experimental.extraOptimizations
+    if (!extraOpts.contains(graft.plans.CorpusBroadcastGuard)) {
+      spark.experimental.extraOptimizations =
+        extraOpts :+ graft.plans.CorpusBroadcastGuard
+    }
   }
 
   // ---- Column-level API (usable without any registration) ----

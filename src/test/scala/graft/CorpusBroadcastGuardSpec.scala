@@ -111,6 +111,24 @@ class CorpusBroadcastGuardSpec extends SparkSpec {
       s"explicit broadcast hint lost:\n${df.queryExecution.executedPlan}")
   }
 
+  test("register() installs the guard into sessions not built by Engine (idempotently)") {
+    // The r17 SF30 OOM fix must hold in the harness mains (Verify/Bench),
+    // which construct their own sessions: extensions attach only at builder
+    // time, so GraftFunctions.register — already invoked idempotently at
+    // query-build time for any foreign session — must ALSO install the rule
+    // via ExperimentalMethods (the optimizer's final batch, still before
+    // physical planning). Round-18 find: without this, deleting the per-site
+    // hints silently removed all protection from the gate/bench sessions.
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq.empty // simulate a fresh session
+    functions.GraftFunctions.register(s)
+    assert(s.experimental.extraOptimizations.contains(
+      plans.CorpusBroadcastGuard), "register must install the guard")
+    functions.GraftFunctions.register(s)
+    assert(s.experimental.extraOptimizations.count(
+      _ == plans.CorpusBroadcastGuard) == 1, "install must be idempotent")
+  }
+
   test("a driver-local collection frame (exact size, not an estimate) is not penalized") {
     import spark.implicits._
     // LocalRelation sizes are driver-side facts — a k-means centroid frame
