@@ -184,6 +184,68 @@ object DedupQueries {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** Exact-duplicate contraction for content-determined pair pipelines
+    * (round-18, the second SF30 lesson): every relation this file computes
+    * is a pure function of the text (shingles, signatures, band hashes,
+    * Jaccard), so bit-identical documents are interchangeable as pair
+    * endpoints and their pairwise relation is always (candidate, j = 1.0).
+    * On a duplicate-heavy corpus the verify exchange otherwise grows with
+    * the SQUARE of the duplication factor in *array-payload* rows — the
+    * SF30 rehearsal corpus (300 identical copies per doc) built a ~50 GB
+    * shuffle that out-ran the host scratch (ENOSPC) even on the cluster
+    * that ran the uncontracted r17 shape at 257 s. Contraction bounds
+    * every array-carrying stage by ORGANIC content size; only thin
+    * (doc_a, doc_b, jaccard) rows scale with duplication — and those are
+    * the answer itself.
+    *
+    * Returns (memberMap(doc_id, rep) — materialized, eligible docs only —
+    * and the representatives' (doc_id, lang, text) frame). Grouping is by
+    * md5(lang, text) — finer than minhash strictly needs (it ignores
+    * lang), which is always SAFE: split groups just reconnect through
+    * their representatives' 1.0-Jaccard candidate pair. Docs under the
+    * 3-token shingle floor are excluded (they can never pair, and an
+    * empty-vs-null text collision must not fabricate one). */
+  private[pipeline] def contractExact(d0: DataFrame): (DataFrame, DataFrame) = {
+    val d = d0.select(col("doc_id"), col("lang"), col("text"))
+    val eligible = size(tokens(col("text"))) >= 3
+    val withFp = d.select(col("doc_id"), col("lang"), col("text"),
+        when(eligible, md5(concat(coalesce(col("lang"), lit("")),
+          lit(" "), col("text")).cast("binary"))).as("fp"))
+      .filter(col("fp").isNotNull)
+    val grp = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val members = graft.Engine.materialize(
+      withFp.select(col("doc_id"), col("fp"))
+        .join(grp, Seq("fp"))
+        .select(col("doc_id"), col("rep")))
+    val repDocs = d.join(
+      members.filter(col("doc_id") === col("rep")).select(col("rep")),
+      col("doc_id") === col("rep")).drop("rep")
+    (members, repDocs)
+  }
+
+  /** Expand representative-level pairs back to member-level pairs:
+    * intra-group = all ordered member pairs at j = 1.0 (identical shingle
+    * sets); cross-group = the rep pair's jaccard for every (a, b) in
+    * A × B, ordered with least/greatest. Only thin id rows move — no
+    * array ever rides an expansion exchange. */
+  private[pipeline] def expandPairs(repPairs: DataFrame,
+                                    members: DataFrame): DataFrame = {
+    val m1 = members.select(col("rep"), col("doc_id").as("doc_a"))
+    val m2 = members.select(col("rep"), col("doc_id").as("doc_b"))
+    val intra = m1.join(m2, Seq("rep"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    val ma = members.select(col("rep").as("ra"), col("doc_id").as("ida"))
+    val mb = members.select(col("rep").as("rb"), col("doc_id").as("idb"))
+    val cross = repPairs
+      .join(ma, col("doc_a") === col("ra"))
+      .join(mb, col("doc_b") === col("rb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("jaccard"))
+    intra.union(cross)
+  }
+
   /** The MinHash pipeline on any (doc_id, text, lang, ...) frame —
     * parameterized so specs can run it over planted duplicates.
     *
@@ -207,8 +269,22 @@ object DedupQueries {
     * recurred on the verify back-joins (a ~100 MB estimate under the sized
     * 128 MB threshold for a multi-GB true HashedRelation); the guard
     * covers them identically. Jaccard verification joins the (far smaller)
-    * deduplicated candidate pairs back to one shingle-set row per doc. */
+    * deduplicated candidate pairs back to one shingle-set row per doc.
+    *
+    * The whole array-carrying pipeline runs over exact-duplicate
+    * REPRESENTATIVES ([[contractExact]]) and pairs expand back to members
+    * as thin id rows ([[expandPairs]]) — identical output (signatures and
+    * Jaccard are content functions; DedupSpec pins equality to the
+    * uncontracted form), but the shuffle volume is bounded by organic
+    * content size instead of growing with duplication². */
   def minhashPairs(docs: DataFrame): DataFrame = {
+    val (members, repDocs) = contractExact(docs)
+    expandPairs(minhashPairsUncontracted(repDocs), members)
+  }
+
+  /** The raw (uncontracted) pipeline — the shape that runs over the
+    * representatives; also the spec oracle for [[minhashPairs]]. */
+  private[graft] def minhashPairsUncontracted(docs: DataFrame): DataFrame = {
     val sh = shingled(docs)
     val banded = bandedSignatures(docs)
       .select(col("band_id"), col("band_hash"), col("doc_id"))

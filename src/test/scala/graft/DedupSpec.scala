@@ -169,7 +169,7 @@ class DedupSpec extends SparkSpec {
     assert(brute.subsetOf(lsh), s"missed pairs: ${brute.diff(lsh)}")
   }
 
-  test("minhash band self-join never broadcasts a corpus-derived side") {
+  test("minhash band self-join never broadcasts an array-payload side") {
     // At SF30 on the cluster the old array-carrying band join tricked the
     // planner into a BroadcastHashJoin whose build side OOMed the driver
     // (the compressed-scan size estimate is blind to the in-memory width
@@ -177,10 +177,16 @@ class DedupSpec extends SparkSpec {
     // no-broadcast guarantee is engine-level (plans.CorpusBroadcastGuard
     // — the query itself carries NO hints). Assert on the EXECUTED plan:
     // at this corpus size broadcast would otherwise be the planner's
-    // natural pick, so this test fails if the guard is ever lost.
+    // natural pick, so this test fails if the guard is ever lost. The
+    // exact invariant: NO BroadcastHashJoin may build over a collection-
+    // typed side (thin id-only sides — the contraction member map, the
+    // representative-id fetch — are measured-size and legal to
+    // broadcast); the band join and the shingle verify joins stay
+    // sort-merge.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
     val df = pipeline.DedupQueries.minhashPairs(docsWithPlants)
     df.collect()
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
@@ -192,11 +198,17 @@ class DedupSpec extends SparkSpec {
       p +: (p.children.flatMap(flatten) ++ nested)
     }
     val nodes = flatten(df.queryExecution.executedPlan)
-    // All three joins (band self-join + the two shingle back-joins) are
-    // corpus x corpus and pinned: none may be broadcast, at any size.
-    val broadcasts = nodes.collect { case j: BroadcastHashJoinExec => j }
-    assert(broadcasts.isEmpty,
-      s"corpus-derived join chose broadcast:\n${df.queryExecution.executedPlan}")
+    val arrayBuilds = nodes.collect {
+      case j: BroadcastHashJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        (j, flatten(build).exists(_.output.exists(a =>
+          a.dataType.isInstanceOf[ArrayType] || a.dataType.isInstanceOf[MapType])))
+    }.collect { case (j, true) => j }
+    assert(arrayBuilds.isEmpty,
+      s"array-payload side chose broadcast:\n${df.queryExecution.executedPlan}")
     def onBandHash(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       keys.exists(_.references.exists(_.name == "band_hash"))
     val smjBand = nodes.collect {
@@ -204,5 +216,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(smjBand.nonEmpty,
       s"expected a sort-merge band join:\n${df.queryExecution.executedPlan}")
+    val smjVerify = nodes.collect {
+      case j: SortMergeJoinExec if j.left.output.exists(a =>
+        a.dataType.isInstanceOf[ArrayType]) ||
+        j.right.output.exists(a => a.dataType.isInstanceOf[ArrayType]) => j
+    }
+    assert(smjVerify.nonEmpty,
+      s"expected sort-merge shingle verify joins:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("exact-dup contraction: minhash pairs identical to the uncontracted pipeline") {
+    import spark.implicits._
+    // docsWithPlants has an exact copy (9001≡0) and near copies — the
+    // contracted pipeline must produce byte-identical pairs, including the
+    // intra-group j=1.0 expansion and cross-group rep-pair expansion.
+    val got = pipeline.DedupQueries.minhashPairs(docsWithPlants)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val want = pipeline.DedupQueries.minhashPairsUncontracted(docsWithPlants)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == want,
+      s"contraction diverged: extra=${got.filterNot(want.contains).take(5)} " +
+        s"missing=${want.filterNot(got.contains).take(5)}")
+    assert(want.contains((0L, 9001L, 1.0)), s"exact pair at j=1.0: $want")
   }
 }

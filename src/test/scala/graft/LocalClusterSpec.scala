@@ -168,9 +168,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = snapshot(SparkEntry.queries("q_dedup_cluster")(spark, sfDir))
     assert(got == localRef("q_dedup_cluster"))
     // connectedComponents cuts 2 frames per round (stepped, jumped) plus
-    // sym + the seed labels; everything but the FINAL round's jumped frame
-    // is released as soon as its successor is on stable storage. Leftover
-    // rdd-* dirs must therefore be O(1), not O(rounds).
+    // sym; every per-round cut is released as soon as its successor is on
+    // stable storage. What legitimately SURVIVES the loop is exactly the
+    // cuts the returned plan still reads: the final round's jumped frame,
+    // the edge-incident endpoints frame (feeds the isolated-node
+    // anti-join), and dedupCluster's contraction member map (feeds the
+    // label expansion) — 3 frames, O(1), never O(rounds).
     def rddDirs(f: File): Seq[File] =
       Option(f.listFiles()).toSeq.flatten.flatMap { c =>
         if (c.isDirectory)
@@ -178,7 +181,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         else Seq.empty
       }
     val leftover = rddDirs(new File(dir))
-    assert(leftover.size <= 2,
+    assert(leftover.size <= 3,
       s"stale checkpoints not released: ${leftover.map(_.getName)}")
   }
 

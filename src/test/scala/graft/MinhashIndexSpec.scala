@@ -42,6 +42,8 @@ class MinhashIndexSpec extends SparkSpec {
       s"probe must not re-scan the corpus text: $tables")
     assert(tables("signatures") == 4,
       s"expected 4 column-pruned artifact reads (2 band sides + 2 verify sides): $tables")
+    assert(tables("members") == 4,
+      s"expected 4 thin member-map reads (2 intra + 2 cross expansion sides): $tables")
   }
 
   test("candidate reads prune to (doc_id, sig); verify reads prune to (doc_id, sh_sorted)") {
