@@ -120,8 +120,21 @@ object DedupQueries {
     * candidate equi-join (id pairs, no payload) and the two id-keyed
     * array-fetch joins for verification. */
   val ngramJaccard: QueryFn = (s, dir) =>
-    AllPairs.jaccardPairs(s, shingled(t(s, dir, "documents")),
-                          lenWindow = 20, threshold = 0.2)
+    ngramPairs(s, t(s, dir, "documents"), threshold = 0.2)
+
+  /** Contracted n-gram Jaccard (same construction as [[minhashPairs]] —
+    * the PPJoin relation is a pure function of (lang, text): lang is the
+    * blocking key and participates in the fingerprint, the length window
+    * and Jaccard are content functions — so the array-carrying prefix
+    * index and verification run at organic content size and member pairs
+    * expand through thin id joins). */
+  private[graft] def ngramPairs(s: SparkSession, docs: DataFrame,
+                                threshold: Double): DataFrame = {
+    val (members, repDocs) = contractExact(docs)
+    expandPairs(
+      AllPairs.jaccardPairs(s, shingled(repDocs), lenWindow = 20, threshold),
+      members, "jaccard", lit(1.0))
+  }
   val ngramJaccardSql: String =
     """WITH sh AS (
       |  SELECT doc_id, lang, len(toks) AS n_toks,
@@ -149,8 +162,7 @@ object DedupQueries {
     * that silently drops candidates fails THIS query's oracle (DuckDB
     * brute-forces all pairs, so its recall is always total). */
   val ngramJaccardHi: QueryFn = (s, dir) =>
-    AllPairs.jaccardPairs(s, shingled(t(s, dir, "documents")),
-                          lenWindow = 20, threshold = 0.8)
+    ngramPairs(s, t(s, dir, "documents"), threshold = 0.8)
   val ngramJaccardHiSql: String =
     ngramJaccardSql.replace("jaccard >= 0.2", "jaccard >= 0.8")
 
@@ -200,14 +212,18 @@ object DedupQueries {
     *
     * Returns (memberMap(doc_id, rep) — materialized, eligible docs only —
     * and the representatives' (doc_id, lang, text) frame). Grouping is by
-    * md5(lang, text) — finer than minhash strictly needs (it ignores
-    * lang), which is always SAFE: split groups just reconnect through
-    * their representatives' 1.0-Jaccard candidate pair. Docs under the
-    * 3-token shingle floor are excluded (they can never pair, and an
-    * empty-vs-null text collision must not fabricate one). */
-  private[pipeline] def contractExact(d0: DataFrame): (DataFrame, DataFrame) = {
+    * md5(lang, text) — finer than minhash/simhash strictly need (they
+    * ignore lang), which is always SAFE: split groups just reconnect
+    * through their representatives' candidate pair. `eligible` is the
+    * operator's own can-this-doc-ever-pair floor (shingle tiers: ≥ 3
+    * tokens, matching shingled()'s filter; simhash: non-null text) —
+    * ineligible docs produce no pairs in either engine, and must not be
+    * conflated by a fingerprint collision (e.g. null vs empty text). */
+  private[pipeline] def contractExact(
+      d0: DataFrame,
+      eligible: Column = size(tokens(col("text"))) >= 3)
+      : (DataFrame, DataFrame) = {
     val d = d0.select(col("doc_id"), col("lang"), col("text"))
-    val eligible = size(tokens(col("text"))) >= 3
     val withFp = d.select(col("doc_id"), col("lang"), col("text"),
         when(eligible, md5(concat(coalesce(col("lang"), lit("")),
           lit(" "), col("text")).cast("binary"))).as("fp"))
@@ -224,17 +240,19 @@ object DedupQueries {
   }
 
   /** Expand representative-level pairs back to member-level pairs:
-    * intra-group = all ordered member pairs at j = 1.0 (identical shingle
-    * sets); cross-group = the rep pair's jaccard for every (a, b) in
-    * A × B, ordered with least/greatest. Only thin id rows move — no
-    * array ever rides an expansion exchange. */
-  private[pipeline] def expandPairs(repPairs: DataFrame,
-                                    members: DataFrame): DataFrame = {
+    * intra-group = all ordered member pairs at the identical-content value
+    * (`intraValue` — Jaccard 1.0, SimHash hamming 0); cross-group = the
+    * rep pair's value for every (a, b) in A × B, ordered with
+    * least/greatest. Only thin id rows move — no array ever rides an
+    * expansion exchange. */
+  private[pipeline] def expandPairs(repPairs: DataFrame, members: DataFrame,
+                                    valueCol: String,
+                                    intraValue: Column): DataFrame = {
     val m1 = members.select(col("rep"), col("doc_id").as("doc_a"))
     val m2 = members.select(col("rep"), col("doc_id").as("doc_b"))
     val intra = m1.join(m2, Seq("rep"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), intraValue.as(valueCol))
     val ma = members.select(col("rep").as("ra"), col("doc_id").as("ida"))
     val mb = members.select(col("rep").as("rb"), col("doc_id").as("idb"))
     val cross = repPairs
@@ -242,7 +260,7 @@ object DedupQueries {
       .join(mb, col("doc_b") === col("rb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
               greatest(col("ida"), col("idb")).as("doc_b"),
-              col("jaccard"))
+              col(valueCol))
     intra.union(cross)
   }
 
@@ -279,7 +297,8 @@ object DedupQueries {
     * content size instead of growing with duplication². */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val (members, repDocs) = contractExact(docs)
-    expandPairs(minhashPairsUncontracted(repDocs), members)
+    expandPairs(minhashPairsUncontracted(repDocs), members,
+      "jaccard", lit(1.0))
   }
 
   /** The raw (uncontracted) pipeline — the shape that runs over the
@@ -300,6 +319,19 @@ object DedupQueries {
   val simhash: QueryFn = (s, dir) => simhashPairs(t(s, dir, "documents"))
 
   def simhashPairs(d: DataFrame): DataFrame = {
+    // Same contraction as minhash: the fingerprint, chunk buckets and
+    // hamming distance are pure content functions, so identical docs
+    // expand at hamming 0 and cross pairs at the rep pair's hamming.
+    // Eligibility is simhash's own: ANY non-null text can pair (even
+    // empty or single-token — the vote fingerprint exists), only a null
+    // text yields no token rows in either engine.
+    val (members, repDocs) = contractExact(d, eligible = col("text").isNotNull)
+    expandPairs(simhashPairsUncontracted(repDocs), members, "hamming", lit(0))
+  }
+
+  /** The raw (uncontracted) simhash pipeline — runs over representatives;
+    * also the spec oracle for [[simhashPairs]]. */
+  private[graft] def simhashPairsUncontracted(d: DataFrame): DataFrame = {
     val fp = d.select(col("doc_id"),
       SimHash(transform(tokens(col("text")), tk => FnvHash(tk))).as("simhash"))
     val banded = fp.select(col("doc_id"), col("simhash"),

@@ -68,7 +68,7 @@ object MinhashIndex {
     val repPairs = DedupQueries.verifyJaccard(
       DedupQueries.bandCandidates(banded),
       sig.select(col("doc_id"), col("sh_sorted")), threshold)
-    DedupQueries.expandPairs(repPairs, members)
+    DedupQueries.expandPairs(repPairs, members, "jaccard", lit(1.0))
   }
 
   /** Registry entry: build the artifact once per gate corpus (fingerprint

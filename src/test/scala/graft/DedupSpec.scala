@@ -239,4 +239,37 @@ class DedupSpec extends SparkSpec {
         s"missing=${want.filterNot(got.contains).take(5)}")
     assert(want.contains((0L, 9001L, 1.0)), s"exact pair at j=1.0: $want")
   }
+
+  test("exact-dup contraction: ngram-jaccard pairs identical to uncontracted") {
+    import spark.implicits._
+    for (t <- Seq(0.2, 0.8)) {
+      val got = pipeline.DedupQueries.ngramPairs(spark, docsWithPlants, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val want = pipeline.AllPairs
+        .jaccardPairs(spark, pipeline.DedupQueries.shingled(docsWithPlants), 20, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(got == want,
+        s"t=$t diverged: extra=${got.filterNot(want.contains).take(5)} " +
+          s"missing=${want.filterNot(got.contains).take(5)}")
+    }
+  }
+
+  test("exact-dup contraction: simhash pairs identical to uncontracted") {
+    import spark.implicits._
+    // add short-text docs: identical 1-token texts DO pair under simhash
+    // (hamming 0) and must survive contraction's simhash eligibility
+    val shorties = Seq((9201L, "tok", "en", "plant", 3L),
+                       (9202L, "tok", "en", "plant", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = docsWithPlants.union(shorties)
+    val got = pipeline.DedupQueries.simhashPairs(docs)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val want = pipeline.DedupQueries.simhashPairsUncontracted(docs)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == want,
+      s"diverged: extra=${got.filterNot(want.contains).take(5)} " +
+        s"missing=${want.filterNot(got.contains).take(5)}")
+    assert(got.contains((9201L, 9202L, 0)),
+      s"identical short docs must pair at hamming 0: ${got.take(8)}")
+  }
 }
