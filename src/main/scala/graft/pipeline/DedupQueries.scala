@@ -130,10 +130,10 @@ object DedupQueries {
     * expand through thin id joins). */
   private[graft] def ngramPairs(s: SparkSession, docs: DataFrame,
                                 threshold: Double): DataFrame = {
-    val (members, repDocs) = contractExact(docs)
-    expandPairs(
-      AllPairs.jaccardPairs(s, shingled(repDocs), lenWindow = 20, threshold),
-      members, "jaccard", lit(1.0))
+    val c = contractExact(docs)
+    c.expand(
+      AllPairs.jaccardPairs(s, shingled(c.repDocs), lenWindow = 20, threshold),
+      "jaccard", lit(1.0))
   }
   val ngramJaccardSql: String =
     """WITH sh AS (
@@ -210,34 +210,102 @@ object DedupQueries {
     * (doc_a, doc_b, jaccard) rows scale with duplication — and those are
     * the answer itself.
     *
-    * Returns (memberMap(doc_id, rep) — materialized, eligible docs only —
-    * and the representatives' (doc_id, lang, text) frame). Grouping is by
-    * md5(lang, text) — finer than minhash/simhash strictly need (they
-    * ignore lang), which is always SAFE: split groups just reconnect
-    * through their representatives' candidate pair. `eligible` is the
-    * operator's own can-this-doc-ever-pair floor (shingle tiers: ≥ 3
-    * tokens, matching shingled()'s filter; simhash: non-null text) —
-    * ineligible docs produce no pairs in either engine, and must not be
-    * conflated by a fingerprint collision (e.g. null vs empty text). */
-  private[pipeline] def contractExact(
+    * Returns a [[Contraction]]: (memberMap(doc_id, rep) -- materialized,
+    * eligible docs only -- plus the representatives' (doc_id, lang, text)
+    * frame) when duplication is MATERIAL, or the caller's frame untouched
+    * when it is not. Grouping is by md5(lang, NUL, text) -- finer than
+    * minhash/simhash strictly need (they ignore lang), which is always
+    * SAFE: split groups just reconnect through their representatives'
+    * candidate pair. `eligible` is the operator's own
+    * can-this-doc-ever-pair floor (shingle tiers: >= 3 tokens, matching
+    * shingled()'s filter; simhash: non-null text) -- ineligible docs
+    * produce no pairs in either engine, and must not be conflated by a
+    * fingerprint collision (e.g. null vs empty text).
+    *
+    * **Adaptive decision** (round-18 follow-up): on an ORGANIC corpus the
+    * member map, the representative fetch join and the three expansion
+    * joins all move corpus-cardinality rows and buy nothing -- measured
+    * at +0.25-0.4 s per sweep at sf0.1, and at 100 TB it is five wasted
+    * corpus-cardinality joins. (Organic is also the EXPECTED regime: real
+    * curation runs the exact tier first, so near-dup sweeps usually see a
+    * corpus already free of identical copies.) The decision statistic is
+    * the DUPLICATE PAIR MASS -- the sum over fingerprint groups of
+    * g*(g-1)/2, exactly the count of extra array-carrying verify/edge
+    * rows the uncontracted pipeline would ship -- compared against
+    * [[ContractionFloor]] of the eligible cardinality. It is an EXACT
+    * statistic, so it is skew-safe where an approximate distinct count is
+    * not: one pathological million-copy group among 10^10 organic docs
+    * moves an approx NDV by noise but trips this floor by 10^4 times.
+    * Below the floor the uncontracted pipeline runs as-is (identical
+    * output -- DedupSpec pins equality in both regimes -- and its
+    * <= n/100 extra verify rows are cheaper than the contraction joins);
+    * at or above it every array-carrying stage runs at organic content
+    * size. The detection pass is one narrow aggregate (fingerprint ->
+    * per-group count -> 1-row collect), map-side combinable, <= 24
+    * bytes/doc on the wire. */
+  private[graft] def contractExact(
       d0: DataFrame,
-      eligible: Column = size(tokens(col("text"))) >= 3)
-      : (DataFrame, DataFrame) = {
+      eligible: Column = size(tokens(col("text"))) >= 3): Contraction = {
     val d = d0.select(col("doc_id"), col("lang"), col("text"))
     val withFp = d.select(col("doc_id"), col("lang"), col("text"),
-        when(eligible, md5(concat(coalesce(col("lang"), lit("")),
-          lit(" "), col("text")).cast("binary"))).as("fp"))
+        contentFp(eligible).as("fp"))
       .filter(col("fp").isNotNull)
-    val grp = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
-    val members = graft.Engine.materialize(
-      withFp.select(col("doc_id"), col("fp"))
-        .join(grp, Seq("fp"))
-        .select(col("doc_id"), col("rep")))
-    val repDocs = d.join(
-      members.filter(col("doc_id") === col("rep")).select(col("rep")),
-      col("doc_id") === col("rep")).drop("rep")
-    (members, repDocs)
+    val (nDocs, dupPairs) =
+      dupPairMass(withFp.select(col("doc_id"), col("fp")))
+    if (dupPairs <= ContractionFloor * nDocs) Contraction(None, d)
+    else {
+      val grp = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+      val members = graft.Engine.materialize(
+        withFp.select(col("doc_id"), col("fp"))
+          .join(grp, Seq("fp"))
+          .select(col("doc_id"), col("rep")))
+      val repDocs = d.join(
+        members.filter(col("doc_id") === col("rep")).select(col("rep")),
+        col("doc_id") === col("rep")).drop("rep")
+      Contraction(Some(members), repDocs)
+    }
   }
+
+  /** Contraction outcome: `members` + contracted `repDocs` when the
+    * corpus duplication is material, or (None, the caller's original
+    * frame) when it is not. [[expand]] maps representative-level pairs
+    * back to member level -- a no-op BY CONSTRUCTION (no expansion joins
+    * planned at all), not just by value, on the skip branch. */
+  private[graft] final case class Contraction(
+      members: Option[DataFrame], repDocs: DataFrame) {
+    def contracted: Boolean = members.isDefined
+    def expand(repPairs: DataFrame, valueCol: String,
+               intraValue: Column): DataFrame =
+      members.fold(repPairs)(m =>
+        expandPairs(repPairs, m, valueCol, intraValue))
+  }
+
+  /** Duplicate-pair-mass floor as a fraction of eligible corpus
+    * cardinality: contract iff the mass exceeds 1 % of n. See
+    * [[contractExact]]'s decision note. */
+  private[graft] val ContractionFloor = 0.01
+
+  /** (eligible doc count, duplicate pair mass = sum over fingerprint
+    * groups of g*(g-1)/2) of a fingerprinted `(doc_id, fp)` frame -- one
+    * aggregate pass, 1-row collect. Mass accumulates in Double: it is a
+    * threshold statistic, not an answer, and ULP loss above 2^53 cannot
+    * meaningfully move a comparison against 1 % of a Long-ranged count. */
+  private[graft] def dupPairMass(withFp: DataFrame): (Long, Double) = {
+    val r = withFp
+      .groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+           coalesce(sum(col("cnt").cast("double") * (col("cnt") - 1) / 2),
+                    lit(0.0)).as("dup_pairs"))
+      .head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  /** md5 content fingerprint over (lang, text), null iff ineligible. The
+    * NUL separator keeps (lang="a", text="b...") distinct from
+    * (lang="ab", text="..."). */
+  private[pipeline] def contentFp(eligible: Column): Column =
+    when(eligible, md5(concat(coalesce(col("lang"), lit("")),
+      lit(" "), col("text")).cast("binary")))
 
   /** Expand representative-level pairs back to member-level pairs:
     * intra-group = all ordered member pairs at the identical-content value
@@ -296,9 +364,8 @@ object DedupQueries {
     * uncontracted form), but the shuffle volume is bounded by organic
     * content size instead of growing with duplication². */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val (members, repDocs) = contractExact(docs)
-    expandPairs(minhashPairsUncontracted(repDocs), members,
-      "jaccard", lit(1.0))
+    val c = contractExact(docs)
+    c.expand(minhashPairsUncontracted(c.repDocs), "jaccard", lit(1.0))
   }
 
   /** The raw (uncontracted) pipeline — the shape that runs over the
@@ -325,8 +392,15 @@ object DedupQueries {
     // Eligibility is simhash's own: ANY non-null text can pair (even
     // empty or single-token — the vote fingerprint exists), only a null
     // text yields no token rows in either engine.
-    val (members, repDocs) = contractExact(d, eligible = col("text").isNotNull)
-    expandPairs(simhashPairsUncontracted(repDocs), members, "hamming", lit(0))
+    // On the skip branch repDocs is the caller's frame verbatim; re-apply
+    // the null floor so the uncontracted pipeline never sees a null text
+    // (contracted repDocs is already eligibility-filtered via the
+    // fingerprint). Redundant on the contract branch, one cheap predicate
+    // on the skip branch.
+    val c = contractExact(d, eligible = col("text").isNotNull)
+    val rep =
+      if (c.contracted) c.repDocs else c.repDocs.filter(col("text").isNotNull)
+    c.expand(simhashPairsUncontracted(rep), "hamming", lit(0))
   }
 
   /** The raw (uncontracted) simhash pipeline — runs over representatives;

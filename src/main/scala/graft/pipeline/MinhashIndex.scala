@@ -42,13 +42,24 @@ object MinhashIndex {
     * plus per-representative (sh_sorted, sig). At 100 TB this is the only
     * pass over the text. */
   def buildSignatures(docs: DataFrame, outDir: String): Unit = {
-    val (members, repDocs) = DedupQueries.contractExact(docs)
-    members.write.mode("overwrite").parquet(s"$outDir/members.parquet")
-    DedupQueries.shingled(repDocs)
+    val c = DedupQueries.contractExact(docs)
+    DedupQueries.shingled(c.repDocs)
       .select(col("doc_id"), col("sh_sorted"),
         graft.functions.VectorOps.minhashSignature(col("sh_hashes")).as("sig"))
       .write.mode("overwrite").parquet(s"$outDir/signatures.parquet")
-    graft.Engine.releaseMaterialized(members)
+    // The artifact layout always carries a member map (the probe is
+    // branch-free). Below the contraction floor every doc is its own
+    // representative, so the map is the identity over the signature rows --
+    // derived from the just-written narrow parquet (doc_id column only),
+    // not from another pass over the corpus text. Same bytes the
+    // contracted build would have produced on such a corpus (organic
+    // groups are singletons with rep == min == doc_id), so artifacts stay
+    // interchangeable across branches and code versions.
+    val members = c.members.getOrElse(
+      docs.sparkSession.read.parquet(s"$outDir/signatures.parquet")
+        .select(col("doc_id"), col("doc_id").as("rep")))
+    members.write.mode("overwrite").parquet(s"$outDir/members.parquet")
+    c.members.foreach(graft.Engine.releaseMaterialized)
   }
 
   /** Near-dup pairs from a standing signature artifact: representative

@@ -75,7 +75,10 @@ class CurationSpec extends SparkSpec {
       .map { case (w, i) => if (i == 1) "SWAPPED" else w }.mkString(" ")
     val plants = Seq(
       // identical-copy group of doc 0 — must contract to one representative
+      // (six copies: duplicate pair mass C(7,2)=21, comfortably over the
+      // 1% adaptive floor, so this test pins the CONTRACT branch)
       (9001L, l0, t0), (9002L, l0, t0), (9003L, l0, t0),
+      (9006L, l0, t0), (9007L, l0, t0), (9008L, l0, t0),
       // near-copy bridging INTO that group (tests group↔group edges)
       (9004L, l0, near),
       // identical text under a DIFFERENT lang — blocked from pairing with
@@ -112,6 +115,45 @@ class CurationSpec extends SparkSpec {
     assert(byId(9101L)._2 == 9101L && byId(9102L)._2 == 9102L &&
       byId(9101L)._3 == 1L,
       "sub-shingle-floor identical docs must stay singletons")
+  }
+
+  test("adaptive skip branch: trace-dup corpus clusters identical to uncontracted") {
+    // ONE exact dup pair (mass 1, under the 1% floor): the cluster
+    // pipeline must take the SKIP branch — no member map planned — and
+    // still produce the identical assignment, with the dup pair merging
+    // ORGANICALLY through its PPJoin candidate (identical shingle sets
+    // always pass the prefix filter at any threshold).
+    val base = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val r0 = base.filter($"doc_id" === 0).head()
+    val docs = base.union(Seq(
+      (9501L, r0.getAs[String]("lang"), r0.getAs[String]("text")))
+      .toDF("doc_id", "lang", "text"))
+
+    val pairs = pipeline.AllPairs
+      .jaccardPairs(spark, pipeline.DedupQueries.shingled(docs), 20, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = CurationQueries.connectedComponents(
+      docs.select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val expected = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label"), col("cluster_size"),
+              (col("doc_id") === col("label")).as("c"))
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+
+    val result = CurationQueries.dedupClusterFrame(spark, docs)
+    val attrs = result.queryExecution.optimizedPlan.collect {
+      case p => p.output.map(_.name)
+    }.flatten.toSet
+    assert(!attrs.contains("rep"),
+      s"skip-branch cluster plan carries member-map attributes: $attrs")
+    val got = result.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == expected,
+      s"skip branch diverged:\n got=${got.filterNot(expected.contains)}\n " +
+        s"want=${expected.filterNot(got.contains)}")
+    assert(got.map(r => r._1 -> r).toMap.apply(9501L)._2 == 0L,
+      "trace dup pair must still merge on the skip branch")
   }
 
   test("connectedComponents is orientation-independent") {

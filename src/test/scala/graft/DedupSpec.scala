@@ -34,6 +34,65 @@ class DedupSpec extends SparkSpec {
     base.union(plants)
   }
 
+  /** docsWithPlants (ONE exact dup pair in ~504 docs — duplicate pair mass
+    * 1, under the 1 % contraction floor ⇒ SKIP branch) plus seven more
+    * identical copies of doc 0: the 9-copy group has mass C(9,2) = 36,
+    * over the floor ⇒ CONTRACT branch. The contraction tests run the
+    * pipelines over both corpora so BOTH regimes stay equality-pinned. */
+  private lazy val docsWithHeavyPlants = {
+    import spark.implicits._
+    val r0 = docsWithPlants.filter($"doc_id" === 0).head()
+    val d0 = r0.getAs[String]("text")
+    val copies = (9301L to 9307L).map(id =>
+      (id, d0, r0.getAs[String]("lang"), "plant", d0.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsWithPlants.union(copies)
+  }
+
+  private def bothRegimes = Seq(
+    ("skip", docsWithPlants), ("contract", docsWithHeavyPlants))
+
+  test("contraction decision: duplicate pair mass vs the 1% floor") {
+    val base = Tables.table(spark, sfDir, "documents")
+    // organic: zero mass -> skip
+    assert(!pipeline.DedupQueries.contractExact(base).contracted,
+      "organic corpus must not contract")
+    // trace duplication (mass 1 on ~504 docs) -> still skip: the
+    // uncontracted pipeline's one extra verify row is cheaper than five
+    // corpus-cardinality joins
+    assert(!pipeline.DedupQueries.contractExact(docsWithPlants).contracted,
+      "single dup pair must not trip the floor")
+    // material duplication (mass 36) -> contract
+    assert(pipeline.DedupQueries.contractExact(docsWithHeavyPlants).contracted,
+      "9-copy group must contract")
+    // skew-safety: ONE heavy group among otherwise-organic docs trips the
+    // exact mass statistic even though it barely moves a distinct count
+    import spark.implicits._
+    val skew = base.select("doc_id", "text", "lang", "source", "n_chars")
+      .union((1L to 30L).map(i =>
+        (20000L + i, "the same pathological doc repeated many times over",
+         "en", "plant", 50L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(pipeline.DedupQueries.contractExact(skew).contracted,
+      "one 30-copy group among organic docs must contract (mass 435)")
+  }
+
+  test("skip branch plans no expansion machinery (no member-map attributes)") {
+    // Below the floor the pipeline must BE the uncontracted one — not an
+    // expansion over singleton groups. The member map's `rep` attribute
+    // appearing anywhere in the optimized plan means the skip branch
+    // regressed into planning contraction joins it doesn't need.
+    for (df <- Seq(pipeline.DedupQueries.minhashPairs(docsWithPlants),
+                   pipeline.DedupQueries.simhashPairs(docsWithPlants),
+                   pipeline.DedupQueries.ngramPairs(spark, docsWithPlants, 0.8))) {
+      val attrs = df.queryExecution.optimizedPlan.collect {
+        case p => p.output.map(_.name)
+      }.flatten.toSet
+      assert(!attrs.contains("rep"),
+        s"skip-branch plan carries expansion attributes: $attrs")
+    }
+  }
+
   test("planted exact duplicate collapses to one fingerprint group") {
     val groups = docsWithPlants
       .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
@@ -227,29 +286,32 @@ class DedupSpec extends SparkSpec {
 
   test("exact-dup contraction: minhash pairs identical to the uncontracted pipeline") {
     import spark.implicits._
-    // docsWithPlants has an exact copy (9001≡0) and near copies — the
-    // contracted pipeline must produce byte-identical pairs, including the
-    // intra-group j=1.0 expansion and cross-group rep-pair expansion.
-    val got = pipeline.DedupQueries.minhashPairs(docsWithPlants)
-      .as[(Long, Long, Double)].collect().sorted.toSeq
-    val want = pipeline.DedupQueries.minhashPairsUncontracted(docsWithPlants)
-      .as[(Long, Long, Double)].collect().sorted.toSeq
-    assert(got == want,
-      s"contraction diverged: extra=${got.filterNot(want.contains).take(5)} " +
-        s"missing=${want.filterNot(got.contains).take(5)}")
-    assert(want.contains((0L, 9001L, 1.0)), s"exact pair at j=1.0: $want")
+    // Both adaptive regimes: docsWithPlants SKIPS (mass 1 under the floor;
+    // its exact pair 9001≡0 must still emerge organically from band
+    // collisions), docsWithHeavyPlants CONTRACTS (intra-group j=1.0
+    // expansion + cross-group rep-pair expansion must be byte-identical).
+    for ((regime, docs) <- bothRegimes) {
+      val got = pipeline.DedupQueries.minhashPairs(docs)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val want = pipeline.DedupQueries.minhashPairsUncontracted(docs)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(got == want,
+        s"[$regime] diverged: extra=${got.filterNot(want.contains).take(5)} " +
+          s"missing=${want.filterNot(got.contains).take(5)}")
+      assert(want.contains((0L, 9001L, 1.0)), s"[$regime] exact pair at j=1.0")
+    }
   }
 
   test("exact-dup contraction: ngram-jaccard pairs identical to uncontracted") {
     import spark.implicits._
-    for (t <- Seq(0.2, 0.8)) {
-      val got = pipeline.DedupQueries.ngramPairs(spark, docsWithPlants, t)
+    for ((regime, docs) <- bothRegimes; t <- Seq(0.2, 0.8)) {
+      val got = pipeline.DedupQueries.ngramPairs(spark, docs, t)
         .as[(Long, Long, Double)].collect().sorted.toSeq
       val want = pipeline.AllPairs
-        .jaccardPairs(spark, pipeline.DedupQueries.shingled(docsWithPlants), 20, t)
+        .jaccardPairs(spark, pipeline.DedupQueries.shingled(docs), 20, t)
         .as[(Long, Long, Double)].collect().sorted.toSeq
       assert(got == want,
-        s"t=$t diverged: extra=${got.filterNot(want.contains).take(5)} " +
+        s"[$regime] t=$t diverged: extra=${got.filterNot(want.contains).take(5)} " +
           s"missing=${want.filterNot(got.contains).take(5)}")
     }
   }
@@ -261,15 +323,17 @@ class DedupSpec extends SparkSpec {
     val shorties = Seq((9201L, "tok", "en", "plant", 3L),
                        (9202L, "tok", "en", "plant", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val docs = docsWithPlants.union(shorties)
-    val got = pipeline.DedupQueries.simhashPairs(docs)
-      .as[(Long, Long, Int)].collect().sorted.toSeq
-    val want = pipeline.DedupQueries.simhashPairsUncontracted(docs)
-      .as[(Long, Long, Int)].collect().sorted.toSeq
-    assert(got == want,
-      s"diverged: extra=${got.filterNot(want.contains).take(5)} " +
-        s"missing=${want.filterNot(got.contains).take(5)}")
-    assert(got.contains((9201L, 9202L, 0)),
-      s"identical short docs must pair at hamming 0: ${got.take(8)}")
+    for ((regime, base) <- bothRegimes) {
+      val docs = base.union(shorties)
+      val got = pipeline.DedupQueries.simhashPairs(docs)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val want = pipeline.DedupQueries.simhashPairsUncontracted(docs)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(got == want,
+        s"[$regime] diverged: extra=${got.filterNot(want.contains).take(5)} " +
+          s"missing=${want.filterNot(got.contains).take(5)}")
+      assert(got.contains((9201L, 9202L, 0)),
+        s"[$regime] identical short docs must pair at hamming 0")
+    }
   }
 }

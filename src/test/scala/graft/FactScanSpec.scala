@@ -104,11 +104,19 @@ class FactScanSpec extends SparkSpec {
       "q_text_pii" -> ("documents", 1),
       "q_text_tfidf" -> ("documents", 1),
       // All of dedupCluster's corpus scans happen eagerly inside the
-      // label-propagation loop and are then lineage-truncated; the final
-      // plan reads only materialized label/size frames. 0 pins exactly
-      // that: a nonzero count means the truncation regressed and the
-      // iterative lineage is being replayed per downstream action.
-      "q_dedup_cluster" -> ("documents", 0))
+      // label-propagation loop and are then lineage-truncated. The gate
+      // corpus is ORGANIC, so the adaptive contraction takes the SKIP
+      // branch (no member map planned at all — see contractExact's
+      // decision note): the final plan joins the materialized component
+      // labels against ONE doc_id-pruned corpus scan (the sub-floor
+      // self-label left join). 1 pins both properties at once: 0 would
+      // mean the skip branch regressed into materializing a
+      // corpus-cardinality map it doesn't need, >1 that the window-count
+      // tail lost its single-reference shape or the loop lineage is being
+      // replayed per downstream action. (On duplicate-heavy corpora the
+      // contract branch plans 0 — its member map IS materialized, by
+      // design; CurationSpec covers that branch.)
+      "q_dedup_cluster" -> ("documents", 1))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (q, (tbl, n)) =>
       val got = factScans(q)(tbl)
       if (got != n) Some(s"$q scans $tbl ${got}x (pinned $n)") else None

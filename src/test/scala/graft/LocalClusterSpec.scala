@@ -170,10 +170,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // connectedComponents cuts 2 frames per round (stepped, jumped) plus
     // sym; every per-round cut is released as soon as its successor is on
     // stable storage. What legitimately SURVIVES the loop is exactly the
-    // cuts the returned plan still reads: the final round's jumped frame,
-    // the edge-incident endpoints frame (feeds the isolated-node
-    // anti-join), and dedupCluster's contraction member map (feeds the
-    // label expansion) — 3 frames, O(1), never O(rounds).
+    // cuts the returned plan still reads: the final round's jumped frame
+    // and the edge-incident endpoints frame (feeds the isolated-node
+    // anti-join) — plus, only on duplicate-heavy corpora, dedupCluster's
+    // contraction member map (this ORGANIC corpus takes the adaptive skip
+    // branch, which plans no member map) — ≤ 3 frames, O(1), never
+    // O(rounds).
     def rddDirs(f: File): Seq[File] =
       Option(f.listFiles()).toSeq.flatten.flatMap { c =>
         if (c.isDirectory)
