@@ -242,7 +242,13 @@ object DedupQueries {
     * at or above it every array-carrying stage runs at organic content
     * size. The detection pass is one narrow aggregate (fingerprint ->
     * per-group count -> 1-row collect), map-side combinable, <= 24
-    * bytes/doc on the wire. */
+    * bytes/doc on the wire. The contract branch then recomputes the
+    * fingerprint aggregate once more for the member map -- deliberately:
+    * persisting the per-group frame to save that recompute would cache a
+    * distinct-content-cardinality frame on EVERY organic sweep (where
+    * distinct content ~= the whole corpus), taxing the common case to
+    * spare the rare duplication-heavy one a second narrow pass that is
+    * noise next to the contraction's own savings. */
   private[graft] def contractExact(
       d0: DataFrame,
       eligible: Column = size(tokens(col("text"))) >= 3): Contraction = {
