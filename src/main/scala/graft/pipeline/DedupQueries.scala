@@ -66,7 +66,7 @@ object DedupQueries {
     * oracle joins on the raw 4-lane tuple; a 64-bit collision would need
     * odds ~2⁻⁶⁴ to diverge). Must stay identical between the inline and
     * indexed pipelines: both feed the same oracle. */
-  private[pipeline] def bandHashes(sig: Column): Column =
+  private[graft] def bandHashes(sig: Column): Column =
     transform(sequence(lit(0), lit(MinhashBands - 1)),
       bnd => xxhash64((0 until MinhashRowsPerBand).map(r =>
         element_at(sig, bnd * MinhashRowsPerBand + r + 1)): _*))

@@ -122,4 +122,48 @@ object DocumentsStreaming {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** [[nearDupCandidates]] derives its static side from the corpus TEXT —
+    * every microbatch re-executes the static subtree, i.e. re-tokenizes,
+    * re-shingles and re-hashes the whole corpus per batch. Fine at fixture
+    * scale; at 100 TB the static side IS the cost, multiplied by batch
+    * count. This variant probes the STANDING signature artifact instead
+    * ([[graft.pipeline.MinhashIndex]] — fingerprint-keyed, built once,
+    * atomic publish): the static side reads the narrow per-representative
+    * (doc_id, sh_sorted, sig) parquet and the (doc_id, rep) member map,
+    * never the corpus text (the spec pins zero text-column reads), so the
+    * per-batch static work is a columnar scan of signature rows.
+    *
+    * Output is the same pair multiset as [[nearDupCandidates]] over the
+    * corpus the artifact was built from: the artifact stores one banded
+    * signature per exact-content REPRESENTATIVE, a stream-side collision
+    * with a representative in band b stands for the same collision with
+    * every member of that content group in the same band (identical
+    * content ⇒ identical banded rows), and the member expansion restores
+    * exactly those rows through a thin id join — the same
+    * contraction-invariance argument as [[graft.pipeline.DedupQueries]]'s
+    * batch pipelines, pinned by StreamingCurationSpec's equality test. */
+  def nearDupCandidatesIndexed(stream: DataFrame, idxDir: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val spark = stream.sparkSession
+    val sig = spark.read.parquet(s"$idxDir/signatures.parquet")
+    val members = spark.read.parquet(s"$idxDir/members.parquet")
+    val idx = sig.select(
+        col("doc_id").as("rep"), col("sh_sorted").as("sh_b"),
+        posexplode(DedupQueries.bandHashes(col("sig"))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val probe = DedupQueries.bandedSignatures(stream)
+      .select(col("band_id"), col("band_hash"),
+              col("doc_id").as("stream_doc"), col("sh_sorted").as("sh_a"))
+    val repHits = probe.join(idx, Seq("band_id", "band_hash"))
+      .select(col("stream_doc"), col("rep"),
+        round(graft.functions.VectorOps.jaccard(col("sh_a"), col("sh_b")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    repHits.join(members, Seq("rep"))
+      .select(col("stream_doc"), col("doc_id").as("corpus_doc"),
+              col("jaccard"))
+      .filter(col("stream_doc") =!= col("corpus_doc"))
+  }
 }

@@ -105,6 +105,68 @@ class StreamingCurationSpec extends SparkSpec {
       s"planted near-dup not found: ${cands.toSeq}")
     assert(!cands.exists(_._1 == 9001L), "unrelated doc must not collide")
   }
+
+  test("indexed stream-static near-dup: same pairs, zero corpus-text reads") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus WITH an exact-duplicate group {100, 101}: the standing
+    // artifact stores one banded signature per representative plus the
+    // member map, and a stream hit on the rep must expand to BOTH members.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, base, "en"), (101L, base, "en"), (200L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-minhash-idx").toString
+    pipeline.MinhashIndex.buildSignatures(corpus, idxDir)
+
+    val probes = Seq(
+      SDoc(9000L, base.replace("tok7", "changed"), "en"),
+      SDoc(9001L, "nothing in common with anything at all", "en"))
+
+    // Batch reference: the text-derived probe over the same data — the
+    // indexed variant must reproduce its pair MULTISET exactly (per-band
+    // multiplicity included: a rep collision in band b stands for every
+    // member's identical banded row in band b).
+    val want = DocumentsStreaming
+      .nearDupCandidates(probes.toDF(), corpus.select($"doc_id", $"text", $"lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+
+    val indexedBatch =
+      DocumentsStreaming.nearDupCandidatesIndexed(probes.toDF(), idxDir)
+    // The static side must read the ARTIFACT only — never the corpus text.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanPaths = indexedBatch.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.nonEmpty && scanPaths.forall(_.contains(idxDir)),
+      s"indexed probe must scan only the artifact: $scanPaths")
+
+    val gotBatch = indexedBatch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(gotBatch == want,
+      s"indexed probe diverged from the text-derived probe:\n got=$gotBatch\n want=$want")
+    assert(gotBatch.count { case (s, c, _) => s == 9000L && (c == 100L || c == 101L) } >= 2,
+      s"rep hit must expand to both exact-dup members: $gotBatch")
+
+    // Same code path as a STREAMING query (stream side is pure
+    // projections, static side the artifact parquet).
+    val input = MemoryStream[SDoc]
+    val query = DocumentsStreaming
+      .nearDupCandidatesIndexed(input.toDF(), idxDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cand_idx_out").start()
+    input.addData(probes: _*)
+    query.processAllAvailable()
+    query.stop()
+    val gotStream = spark.table("cand_idx_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(gotStream == want,
+      s"streaming run diverged: got=$gotStream want=$want")
+  }
   test("stream-static centroid assignment routes vectors to their batch cluster") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
