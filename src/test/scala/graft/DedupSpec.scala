@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
       "one 30-copy group among organic docs must contract (mass 435)")
   }
 
+  test("adaptive contraction: empty and all-ineligible corpora degrade to no pairs") {
+    import spark.implicits._
+    // Both degenerate corpora take the skip branch through a (0, 0.0)
+    // detection statistic — the decision head() must not throw on an
+    // empty aggregate, and every pipeline must plan and run to zero rows.
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val ineligible = Seq((1L, "ab", "en"), (2L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang") // "ab" is sub-shingle-floor; null text
+    for ((label, df) <- Seq(("empty", empty), ("ineligible", ineligible))) {
+      assert(pipeline.DedupQueries.minhashPairs(df).count() == 0, s"$label minhash")
+      assert(pipeline.DedupQueries.simhashPairs(df).count() == 0, s"$label simhash")
+      val cl = pipeline.CurationQueries.dedupClusterFrame(spark, df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(cl.length == df.count() &&
+             cl.forall { case (id, lbl, sz) => id == lbl && sz == 1 },
+        s"$label cluster must self-label every doc: ${cl.toSeq}")
+    }
+  }
+
   test("skip branch plans no expansion machinery (no member-map attributes)") {
     // Below the floor the pipeline must BE the uncontracted one — not an
     // expansion over singleton groups. The member map's `rep` attribute
