@@ -64,6 +64,13 @@ object CurationQueries {
 
   private[graft] def dedupClusterFrame(
       s: SparkSession, d0: DataFrame): DataFrame = {
+    // Same eager-decision contract as DedupQueries.contractExact: the
+    // adaptive branch below runs a 1-row corpus aggregate at frame
+    // CONSTRUCTION time (and the label-propagation loop is inherently
+    // action-driven) — batch frames only.
+    require(!d0.isStreaming,
+      "dedupClusterFrame decides and iterates eagerly; not usable on " +
+        "streaming frames — see DocumentsStreaming for streaming near-dup")
     val d = d0.select(col("doc_id"), col("lang"), col("text"))
     val eligible = size(tokens(col("text"))) >= 3 // == shingled()'s floor
     // Adaptive exact-duplicate contraction, same decision as

@@ -122,7 +122,9 @@ object DedupQueries {
   val ngramJaccard: QueryFn = (s, dir) =>
     ngramPairs(s, t(s, dir, "documents"), threshold = 0.2)
 
-  /** Contracted n-gram Jaccard (same construction as [[minhashPairs]] —
+  /** Contracted n-gram Jaccard (same construction as [[minhashPairs]],
+    * including the eager duplication-detection aggregate at construction
+    * time — batch frames only; see [[contractExact]] —
     * the PPJoin relation is a pure function of (lang, text): lang is the
     * blocking key and participates in the fingerprint, the length window
     * and Jaccard are content functions — so the array-carrying prefix
@@ -239,8 +241,9 @@ object DedupQueries {
     * Below the floor the uncontracted pipeline runs as-is (identical
     * output -- DedupSpec pins equality in both regimes -- and its
     * <= n/100 extra verify rows are cheaper than the contraction joins);
-    * at or above it every array-carrying stage runs at organic content
-    * size. The detection pass is one narrow aggregate (fingerprint ->
+    * strictly above it (the guard is `dupPairs <= floor·n` → skip, so the
+    * exact boundary stays uncontracted) every array-carrying stage runs at
+    * organic content size. The detection pass is one narrow aggregate (fingerprint ->
     * per-group count -> 1-row collect), map-side combinable, <= 24
     * bytes/doc on the wire. The contract branch then recomputes the
     * fingerprint aggregate once more for the member map -- deliberately:
@@ -252,6 +255,16 @@ object DedupQueries {
   private[graft] def contractExact(
       d0: DataFrame,
       eligible: Column = size(tokens(col("text"))) >= 3): Contraction = {
+    // The adaptive decision below executes an eager action (dupPairMass's
+    // 1-row collect) at frame-CONSTRUCTION time — fail fast with a clear
+    // message on a streaming frame instead of an opaque AnalysisException
+    // from inside head(). Streaming near-dup goes through the stateless
+    // bandedSignatures()/stream-static paths (DocumentsStreaming), never
+    // through contraction.
+    require(!d0.isStreaming,
+      "contractExact decides eagerly (one corpus aggregate at plan-build " +
+        "time); not usable on streaming frames — see DocumentsStreaming " +
+        "for the streaming near-dup paths")
     val d = d0.select(col("doc_id"), col("lang"), col("text"))
     val withFp = d.select(col("doc_id"), col("lang"), col("text"),
         contentFp(eligible).as("fp"))
@@ -368,7 +381,12 @@ object DedupQueries {
     * as thin id rows ([[expandPairs]]) — identical output (signatures and
     * Jaccard are content functions; DedupSpec pins equality to the
     * uncontracted form), but the shuffle volume is bounded by organic
-    * content size instead of growing with duplication². */
+    * content size instead of growing with duplication².
+    *
+    * NOTE: the adaptive contraction decision runs ONE EAGER corpus
+    * aggregate when this frame is CONSTRUCTED (not when it is executed) —
+    * batch frames only, and plan-only tooling (explain / PlanAudit) pays
+    * that narrow pass too. See [[contractExact]]. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val c = contractExact(docs)
     c.expand(minhashPairsUncontracted(c.repDocs), "jaccard", lit(1.0))
@@ -397,7 +415,9 @@ object DedupQueries {
     // expand at hamming 0 and cross pairs at the rep pair's hamming.
     // Eligibility is simhash's own: ANY non-null text can pair (even
     // empty or single-token — the vote fingerprint exists), only a null
-    // text yields no token rows in either engine.
+    // text yields no token rows in either engine. Like every contracted
+    // entry point, frame CONSTRUCTION runs the eager detection aggregate
+    // (batch frames only — contractExact rejects streaming input).
     // On the skip branch repDocs is the caller's frame verbatim; re-apply
     // the null floor so the uncontracted pipeline never sees a null text
     // (contracted repDocs is already eligibility-filtered via the

@@ -40,7 +40,15 @@ object MinhashIndex {
 
   /** One-scan signature build under `outDir`: the contracted member map
     * plus per-representative (sh_sorted, sig). At 100 TB this is the only
-    * pass over the text. */
+    * pass over the text.
+    *
+    * `outDir` MUST be a private staging directory (publish atomically via
+    * [[StandingIndex.ensure]], as every caller in this repo does): the
+    * organic branch derives `members.parquet` by re-reading the
+    * `signatures.parquet` it just wrote into the same directory, so a
+    * build aimed at a LIVE artifact directory would expose a window with
+    * fresh signatures next to absent/stale members to concurrent
+    * readers. */
   def buildSignatures(docs: DataFrame, outDir: String): Unit = {
     val c = DedupQueries.contractExact(docs)
     DedupQueries.shingled(c.repDocs)
