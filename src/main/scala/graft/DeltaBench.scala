@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the incremental standing-artifact lifecycle
+  * ([[graft.pipeline.DeltaIndex]]): does a delta build cost O(delta), and
+  * how does it compare to the full rebuild the fingerprint-keyed lifecycle
+  * would have paid on every append?
+  *
+  * Shape: an initial corpus of `initialFactor` disjoint copies of the
+  * sf0.1 documents/embeddings tables is ingested and indexed once; then
+  * ingest batches of growing size (deltaFactors × one sf0.1 copy) arrive
+  * and are reconciled with [[graft.pipeline.MinhashIndex.ensureIncremental]]
+  * / [[graft.pipeline.IvfAnn.ensureIncremental]]; finally the artifact is
+  * dropped and rebuilt from scratch over the full corpus — the
+  * INVALIDATE-path cost every append used to pay. Document text is
+  * per-copy perturbed (a copy-tag token appended) so the corpus stays
+  * ORGANIC — without this the exact-duplicate contraction would collapse
+  * the copies and understate build cost.
+  *
+  * Run: `sbt "runMain graft.DeltaBench [srcDir] [workDir]"` (or plain java
+  * with the verify-skill --add-opens list). Prints one JSON line; a
+  * GRAFT_RECORD=1 run writes BENCH_DELTA.json in cwd.
+  */
+object DeltaBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft_delta_bench").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val initialFactor = sys.env.getOrElse("GRAFT_DELTA_INITIAL", "16").toInt
+    val deltaFactors = sys.env.getOrElse("GRAFT_DELTA_STEPS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = spark.read.parquet(s"$srcDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$srcDir/embeddings.parquet")
+
+    /** One disjoint-universe copy: ids shifted, text perturbed per copy so
+      * content stays organic (no cross-copy exact duplicates). */
+    def docCopy(i: Int): DataFrame =
+      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+        .withColumn("text", concat(col("text"), lit(s" copytag$i")))
+    def embCopy(i: Int): DataFrame =
+      emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+
+    def ingest(table: String, df: DataFrame, tag: String): Unit =
+      df.write.mode("overwrite")
+        .parquet(s"$workDir/ingest_${table}_$tag")
+        // parquet is immutable once written; move the part files into the
+        // live table dir so the sync sees them as new ingest
+    // (moving instead of write-into-dir keeps each batch's files atomic)
+    def publish(table: String, tag: String): Unit = {
+      val src = Paths.get(s"$workDir/ingest_${table}_$tag")
+      val dst = Paths.get(s"$workDir/$table.parquet")
+      Files.createDirectories(dst)
+      Files.list(src).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          Files.move(p, dst.resolve(s"$tag-$n"))
+      }
+    }
+    def addBatch(table: String, df: DataFrame, tag: String): Unit = {
+      ingest(table, df, tag); publish(table, tag)
+    }
+
+    def timeSec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def union(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+    // ---- initial corpus + initial builds --------------------------------
+    addBatch("documents", union((0 until initialFactor).map(docCopy)), "init")
+    addBatch("embeddings", union((0 until initialFactor).map(embCopy)), "init")
+    val nDocsInit = spark.read.parquet(s"$workDir/documents.parquet").count()
+
+    val mhInit = timeSec(pipeline.MinhashIndex.ensureIncremental(spark, workDir))
+    val ivfInit = timeSec(
+      pipeline.IvfAnn.ensureIncremental(spark, workDir, nlist = 64))
+    System.err.println(
+      f"[delta-bench] initial: $nDocsInit docs, minhash $mhInit%.1fs ivf $ivfInit%.1fs")
+
+    // ---- deltas ---------------------------------------------------------
+    val docsPerCopy = docs0.count()
+    var nextCopy = initialFactor
+    val deltaResults = deltaFactors.map { k =>
+      val copies = (nextCopy until nextCopy + k).toSeq
+      nextCopy += k
+      addBatch("documents", union(copies.map(docCopy)), s"d$k")
+      addBatch("embeddings", union(copies.map(embCopy)), s"e$k")
+      val mh = timeSec(pipeline.MinhashIndex.ensureIncremental(spark, workDir))
+      val ivf = timeSec(
+        pipeline.IvfAnn.ensureIncremental(spark, workDir, nlist = 64))
+      System.err.println(
+        f"[delta-bench] delta ×$k (${k * docsPerCopy} docs): minhash $mh%.1fs ivf $ivf%.1fs")
+      (k, k * docsPerCopy, mh, ivf)
+    }
+
+    // ---- the INVALIDATE path: full rebuild over everything --------------
+    def deleteTree(p: Path): Unit =
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    deleteTree(pipeline.DeltaIndex.root(workDir, "documents", "graft_minhash_inc_v1"))
+    deleteTree(pipeline.DeltaIndex.root(workDir, "embeddings", "graft_ivf_inc_v1"))
+    val nDocsAll = spark.read.parquet(s"$workDir/documents.parquet").count()
+    val mhFull = timeSec(pipeline.MinhashIndex.ensureIncremental(spark, workDir))
+    val ivfFull = timeSec(
+      pipeline.IvfAnn.ensureIncremental(spark, workDir, nlist = 64))
+    System.err.println(
+      f"[delta-bench] full rebuild: $nDocsAll docs, minhash $mhFull%.1fs ivf $ivfFull%.1fs")
+
+    spark.stop()
+
+    def f2(v: Double) = f"$v%.2f"
+    val deltasJson = deltaResults.map { case (k, n, mh, ivf) =>
+      s"""{"factor":$k,"docs":$n,"minhash_sec":${f2(mh)},"ivf_sec":${f2(ivf)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
+    if (sys.env.contains("GRAFT_RECORD"))
+      Files.write(Paths.get(sys.props("user.dir"), "BENCH_DELTA.json"),
+        (json + "\n").getBytes("UTF-8"))
+    println(json)
+  }
+}

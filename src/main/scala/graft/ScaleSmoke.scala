@@ -57,6 +57,10 @@ object ScaleSmoke {
         // broadcast gram set grows with the eval split, tfidf's checkpoint
         // materializes factor× (doc,term) rows
         "q_dedup_cluster", "q_decontam", "q_text_tfidf",
+        // round 19: the grouped near-dup answer shape — must track
+        // q_dedup_cluster's wall (component labels, one expansion join),
+        // never the pair listing's emitted-pair volume
+        "q_dedup_minhash_cluster",
         // round 11b: repetition's per-row distinct×total gram scan grows
         // with doc length not corpus size (should scale linearly), the
         // stratified sampler's per-lang window is the serialization-prone

@@ -63,13 +63,30 @@ object CurationQueries {
     dedupClusterFrame(s, t(s, dir, "documents"))
 
   private[graft] def dedupClusterFrame(
-      s: SparkSession, d0: DataFrame): DataFrame = {
+      s: SparkSession, d0: DataFrame): DataFrame =
+    clusterByEdges(s, d0, dd => AllPairs
+      .jaccardPairs(s, DedupQueries.shingled(dd), lenWindow = 20,
+                    threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The clustering skeleton shared by [[dedupCluster]] (PPJoin exact-
+    * Jaccard edges at t = 0.8) and [[minhashCluster]] (MinHash+LSH edges
+    * at t = 0.2): adaptive exact-duplicate contraction, connected
+    * components over the (representative) near-dup graph, label expansion,
+    * and the windowed cluster-size tail. `pairsOf` maps a
+    * (doc_id, lang, text) frame to its undirected (doc_a, doc_b) edge
+    * relation and must be a pure content function (the contraction-
+    * invariance requirement of [[DedupQueries.contractExact]] — every
+    * dedup tier in this repo qualifies). */
+  private[graft] def clusterByEdges(
+      s: SparkSession, d0: DataFrame,
+      pairsOf: DataFrame => DataFrame): DataFrame = {
     // Same eager-decision contract as DedupQueries.contractExact: the
     // adaptive branch below runs a 1-row corpus aggregate at frame
     // CONSTRUCTION time (and the label-propagation loop is inherently
     // action-driven) — batch frames only.
     require(!d0.isStreaming,
-      "dedupClusterFrame decides and iterates eagerly; not usable on " +
+      "clusterByEdges decides and iterates eagerly; not usable on " +
         "streaming frames — see DocumentsStreaming for streaming near-dup")
     val d = d0.select(col("doc_id"), col("lang"), col("text"))
     val eligible = size(tokens(col("text"))) >= 3 // == shingled()'s floor
@@ -95,11 +112,7 @@ object CurationQueries {
         // touched exactly once, by the final isolated anti-join (one
         // doc_id-pruned scan — FactScanSpec pins it; the dup branch reads
         // its materialized member map instead).
-        val pairs = AllPairs
-          .jaccardPairs(s, DedupQueries.shingled(d), lenWindow = 20,
-                        threshold = 0.8)
-          .select(col("doc_a"), col("doc_b"))
-        connectedComponents(d.select(col("doc_id")), pairs)
+        connectedComponents(d.select(col("doc_id")), pairsOf(d))
           .select(col("doc_id"), col("label"))
       } else {
         // One narrow shuffle keyed on the 16-byte fingerprint: group -> its
@@ -111,18 +124,14 @@ object CurationQueries {
             .join(grp, Seq("fp"), "left") // null fp never matches: rep
             .select(col("doc_id"), col("rep"))) // null <=> below the floor
         // Representatives' text (one pruned fetch by id), then the
-        // organic-size pipeline: shingle -> PPJoin pairs at t=0.8 ->
-        // connected components.
+        // organic-size pipeline: the tier's edge relation over the
+        // representatives -> connected components.
         val repDocs = d.join(
           memberMap.filter(col("doc_id") === col("rep")).select(col("rep")),
           col("doc_id") === col("rep")).drop("rep")
-        val pairs = AllPairs
-          .jaccardPairs(s, DedupQueries.shingled(repDocs),
-                        lenWindow = 20, threshold = 0.8)
-          .select(col("doc_a"), col("doc_b"))
         val repNodes = memberMap.filter(col("doc_id") === col("rep"))
           .select(col("doc_id"))
-        val repLabels = connectedComponents(repNodes, pairs)
+        val repLabels = connectedComponents(repNodes, pairsOf(repDocs))
           .select(col("doc_id").as("rep"), col("label"))
         // Expand to members: a group's label is its representative's
         // component label (= min doc_id across the whole component, since
@@ -142,6 +151,51 @@ object CurationQueries {
                   count(lit(1)).over(w).as("cluster_size"),
                   (col("doc_id") === col("label")).as("is_canonical"))
   }
+
+  /** The GROUPED answer shape for duplication-heavy MinHash sweeps
+    * (VERDICT r18 task 2): doc_id → (cluster over the t = 0.2 MinHash+LSH
+    * near-dup graph, survivor flag). The pair listing
+    * (`q_dedup_minhash_lsh`) is the diagnostic form — on a corpus with
+    * duplication factor f it EMITS O(f²) member pairs because that is the
+    * answer it promises (the factor-1000 rung measured 200 s of which
+    * ~all was emitting ~2.5 G pairs nobody consumes pairwise). A dedup
+    * pipeline consumes THIS form instead: the same candidate generation
+    * and exact-Jaccard verification over exact-duplicate REPRESENTATIVES,
+    * then connected components + one label-expansion join — wall scales
+    * with organic content + component count, never with emitted-pair
+    * count (the [[clusterByEdges]] skeleton, i.e. q_dedup_cluster's 26 s
+    * at factor 1000, not 200 s).
+    *
+    * Same output columns as [[dedupCluster]]; the DuckDB oracle replays
+    * the full MinHash construction and brute-forces reachability over its
+    * pair relation, so a propagation or contraction bug hash-fails. */
+  val minhashCluster: QueryFn = (s, dir) =>
+    minhashClusterFrame(s, t(s, dir, "documents"))
+
+  private[graft] def minhashClusterFrame(
+      s: SparkSession, d0: DataFrame): DataFrame =
+    clusterByEdges(s, d0, dd => DedupQueries.minhashPairsUncontracted(dd)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Recursive-CTE oracle over the exact MinHash pair relation: the full
+    * [[DedupQueries.minhashLshSql]] construction (fnv shingles, fmix64
+    * lanes, band collisions, exact Jaccard ≥ 0.2) nested as a derived
+    * table, then the same reachability closure as [[dedupClusterSql]]. */
+  val minhashClusterSql: String =
+    s"""WITH RECURSIVE mp AS (
+       |${DedupQueries.minhashLshSql}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM mp
+       |  UNION ALL SELECT doc_b, doc_a FROM mp),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size,
+       |  (MIN(r) = id) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Min-label propagation to a fixpoint. `nodes` must have a `doc_id`
     * column; `edges` columns `doc_a`/`doc_b` (undirected, any orientation).
@@ -468,12 +522,14 @@ object CurationQueries {
 
   val all: Map[String, QueryFn] = Map(
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_minhash_cluster" -> minhashCluster,
     "q_decontam" -> decontam,
     "q_text_pii" -> pii,
     "q_text_tfidf" -> tfidf)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_minhash_cluster" -> minhashClusterSql,
     "q_decontam" -> decontamSql,
     "q_text_pii" -> piiSql,
     "q_text_tfidf" -> tfidfSql)

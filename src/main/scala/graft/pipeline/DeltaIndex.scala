@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental (delta) maintenance for standing artifacts — the round-19
+  * lead item: [[StandingIndex]] keys a whole artifact on a corpus
+  * fingerprint, so ANY append invalidates and re-derives everything —
+  * O(corpus) work where O(delta) is achievable. At 100 TB with daily
+  * ingest that full rebuild is the last corpus-sized cost in the standing-
+  * artifact story. This lifecycle partitions the artifact by INGEST BATCH
+  * instead (the reference's REFRESH-vs-INVALIDATE split —
+  * fe/src/main/java/org/apache/impala/analysis/ResetMetadataStmt.java:
+  * REFRESH reconciles the delta, INVALIDATE rebuilds):
+  *
+  *  - The unit of ingest is the source table's PART FILE (how a 100 TB
+  *    corpus actually grows: a writer drops new parquet parts into the
+  *    table directory). Each live batch directory records the exact file
+  *    set it covers (`_covered.txt`: one `name|size|mtime` key per line,
+  *    written inside the batch so the ATOMIC_MOVE publishes data and
+  *    coverage together).
+  *  - [[sync]] diffs the current file listing against the union of covered
+  *    sets: new files → ONE delta build reading ONLY those files (the
+  *    builder gets a DataFrame over exactly the new paths — DeltaIndexSpec
+  *    pins the scan's root paths); a vanished or rewritten covered file →
+  *    the corpus was regenerated, full invalidation (delete every batch,
+  *    rebuild from scratch); no change → no build at all.
+  *  - Probe = UNION of batch partitions: readers list the live batch dirs
+  *    and read `spark.read.parquet(batches.map(_ + "/payload.parquet"))`.
+  *    Batch publication reuses [[StandingIndex.ensure]] (staging + marker +
+  *    ATOMIC_MOVE + debris self-heal), and the batch NAME is a pure
+  *    function of the covered file keys, so two builders racing on the same
+  *    ingest state build identical batches and one rename wins — the same
+  *    idempotence argument as the fingerprint-keyed artifacts.
+  *
+  * Semantics contract for builders: the artifact relation must be a UNION-
+  * DECOMPOSABLE function of the corpus — per-document signatures qualify
+  * ([[MinhashIndex]]: identical cross-batch documents are separate
+  * representatives whose identical signatures re-join through the band-
+  * candidate path at Jaccard 1.0, so the union probe equals the single-
+  * build probe EXACTLY); corpus-global state must live in the initial
+  * batch and be treated as standing ([[IvfAnn]]: centroids train on the
+  * initial batch, deltas assign against them — the documented
+  * append-then-retrain-on-drift contract of `appendToIndex`).
+  *
+  * Caveats (documented, not hidden): invalidation deletes batch dirs that
+  * a concurrent reader of a REGENERATED corpus might still be probing —
+  * same single-host caveat as ensure()'s debris self-heal; and sync
+  * assumes one logical writer per corpus generation (concurrent syncs of
+  * the SAME state are safe by idempotence, concurrent syncs racing a
+  * source mutation are not a supported mode).
+  */
+object DeltaIndex {
+
+  /** Stable ingest key of one source part file. mtime participates so an
+    * in-place rewrite of a part (same name/size) invalidates. */
+  private def fileKey(p: Path): String =
+    s"${p.getFileName}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+
+  /** (path, key) of every data file under `<dir>/<table>.parquet` — the
+    * single-file table form (the shipped testdata) is one one-file batch. */
+  private[pipeline] def sourceFiles(dir: String, table: String): Seq[(Path, String)] = {
+    val src = Paths.get(dir, s"$table.parquet")
+    val files =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try s.iterator().asScala.toSeq.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        } finally s.close()
+      } else Seq(src)
+    require(files.nonEmpty, s"no data files under $src")
+    files.map(p => (p, fileKey(p))).sortBy(_._2)
+  }
+
+  /** Artifact ROOT for the incremental lifecycle: keyed by source PATH
+    * only — unlike [[StandingIndex.artifactDir]], the root must survive
+    * appends (freshness is per-batch via the covered sets). */
+  def root(dir: String, table: String, prefix: String): Path = {
+    val src = Paths.get(dir, s"$table.parquet").toAbsolutePath
+    Paths.get(sys.props("java.io.tmpdir"),
+      s"${prefix}_${Integer.toHexString(src.toString.hashCode)}")
+  }
+
+  private def coveredFile(batch: Path): Path = batch.resolve("_covered.txt")
+
+  /** Live (published) batch dirs under `root`, oldest-first by the seq
+    * prefix baked into the batch name at build time. */
+  def liveBatches(root: Path): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    val dirs =
+      try s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("batch_") &&
+          Files.exists(StandingIndex.readyMarker(p)) &&
+          Files.exists(coveredFile(p)))
+      finally s.close()
+    dirs.sortBy(_.getFileName.toString)
+  }
+
+  private def coveredKeys(batch: Path): Set[String] =
+    Files.readAllLines(coveredFile(batch)).asScala.filter(_.nonEmpty).toSet
+
+  /** Reconcile the artifact at `root` with the current state of
+    * `<sourceDir>/<table>.parquet` and return the live batch dirs,
+    * oldest-first (the head is the INITIAL batch — where builders keep any
+    * corpus-global state).
+    *
+    * `build(deltaDocs, stagingDir, initial)` derives one batch under
+    * `stagingDir` from `deltaDocs` — a frame over ONLY the new part files.
+    * `initial` is None on the from-scratch build and the initial batch dir
+    * on delta builds (for standing state like IVF centroids). */
+  def sync(spark: SparkSession, sourceDir: String, table: String, root: Path)
+          (build: (DataFrame, String, Option[Path]) => Unit): Seq[Path] = {
+    val current = sourceFiles(sourceDir, table)
+    val currentKeys = current.map(_._2).toSet
+
+    var live = liveBatches(root)
+    val covered = live.flatMap(coveredKeys).toSet
+    if (!covered.subsetOf(currentKeys)) {
+      // A covered file vanished or was rewritten in place: the corpus was
+      // regenerated, every batch is stale — INVALIDATE (full rebuild).
+      live.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      live = Seq.empty
+    }
+    val haveKeys = live.flatMap(coveredKeys).toSet
+    val fresh = current.filterNot { case (_, k) => haveKeys.contains(k) }
+    if (fresh.nonEmpty) {
+      // Batch name = seq prefix (ordering) + content key of the covered
+      // set (idempotence: racing builders of the same ingest state target
+      // the same dir and ensure()'s rename race settles it).
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(fresh.map(_._2).mkString("\n").getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      val seq = f"${live.size}%06d"
+      val target = root.resolve(s"batch_${seq}_$key")
+      Files.createDirectories(root)
+      val initial = live.headOption
+      val deltaDocs = spark.read.parquet(fresh.map(_._1.toString): _*)
+      StandingIndex.ensure(target) { staging =>
+        build(deltaDocs, staging, initial)
+        Files.write(Paths.get(staging, "_covered.txt"),
+          fresh.map(_._2).mkString("\n").getBytes("UTF-8"))
+      }
+      live = liveBatches(root)
+    }
+    live
+  }
+}

@@ -181,6 +181,66 @@ object IvfAnn {
       .parquet(s"$indexDir/index.parquet")
   }
 
+  /** Delta batch for the INCREMENTAL lifecycle ([[DeltaIndex]]): same
+    * assignment semantics as [[appendToIndex]] (new vectors score against
+    * the STANDING centroids — byte-identical rows to a combined-corpus
+    * assignCells pass, the IvfAnnSpec contract), but the delta lands in
+    * its OWN immutable batch dir instead of appending into the published
+    * one, so publication stays a single ATOMIC_MOVE and live batches are
+    * never mutated. Probe side: [[searchIndexedMulti]] over the union of
+    * batch index paths. Centroid drift is the same documented story as
+    * appendToIndex: retrain (full rebuild) when `graft.AnnScale` drift
+    * mode says recall decayed past the trigger. */
+  def buildDeltaIndex(newEmb: DataFrame, centroidsPath: String,
+                      stagingDir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val centroids = spark.read.parquet(centroidsPath)
+    val nlist = centroids.count().toInt
+    assignCells(newEmb, centroids)
+      .repartition(math.min(nlist, 1024), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$stagingDir/index.parquet")
+  }
+
+  /** [[searchIndexed]] over the UNION of several batch index partitions —
+    * the probe side of the incremental lifecycle. All batches were
+    * assigned against the SAME standing centroids (the initial batch's),
+    * so the union is row-identical to one index built over the combined
+    * corpus with those centroids (DeltaIndexSpec pins it). */
+  def searchIndexedMulti(spark: org.apache.spark.sql.SparkSession,
+                         centroidsPath: String, indexPaths: Seq[String],
+                         queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(centroidsPath)
+    // One read PER batch root, then a union: a single multi-root read of
+    // cell_id-partitioned datasets makes Spark hunt for a common partition
+    // base across the batch dirs and throw CONFLICTING_DIRECTORY_STRUCTURES.
+    // Per-root discovery keeps each batch's cell_id pruning intact, and
+    // UNION is exactly the incremental artifact's semantics.
+    val index = indexPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    probeTopK(index, centroids, queries, k, nprobe)
+  }
+
+  /** PRODUCTION incremental maintenance ([[DeltaIndex]]): the initial
+    * batch trains centroids and indexes its vectors; every later ingest
+    * batch is one [[buildDeltaIndex]] pass over ONLY the new part files
+    * (O(delta·nlist), vs the fingerprint-keyed artifact's O(corpus·nlist)
+    * rebuild). Returns (centroids path, index paths) for
+    * [[searchIndexedMulti]]. */
+  def ensureIncremental(spark: org.apache.spark.sql.SparkSession,
+                        sourceDir: String, table: String = "embeddings",
+                        nlist: Int = 16): (String, Seq[String]) = {
+    val root = DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1")
+    val batches = DeltaIndex.sync(spark, sourceDir, table, root) {
+      (delta, staging, initial) =>
+        initial match {
+          case None      => buildIndex(delta, nlist, staging)
+          case Some(ini) =>
+            buildDeltaIndex(delta, s"$ini/centroids.parquet", staging)
+        }
+    }.map(_.toString)
+    (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
+  }
+
   /** Probe a standing [[buildIndex]] artifact with an external query frame
     * `(query_id, q_emb)`: same output, row-for-row, as [[search]] with the
     * same (nlist, nprobe) — pinned in IvfAnnSpec. The query frame comes
@@ -237,8 +297,35 @@ object IvfAnn {
     searchIndexed(s, idxDir.toString, queries, k = 5, nprobe = 4)
   }
 
+  /** Two-append REHEARSAL of the incremental IVF artifact on the gate
+    * corpus (single-file table ⇒ the file-grained [[DeltaIndex]] lifecycle
+    * is exercised in DeltaIndexSpec and measured by [[graft.DeltaBench]];
+    * here the append is a deterministic ~1/3 slice): centroids train on
+    * the standing 2/3, the delta third assigns against them into its own
+    * batch partition, the probe unions both. Approximate by design like
+    * the other IVF entries — recall vs q_ann_brute is gated in
+    * tools/check.py (`ivf_recall_min`), with the extra teeth that the
+    * centroids here never saw the delta vectors. */
+  val annIvfDelta: QueryFn = (s, dir) => {
+    val idxDir = StandingIndex.artifactDir(dir, "embeddings", "graft_ivf_delta_v1")
+    StandingIndex.ensure(idxDir) { staging =>
+      val emb = t(s, dir, "embeddings")
+      val standing = col("vec_id") % 3 < 2
+      buildIndex(emb.filter(standing), nlist = 16, s"$staging/batch_0")
+      buildDeltaIndex(emb.filter(!standing),
+        s"$staging/batch_0/centroids.parquet", s"$staging/batch_1")
+    }
+    val queries = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    searchIndexedMulti(s, s"$idxDir/batch_0/centroids.parquet",
+      Seq(s"$idxDir/batch_0/index.parquet", s"$idxDir/batch_1/index.parquet"),
+      queries, k = 5, nprobe = 4)
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q_ann_ivf" -> annIvf,
-    "q_ann_ivf_indexed" -> annIvfIndexed)
+    "q_ann_ivf_indexed" -> annIvfIndexed,
+    "q_ann_ivf_delta" -> annIvfDelta)
   val oracle: Map[String, String] = Map.empty
 }

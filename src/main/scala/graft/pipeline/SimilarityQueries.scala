@@ -112,18 +112,24 @@ object SimilarityQueries {
     * (candidates per query scale ∝ tables·n/2^b).
     *
     * `probes` adds MULTI-PROBE on the query side (Lv et al., VLDB'07): each
-    * query also probes the buckets at Hamming distance 1 from its own
-    * (probes = 1 + 8 flips by default), trading candidates ∝ probes for the
-    * recall of ~probes× the table count at zero extra index cost. The
-    * expansion happens only on the |queries|-row side — the corpus side of
-    * the bucket join is untouched, so the 100 TB shape is identical. This
-    * is what keeps recall alive on SPARSE corpora (n ≲ 2^b leaves <1 vector
-    * per bucket: at sf0.01's 200 vectors, exact-bucket recall was 0.04 —
-    * caught by check.py's tolerance gate — vs 0.42 multi-probed). */
+    * query also probes the buckets at Hamming distance 1 — and, past
+    * probes = 9, distance 2 — from its own (the probe sequence is
+    * own bucket, then the 8 single-bit flips, then the 28 two-bit flips:
+    * up to 37), trading candidates ∝ probes for the recall of ~probes× the
+    * table count at zero extra index cost. The expansion happens only on
+    * the |queries|-row side — the corpus side of the bucket join is
+    * untouched, so the 100 TB shape is identical. This is what keeps
+    * recall alive on SPARSE corpora (n ≲ 2^b leaves <1 vector per bucket:
+    * at sf0.01's 200 vectors, exact-bucket recall was 0.04 — caught by
+    * check.py's tolerance gate — vs 0.42 at Hamming-1 and 0.74 at the
+    * round-19 default below; `graft.LshCurve` prints the measured
+    * recall-vs-candidates curve that picked it). */
   def lshTopKFrame(embRaw: DataFrame, queryIds: Seq[Long], k: Int,
-                   tables: Int = 4, probes: Int = 9): DataFrame = {
-    require(probes >= 1 && probes <= graft.functions.HyperplaneLsh.Planes + 1,
-      s"probes must be in [1, bits+1], got $probes")
+                   tables: Int = 4, probes: Int = 25): DataFrame = {
+    val planes = graft.functions.HyperplaneLsh.Planes
+    val maxProbes = 1 + planes + planes * (planes - 1) / 2
+    require(probes >= 1 && probes <= maxProbes,
+      s"probes must be in [1, $maxProbes], got $probes")
     val e = withNorm(embRaw)
     // array of per-table signatures (not transform-over-sequence: a lambda
     // would drop the codegen'd signature expression back to interpreted eval)
@@ -132,10 +138,16 @@ object SimilarityQueries {
         lshBucket(col("embedding"), lit(i))): _*)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
-    // query-side probe set: own bucket + (probes-1) single-bit flips
-    val probeBuckets = array((0 until probes).map {
+    // query-side probe set: own bucket, the single-bit flips, then the
+    // two-bit flips (deterministic (i,j) order so the same `probes` value
+    // always means the same buckets)
+    val flipMasks: Seq[Int] =
+      0 +: (0 until planes).map(1 << _) ++:
+        (for (i <- 0 until planes; j <- i + 1 until planes)
+          yield (1 << i) | (1 << j))
+    val probeBuckets = array(flipMasks.take(probes).map {
       case 0 => col("bucket")
-      case i => col("bucket").bitwiseXOR(lit(1 << (i - 1)))
+      case m => col("bucket").bitwiseXOR(lit(m))
     }: _*)
     val q = sigs.filter(col("vec_id").isin(queryIds: _*))
       .select(col("tbl"), explode(probeBuckets).as("bucket"),
@@ -146,6 +158,21 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"), col("q_emb"), col("q_norm"),
               col("embedding"), col("norm"))
       .distinct()
+    lshScoreTopK(cands, k)
+  }
+
+  /** Distinct (query, candidate) count of the probe configuration — the
+    * COST side of the recall-vs-cost curve ([[graft.LshCurve]]): exact-
+    * scoring work and bucket-join output both scale with it. */
+  private[graft] def lshCandidateCount(embRaw: DataFrame, queryIds: Seq[Long],
+                                       tables: Int, probes: Int): Long = {
+    // Reuse the full pipeline's candidate set by scoring with k large
+    // enough to keep every candidate: the scored frame is exactly one row
+    // per distinct candidate pair.
+    lshTopKFrame(embRaw, queryIds, Int.MaxValue, tables, probes).count()
+  }
+
+  private def lshScoreTopK(cands: DataFrame, k: Int): DataFrame = {
     val scored = cands.select(col("query_id"), col("vec_id"),
       round(dotD(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6)
         .as("cosine"))

@@ -40,8 +40,18 @@ object DocumentsStreaming {
     * content fingerprint. Input must carry (doc_id, text, ingest_ts). */
   def curationStream(docs: DataFrame,
                      watermark: String = "10 minutes",
-                     dup5Threshold: Double = 0.9): DataFrame = {
-    val metrics = docs
+                     dup5Threshold: Double = 0.9): DataFrame =
+    curationMetrics(docs)
+      .filter(col("dup_5gram_frac") < dup5Threshold)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The stateless metrics projection of [[curationStream]] — exposed so
+    * the batch twin is THE SAME expressions over a batch frame (the
+    * differential contract [[graft.StreamFuzz]] replays: stream output ≡
+    * filter + first-seen-per-fingerprint over this frame). */
+  def curationMetrics(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), col("ingest_ts"),
         TextQueries.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("text"), col("ingest_ts"), col("w"),
@@ -56,11 +66,6 @@ object DocumentsStreaming {
           .as("dup_5gram_frac"),
         md5(TextQueries.normalizedText(col("text")).cast("binary"))
           .as("fingerprint"))
-    metrics
-      .filter(col("dup_5gram_frac") < dup5Threshold)
-      .withWatermark("ingest_ts", watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
-  }
 
   /** Stream-static semantic routing: assign each arriving embedding to its
     * nearest k-means centroid (trained on the static corpus via
@@ -144,10 +149,25 @@ object DocumentsStreaming {
     * contraction-invariance argument as [[graft.pipeline.DedupQueries]]'s
     * batch pipelines, pinned by StreamingCurationSpec's equality test. */
   def nearDupCandidatesIndexed(stream: DataFrame, idxDir: String,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5): DataFrame =
+    nearDupCandidatesIndexedMulti(stream, Seq(idxDir), threshold)
+
+  /** [[nearDupCandidatesIndexed]] over the UNION of incremental artifact
+    * batches ([[graft.pipeline.DeltaIndex]] /
+    * [[graft.pipeline.MinhashIndex.ensureIncremental]]) — batch and
+    * streaming probes now share ONE index lifecycle: an ingest append
+    * derives a delta partition once, and both the batch sweep
+    * (`pairsIndexedMulti`) and the always-on stream probe read the same
+    * live batch set. Same union-equals-single-build argument as the batch
+    * probe (per-batch representatives of one cross-batch content group
+    * carry identical banded rows, so collisions and member expansion
+    * reproduce the text-derived multiset — StreamingCurationSpec pins
+    * equality and the artifact-only scan set). */
+  def nearDupCandidatesIndexedMulti(stream: DataFrame, idxDirs: Seq[String],
+                                    threshold: Double = 0.5): DataFrame = {
     val spark = stream.sparkSession
-    val sig = spark.read.parquet(s"$idxDir/signatures.parquet")
-    val members = spark.read.parquet(s"$idxDir/members.parquet")
+    val sig = spark.read.parquet(idxDirs.map(d => s"$d/signatures.parquet"): _*)
+    val members = spark.read.parquet(idxDirs.map(d => s"$d/members.parquet"): _*)
     val idx = sig.select(
         col("doc_id").as("rep"), col("sh_sorted").as("sh_b"),
         posexplode(DedupQueries.bandHashes(col("sig"))))

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) maintenance of the standing artifacts
+  * ([[graft.pipeline.DeltaIndex]] + the MinhashIndex/IvfAnn incremental
+  * entry points) — the round-19 lead item. The properties that make the
+  * lifecycle O(delta) instead of O(corpus):
+  *
+  *  1. a delta sync READS ONLY THE NEW PART FILES (FactScanSpec-style root-
+  *     path pin on the frame handed to the builder);
+  *  2. the union-of-batches probe answers EXACTLY like the one-shot
+  *     pipeline over the combined corpus;
+  *  3. an unchanged source syncs to zero builds; a rewritten source
+  *     invalidates fully (REFRESH vs INVALIDATE).
+  */
+class DeltaIndexSpec extends SparkSpec {
+
+  /** Two-batch source table: `<dir>/documents.parquet/` with one part file
+    * per slice, written one sync apart. Returns (sourceDir, writeBatch). */
+  private def freshSource(name: String, table: String = "documents"): String = {
+    val d = tmp(name)
+    Files.createDirectories(Paths.get(d, s"$table.parquet"))
+    d
+  }
+
+  private def docs = Tables.table(spark, sfDir, "documents")
+
+  /** Write `part` as a single parquet file under the source table dir.
+    * coalesce(1) so each ingest batch is exactly one part file. */
+  private def ingest(sourceDir: String, table: String, part: DataFrame): Unit = {
+    val staging = tmp("graft_ingest_stage")
+    part.coalesce(1).write.mode("overwrite").parquet(staging)
+    val f = Files.list(Paths.get(staging)).filter(_.toString.endsWith(".parquet"))
+      .findFirst.get
+    val n = Files.list(Paths.get(sourceDir, s"$table.parquet")).count()
+    Files.copy(f, Paths.get(sourceDir, s"$table.parquet", s"part-$n.parquet"))
+  }
+
+  private def rootPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val b = Seq.newBuilder[String]
+    df.queryExecution.optimizedPlan.foreach {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.foreach(p => b += p.toString)
+      case _ => ()
+    }
+    b.result()
+  }
+
+  test("sync builds from only the new part files, and only when there are any") {
+    val src = freshSource("graft_delta_src")
+    val a = docs.filter(col("doc_id") % 3 < 2)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    ingest(src, "documents", a)
+
+    val root = pipeline.DeltaIndex.root(src, "documents", "graft_spec_inc")
+    var builds = Vector.empty[(Seq[String], Long, Boolean)]
+    def sync() = pipeline.DeltaIndex.sync(spark, src, "documents", root) {
+      (delta, staging, initial) =>
+        builds :+= ((rootPaths(delta), delta.count(), initial.isDefined))
+        Files.createDirectories(Paths.get(staging))
+        delta.select(col("doc_id")).write.parquet(s"$staging/ids.parquet")
+    }
+
+    val live1 = sync()
+    assert(live1.size == 1 && builds.size == 1)
+    assert(builds(0)._2 == a.count() && !builds(0)._3)
+
+    // no change -> no build
+    assert(sync() == live1 && builds.size == 1)
+
+    // append: the delta build must see ONLY the new file
+    ingest(src, "documents", b)
+    val live2 = sync()
+    assert(live2.size == 2 && builds.size == 2)
+    val (paths2, n2, hadInitial) = builds(1)
+    assert(n2 == b.count(), s"delta read $n2 rows, expected ${b.count()}")
+    assert(paths2.forall(_.endsWith("part-1.parquet")),
+      s"delta build must scan only the appended part file: $paths2")
+    assert(hadInitial, "delta build must receive the initial batch dir")
+    assert(live2.head == live1.head, "initial batch must be reused, not rebuilt")
+
+    // rewrite a covered part in place -> full invalidation, one fresh build
+    // covering everything
+    val p0 = Files.list(Paths.get(src, "documents.parquet"))
+      .filter(_.toString.endsWith("part-0.parquet")).findFirst.get
+    Files.setLastModifiedTime(p0,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis + 5000))
+    val live3 = sync()
+    assert(builds.size == 3 && live3.size == 1)
+    assert(builds(2)._2 == a.count() + b.count() && !builds(2)._3)
+  }
+
+  test("incremental minhash artifact answers exactly like the inline sweep") {
+    import spark.implicits._
+    val src = freshSource("graft_delta_mh")
+    ingest(src, "documents", docs.filter(col("doc_id") % 3 < 2))
+    val dirs1 = pipeline.MinhashIndex.ensureIncremental(spark, src)
+    assert(dirs1.size == 1)
+    ingest(src, "documents", docs.filter(col("doc_id") % 3 === 2))
+    val dirs2 = pipeline.MinhashIndex.ensureIncremental(spark, src)
+    assert(dirs2.size == 2 && dirs2.head == dirs1.head)
+
+    val indexed = pipeline.MinhashIndex.pairsIndexedMulti(spark, dirs2)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val inline = pipeline.DedupQueries.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(indexed == inline, s"indexed n=${indexed.size} inline n=${inline.size}")
+    assert(inline.nonEmpty, "fixture corpus should contain near-dup pairs")
+  }
+
+  test("incremental IVF: delta batch rows are byte-identical to a combined assign; probe = single-build probe") {
+    import spark.implicits._
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val src = freshSource("graft_delta_ivf", "embeddings")
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 < 2))
+    val (c1, i1) = pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    assert(i1.size == 1)
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 === 2))
+    val (c2, i2) = pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    assert(i2.size == 2 && c2 == c1, "centroids are standing state of the initial batch")
+
+    // assignment parity: union of batch indexes == one assignCells pass of
+    // the combined corpus against the standing centroids
+    val centroids = spark.read.parquet(c2)
+    val unioned = i2.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .select(col("vec_id"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = pipeline.IvfAnn.assignCells(emb, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(unioned == oneShot)
+
+    // probe parity against a single-dir artifact built with the same
+    // centroids over the combined corpus
+    val full = tmp("graft_delta_ivf_full")
+    pipeline.IvfAnn.assignCells(emb, centroids)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$full/index.parquet")
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val multi = pipeline.IvfAnn.searchIndexedMulti(spark, c2, i2, queries, 3, 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val single = pipeline.IvfAnn.searchIndexedMulti(
+        spark, c2, Seq(s"$full/index.parquet"), queries, 3, 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(multi == single)
+    assert(multi.nonEmpty)
+  }
+}

@@ -88,6 +88,10 @@ class FactScanSpec extends SparkSpec {
       // ZERO times (all four reads hit the narrow artifact instead —
       // MinhashIndexSpec pins those and their column pruning).
       "q_dedup_minhash_indexed" -> ("documents", 0),
+      // The two-append (incremental) artifact probe keeps the same
+      // zero-corpus-scan property — the union of batch partitions is
+      // still only artifact reads.
+      "q_dedup_minhash_delta" -> ("documents", 0),
       "q_dedup_simhash" -> ("documents", 2),
       "q_dedup_ngram_jaccard" -> ("documents", 4),
       "q_dedup_ngram_jaccard_hi" -> ("documents", 4),
@@ -116,7 +120,12 @@ class FactScanSpec extends SparkSpec {
       // replayed per downstream action. (On duplicate-heavy corpora the
       // contract branch plans 0 — its member map IS materialized, by
       // design; CurationSpec covers that branch.)
-      "q_dedup_cluster" -> ("documents", 1))
+      "q_dedup_cluster" -> ("documents", 1),
+      // Same clusterByEdges skeleton as q_dedup_cluster (organic gate
+      // corpus -> skip branch), so the same single pruned corpus scan in
+      // the final plan: the MinHash edge derivation runs eagerly inside
+      // the component loop and is lineage-truncated.
+      "q_dedup_minhash_cluster" -> ("documents", 1))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (q, (tbl, n)) =>
       val got = factScans(q)(tbl)
       if (got != n) Some(s"$q scans $tbl ${got}x (pinned $n)") else None

@@ -167,6 +167,80 @@ class StreamingCurationSpec extends SparkSpec {
     assert(gotStream == want,
       s"streaming run diverged: got=$gotStream want=$want")
   }
+  test("streaming probe shares the INCREMENTAL artifact lifecycle with the batch sweep") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus ingested in two appends (one part file each), indexed with the
+    // batch tier's own incremental lifecycle — the streaming probe must
+    // read the SAME live batch partitions, answer exactly like the
+    // text-derived probe over the combined corpus, and never touch the
+    // corpus text.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val srcDir = tmp("graft_stream_inc_src")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(srcDir, "documents.parquet"))
+    def append(n: Int, rows: Seq[(Long, String, String)]): Unit = {
+      val staging = tmp(s"graft_stream_inc_b$n")
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(srcDir, "documents.parquet", s"part-$n.parquet"))
+    }
+    // batch 0 holds doc 100; batch 1 holds its exact duplicate 101 — the
+    // cross-batch content group the union argument hinges on.
+    append(0, Seq((100L, base, "en"), (200L, other, "en")))
+    pipeline.MinhashIndex.ensureIncremental(spark, srcDir)
+    append(1, Seq((101L, base, "en"), (300L, (500 to 530).map(i => s"z$i").mkString(" "), "en")))
+    val batchDirs = pipeline.MinhashIndex.ensureIncremental(spark, srcDir)
+    assert(batchDirs.size == 2, s"expected two live batches, got $batchDirs")
+
+    val probes = Seq(
+      SDoc(9000L, base.replace("tok7", "changed"), "en"),
+      SDoc(9001L, "nothing in common with anything at all", "en"))
+    val corpus = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val want = DocumentsStreaming.nearDupCandidates(probes.toDF(), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(want.count { case (s, c, _) => s == 9000L && (c == 100L || c == 101L) } >= 2,
+      s"fixture must hit both cross-batch duplicate members: $want")
+
+    val indexed = DocumentsStreaming
+      .nearDupCandidatesIndexedMulti(probes.toDF(), batchDirs)
+    // artifact-only scan set (the bucket-join plan pin): every parquet
+    // root must be a live batch partition, never the corpus table
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanPaths = indexed.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.nonEmpty &&
+      scanPaths.forall(p => batchDirs.exists(p.contains)),
+      s"probe must scan only the live artifact batches: $scanPaths")
+
+    val gotBatch = indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(gotBatch == want,
+      s"incremental-artifact probe diverged:\n got=$gotBatch\n want=$want")
+
+    // and as an actual STREAMING query over the same artifact
+    val input = MemoryStream[SDoc]
+    val query = DocumentsStreaming
+      .nearDupCandidatesIndexedMulti(input.toDF(), batchDirs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cand_inc_out").start()
+    input.addData(probes: _*)
+    query.processAllAvailable()
+    query.stop()
+    val gotStream = spark.table("cand_inc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(gotStream == want,
+      s"streaming run over the incremental artifact diverged: got=$gotStream want=$want")
+  }
+
   test("stream-static centroid assignment routes vectors to their batch cluster") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

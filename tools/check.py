@@ -183,9 +183,12 @@ TOLERANCE = {
                                 # (pcsa) at sf0.01 — 2.5x headroom (r15)
     "ivf_recall_min": 0.50,     # nprobe=4 of nlist=16; measured 0.90 at
                                 # sf0.01 — catches a partial probe regression
-    "lsh_recall_min": 0.30,     # multi-probe (bucket + hamming-1 flips) is
-                                # the pinned shape since r14: measured 0.42;
-                                # exact-bucket-only regression = 0.04 → FAIL
+    "lsh_recall_min": 0.50,     # hamming-2 multi-probe (tables=4,
+                                # probes=25) is the pinned operating point
+                                # since r19 — the knee of graft.LshCurve's
+                                # measured curve (0.62 at sf0.01); a
+                                # regression to hamming-1 (0.42) or
+                                # exact-bucket (0.04) FAILs
 }
 
 
@@ -232,6 +235,10 @@ def tolerance_bounds(out_dir, only):
         truth = {(r["query_id"], r["vec_id"]) for r in brute}
         for name, key in (("q_ann_ivf", "ivf_recall_min"),
                           ("q_ann_ivf_indexed", "ivf_recall_min"),
+                          # delta = two-append build: centroids trained on
+                          # the standing 2/3 only, so this gate also covers
+                          # the harder never-saw-the-delta case
+                          ("q_ann_ivf_delta", "ivf_recall_min"),
                           ("q_ann_lsh", "lsh_recall_min")):
             got_rows = load(name)
             if got_rows is None or (only is not None and name not in only):
