@@ -157,10 +157,66 @@ object MinhashIndex {
     pairsIndexedMulti(s, Seq(s"$idxDir/batch_0", s"$idxDir/batch_1"))
   }
 
+  /** GROUPED answer (doc_id → cluster/survivor, the
+    * [[CurationQueries.minhashCluster]] shape) probed from the STANDING
+    * artifact — the production composition of the two round-19 pieces: a
+    * sweep that re-reads neither the corpus text (artifact probe; the one
+    * corpus access is a doc_id-pruned scan for sub-shingle-floor
+    * singletons, which the artifact rightly excludes) nor emits member
+    * pairs (components over the REPRESENTATIVE graph, labels expand
+    * through the thin member map). Identical output to the inline grouped
+    * sweep — same oracle — because the artifact's rep-level band/Jaccard
+    * relation is the contraction of the corpus relation and component
+    * labels are contraction-invariant (each group's rep is its min
+    * doc_id, so min-over-reps = min-over-members per component). */
+  def clusterIndexed(spark: SparkSession, idxDirs: Seq[String],
+                     docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sig = spark.read.parquet(idxDirs.map(d => s"$d/signatures.parquet"): _*)
+    val members = spark.read.parquet(idxDirs.map(d => s"$d/members.parquet"): _*)
+    val banded = sig
+      .select(col("doc_id"), posexplode(DedupQueries.bandHashes(col("sig"))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+      .select(col("band_id"), col("band_hash"), col("doc_id"))
+    val repPairs = DedupQueries.verifyJaccard(
+      DedupQueries.bandCandidates(banded),
+      sig.select(col("doc_id"), col("sh_sorted")), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val repLabels = CurationQueries
+      .connectedComponents(sig.select(col("doc_id")), repPairs)
+      .select(col("doc_id").as("rep"), col("label"))
+    val memberLabels = members.join(repLabels, Seq("rep"))
+      .select(col("doc_id"), col("label"))
+    // Docs the artifact excludes (below the 3-token shingle floor / null
+    // text) can never pair: singleton self-labels from ONE doc_id-pruned
+    // corpus scan.
+    val rest = docs.select(col("doc_id"))
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val labels = memberLabels.union(rest)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+                  count(lit(1)).over(w).as("cluster_size"),
+                  (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  /** Registry entry: same standing artifact as [[minhashIndexed]]
+    * (amortized across both probes), grouped answer, same DuckDB oracle
+    * as the inline grouped sweep. */
+  val minhashClusterIndexed: QueryFn = (s, dir) => {
+    val idxDir = StandingIndex.artifactDir(dir, "documents", "graft_minhash_sig_v2")
+    StandingIndex.ensure(idxDir) { staging =>
+      buildSignatures(t(s, dir, "documents"), staging)
+    }
+    clusterIndexed(s, Seq(idxDir.toString), t(s, dir, "documents"))
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q_dedup_minhash_indexed" -> minhashIndexed,
-    "q_dedup_minhash_delta" -> minhashDelta)
+    "q_dedup_minhash_delta" -> minhashDelta,
+    "q_dedup_minhash_cluster_indexed" -> minhashClusterIndexed)
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash_indexed" -> DedupQueries.minhashLshSql,
-    "q_dedup_minhash_delta" -> DedupQueries.minhashLshSql)
+    "q_dedup_minhash_delta" -> DedupQueries.minhashLshSql,
+    "q_dedup_minhash_cluster_indexed" -> CurationQueries.minhashClusterSql)
 }

@@ -121,6 +121,11 @@ class FactScanSpec extends SparkSpec {
       // contract branch plans 0 — its member map IS materialized, by
       // design; CurationSpec covers that branch.)
       "q_dedup_cluster" -> ("documents", 1),
+      // Grouped probe from the standing artifact: components run eagerly
+      // over the artifact's rep graph (zero corpus-text reads); the single
+      // pinned scan is the doc_id-pruned anti-join that self-labels
+      // sub-shingle-floor docs the artifact rightly excludes.
+      "q_dedup_minhash_cluster_indexed" -> ("documents", 1),
       // Same clusterByEdges skeleton as q_dedup_cluster (organic gate
       // corpus -> skip branch), so the same single pruned corpus scan in
       // the final plan: the MinHash edge derivation runs eagerly inside
