@@ -48,10 +48,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Caveats (documented, not hidden): invalidation deletes batch dirs that
   * a concurrent reader of a REGENERATED corpus might still be probing —
-  * same single-host caveat as ensure()'s debris self-heal; and sync
-  * assumes one logical writer per corpus generation (concurrent syncs of
-  * the SAME state are safe by idempotence, concurrent syncs racing a
-  * source mutation are not a supported mode).
+  * same single-host caveat as ensure()'s debris self-heal; sync assumes
+  * one logical writer per corpus generation (concurrent syncs of the SAME
+  * state are safe by idempotence, concurrent syncs racing a source
+  * mutation are not a supported mode); and the live batch COUNT grows
+  * with ingest cadence (a year of daily appends = 365 partitions on the
+  * probe's union read — mostly harmless, each is a columnar scan root,
+  * but file-listing overhead accretes). The compaction story is the
+  * lifecycle's own invalidation path: delete the artifact root and the
+  * next sync re-derives ONE batch covering everything — run it on
+  * whatever cadence keeps the partition count comfortable, exactly like
+  * periodic OPTIMIZE on a log-structured table.
   */
 object DeltaIndex {
 
