@@ -117,6 +117,64 @@ class CurationSpec extends SparkSpec {
       "sub-shingle-floor identical docs must stay singletons")
   }
 
+  test("minhash grouped shape: contract branch and artifact probe equal the uncontracted pipeline") {
+    // Same planted duplicate-heavy corpus shape as the PPJoin test above,
+    // but over the MinHash edge relation (t = 0.2) and BOTH round-19
+    // grouped forms: the inline clusterByEdges skeleton (contract branch —
+    // dup mass is far over the floor) and the standing-artifact probe
+    // (MinhashIndex.clusterIndexed). One deliberate semantic difference
+    // from the PPJoin tier: minhash bands ignore lang, so the identical
+    // text planted under a DIFFERENT lang is a separate contraction group
+    // whose representative still band-collides at j = 1.0 with doc 0's —
+    // this pins the split-groups-reconnect-through-reps argument.
+    val base = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val r0 = base.filter($"doc_id" === 0).head()
+    val t0 = r0.getAs[String]("text")
+    val l0 = r0.getAs[String]("lang")
+    val plants = Seq(
+      (9001L, l0, t0), (9002L, l0, t0), (9003L, l0, t0),
+      (9006L, l0, t0), (9007L, l0, t0), (9008L, l0, t0),
+      (9005L, if (l0 == "en") "de" else "en", t0),
+      (9101L, l0, "xy"), (9102L, l0, "xy"))
+      .toDF("doc_id", "lang", "text")
+    val docs = base.union(plants)
+
+    // Uncontracted reference: minhash pairs over the raw corpus.
+    val pairs = pipeline.DedupQueries.minhashPairsUncontracted(docs)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = CurationQueries.connectedComponents(
+      docs.select(col("doc_id")), pairs)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val expected = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label"), col("cluster_size"),
+              (col("doc_id") === col("label")).as("c"))
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+
+    val inline = CurationQueries.minhashClusterFrame(spark, docs)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(inline == expected,
+      s"contracted grouped sweep diverged:\n got=${inline.filterNot(expected.contains)}\n " +
+        s"want=${expected.filterNot(inline.contains)}")
+
+    val idxDir = tmp("graft_mh_cluster_idx")
+    pipeline.MinhashIndex.buildSignatures(docs, idxDir)
+    val probed = pipeline.MinhashIndex
+      .clusterIndexed(spark, Seq(idxDir), docs)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(probed == expected,
+      s"artifact grouped probe diverged:\n got=${probed.filterNot(expected.contains)}\n " +
+        s"want=${expected.filterNot(probed.contains)}")
+
+    val byId = inline.map(r => r._1 -> r).toMap
+    assert(byId(9001L)._2 == 0L, "identical copies must join doc 0's cluster")
+    assert(byId(9005L)._2 == 0L,
+      "minhash ignores lang: the cross-lang identical text must merge via its rep's band collision")
+    assert(byId(9101L)._2 == 9101L && byId(9101L)._3 == 1L,
+      "sub-shingle-floor docs must stay singletons")
+  }
+
   test("adaptive skip branch: trace-dup corpus clusters identical to uncontracted") {
     // ONE exact dup pair (mass 1, under the 1% floor): the cluster
     // pipeline must take the SKIP branch — no member map planned — and
