@@ -109,6 +109,17 @@ object DeltaBench {
       (k, k * docsPerCopy, mh, ivf)
     }
 
+    // ---- the OPTIMIZE path: artifact-level compaction -------------------
+    // Rebase the (1 + |deltas|) live batches into one, reading only the
+    // artifact's own payloads — the periodic pass that bounds probe-side
+    // batch-count growth. Compare against the full rebuild below: same
+    // single-batch end state, O(artifact) vs O(corpus) cost.
+    val nBatchesPre = 1 + deltaFactors.size
+    val mhCompact = timeSec(pipeline.MinhashIndex.compactIncremental(spark, workDir))
+    val ivfCompact = timeSec(pipeline.IvfAnn.compactIncremental(spark, workDir))
+    System.err.println(
+      f"[delta-bench] compact ($nBatchesPre batches -> 1): minhash $mhCompact%.1fs ivf $ivfCompact%.1fs")
+
     // ---- the INVALIDATE path: full rebuild over everything --------------
     def deleteTree(p: Path): Unit =
       if (Files.exists(p))
@@ -129,7 +140,7 @@ object DeltaBench {
       s"""{"factor":$k,"docs":$n,"minhash_sec":${f2(mh)},"ivf_sec":${f2(ivf)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
+      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"compact_batches":$nBatchesPre,"compact_minhash_sec":${f2(mhCompact)},"compact_ivf_sec":${f2(ivfCompact)},"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
     if (sys.env.contains("GRAFT_RECORD"))
       Files.write(Paths.get(sys.props("user.dir"), "BENCH_DELTA.json"),
         (json + "\n").getBytes("UTF-8"))

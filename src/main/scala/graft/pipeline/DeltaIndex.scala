@@ -54,11 +54,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * mutation are not a supported mode); and the live batch COUNT grows
   * with ingest cadence (a year of daily appends = 365 partitions on the
   * probe's union read — mostly harmless, each is a columnar scan root,
-  * but file-listing overhead accretes). The compaction story is the
-  * lifecycle's own invalidation path: delete the artifact root and the
-  * next sync re-derives ONE batch covering everything — run it on
-  * whatever cadence keeps the partition count comfortable, exactly like
-  * periodic OPTIMIZE on a log-structured table.
+  * but file-listing overhead accretes). [[compact]] bounds that growth
+  * at the ARTIFACT level: rebase all live batches into one whose covered
+  * set is their union, by reading the batches' own payloads — never the
+  * source corpus — so the periodic OPTIMIZE pass costs O(artifact), not
+  * the O(corpus) invalidation rebuild. Run it on whatever cadence keeps
+  * the partition count comfortable.
   */
 object DeltaIndex {
 
@@ -156,5 +157,55 @@ object DeltaIndex {
       live = liveBatches(root)
     }
     live
+  }
+
+  /** Rebase ALL live batches into ONE batch covering their union — the
+    * OPTIMIZE analogue for the incremental lifecycle, at the ARTIFACT
+    * level: `rewrite(batches, stagingDir)` derives the replacement batch
+    * from the live batches' own payloads (signature/assignment relations,
+    * sized by distinct content), so compaction NEVER scans the source
+    * corpus — O(artifact) where the root-deletion story this replaces paid
+    * the O(corpus) invalidation rebuild. DeltaIndexSpec pins that by
+    * compacting with the source table deleted.
+    *
+    * Corpus-global standing state (IVF centroids) lives in the INITIAL
+    * batch; `rewrite` is handed the batches oldest-first and must carry
+    * that state into the replacement, which becomes the new initial batch.
+    *
+    * Crash safety (same single-writer contract as [[sync]]): the
+    * replacement is fully built and marker-stamped in staging BEFORE the
+    * swap. The swap itself is delete-old-then-rename — a crash inside that
+    * window leaves the covered sets a strict subset of the source files,
+    * which the next [[sync]] self-heals by delta-building exactly the
+    * uncovered files. Concurrent PROBES of the same root during the swap
+    * can observe the shrunken union — the documented single-host caveat
+    * shared with invalidation. The replacement batch name is a pure
+    * function of the union covered set, so re-running compaction on the
+    * same ingest state is idempotent and a later compaction (after more
+    * appends) can never collide with this one. */
+  def compact(spark: SparkSession, root: Path)
+             (rewrite: (Seq[Path], String) => Unit): Seq[Path] = {
+    val live = liveBatches(root)
+    if (live.size <= 1) return live
+    val unionKeys = live.flatMap(coveredKeys).toSet.toSeq.sorted
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(unionKeys.mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val staging = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_compact_${key}_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+    try {
+      rewrite(live, staging.toString)
+      Files.write(staging.resolve("_covered.txt"),
+        unionKeys.mkString("\n").getBytes("UTF-8"))
+      Files.write(StandingIndex.readyMarker(staging), Array.emptyByteArray)
+      live.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      Files.move(staging, root.resolve(s"batch_000000_$key"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      if (Files.exists(staging))
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    }
+    liveBatches(root)
   }
 }

@@ -241,6 +241,34 @@ object IvfAnn {
     (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
   }
 
+  /** OPTIMIZE pass for the incremental IVF artifact ([[DeltaIndex.compact]]):
+    * rebase the live batches into one — centroids (the INITIAL batch's
+    * corpus-global standing state) copied forward, cell assignments
+    * unioned and re-co-located one-file-per-cell. Every batch was assigned
+    * against those same centroids, so the union IS the combined-corpus
+    * assignment (the DeltaIndexSpec parity pin); probe output is
+    * row-identical before and after. Reads only the artifact's own parquet
+    * (never `embeddings`) — O(artifact), vs the O(corpus·nlist) rebuild
+    * the root-deletion story paid. Centroid DRIFT is deliberately
+    * untouched: compaction is a layout pass, retrain remains the
+    * measured-recall-floor policy (BASELINE.md round 14). */
+  def compactIncremental(spark: org.apache.spark.sql.SparkSession,
+                         sourceDir: String, table: String = "embeddings")
+      : (String, Seq[String]) = {
+    val root = DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1")
+    val batches = DeltaIndex.compact(spark, root) { (bs, staging) =>
+      val centroids = spark.read.parquet(s"${bs.head}/centroids.parquet")
+      val nlist = centroids.count().toInt
+      centroids.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+      bs.map(b => spark.read.parquet(s"$b/index.parquet"))
+        .reduce(_ unionByName _)
+        .repartition(math.min(nlist, 1024), col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$staging/index.parquet")
+    }.map(_.toString)
+    (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
+  }
+
   /** Probe a standing [[buildIndex]] artifact with an external query frame
     * `(query_id, q_emb)`: same output, row-for-row, as [[search]] with the
     * same (nlist, nprobe) — pinned in IvfAnnSpec. The query frame comes

@@ -136,6 +136,30 @@ object MinhashIndex {
     }.map(_.toString)
   }
 
+  /** OPTIMIZE pass for the incremental artifact ([[DeltaIndex.compact]]):
+    * rebase the live delta batches into one by UNIONING their payloads —
+    * the batch partitions are already the contracted per-batch relations,
+    * and [[pairsIndexedMulti]]'s output is invariant under how those
+    * relations are partitioned (the cross-batch-duplicate argument in its
+    * scaladoc), so concatenation IS the correct rebase. Reads only the
+    * artifact's own parquet (never `documents` — DeltaIndexSpec compacts
+    * with the source table deleted), so the periodic pass that bounds
+    * probe-side batch-count growth costs O(artifact), not the O(corpus)
+    * rebuild. Note the compacted batch keeps one representative PER
+    * ORIGINAL BATCH for content duplicated across batches (byte-wise it
+    * is the union, not a from-scratch single build); probe output is
+    * identical either way. */
+  def compactIncremental(spark: SparkSession, sourceDir: String,
+                         table: String = "documents"): Seq[String] = {
+    val root = DeltaIndex.root(sourceDir, table, "graft_minhash_inc_v1")
+    DeltaIndex.compact(spark, root) { (batches, staging) =>
+      spark.read.parquet(batches.map(b => s"$b/signatures.parquet"): _*)
+        .write.mode("overwrite").parquet(s"$staging/signatures.parquet")
+      spark.read.parquet(batches.map(b => s"$b/members.parquet"): _*)
+        .write.mode("overwrite").parquet(s"$staging/members.parquet")
+    }.map(_.toString)
+  }
+
   /** Two-append REHEARSAL of the incremental artifact on the gate corpus
     * (which ships as one parquet file, so the file-grained [[DeltaIndex]]
     * sees a single batch there — the file-level lifecycle is exercised by
@@ -155,6 +179,29 @@ object MinhashIndex {
       buildSignatures(docs.filter(!standing), s"$staging/batch_1")
     }
     pairsIndexedMulti(s, Seq(s"$idxDir/batch_0", s"$idxDir/batch_1"))
+  }
+
+  /** COMPACTION rehearsal on the gate corpus (single-file table, same
+    * convention as [[minhashDelta]]): build the two-append artifact, then
+    * run the [[compactIncremental]] rebase — payload union of the batch
+    * partitions into ONE batch — and probe ONLY the compacted partition.
+    * Runs the SAME DuckDB oracle as the inline sweep, so the driver
+    * hash-checks that the OPTIMIZE pass loses/duplicates nothing: a
+    * rebase that dropped a batch, doubled one, or broke the cross-batch
+    * duplicate-representative invariant would hash-fail here. */
+  val minhashCompact: QueryFn = (s, dir) => {
+    val idxDir = StandingIndex.artifactDir(dir, "documents", "graft_minhash_compact_v1")
+    StandingIndex.ensure(idxDir) { staging =>
+      val docs = t(s, dir, "documents")
+      val standing = col("doc_id") % 3 < 2
+      buildSignatures(docs.filter(standing), s"$staging/batch_0")
+      buildSignatures(docs.filter(!standing), s"$staging/batch_1")
+      for (p <- Seq("signatures", "members"))
+        s.read.parquet(s"$staging/batch_0/$p.parquet",
+                       s"$staging/batch_1/$p.parquet")
+          .write.mode("overwrite").parquet(s"$staging/compacted/$p.parquet")
+    }
+    pairsIndexed(s, s"$idxDir/compacted")
   }
 
   /** GROUPED answer (doc_id → cluster/survivor, the
@@ -214,9 +261,11 @@ object MinhashIndex {
   val all: Map[String, QueryFn] = Map(
     "q_dedup_minhash_indexed" -> minhashIndexed,
     "q_dedup_minhash_delta" -> minhashDelta,
+    "q_dedup_minhash_compact" -> minhashCompact,
     "q_dedup_minhash_cluster_indexed" -> minhashClusterIndexed)
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash_indexed" -> DedupQueries.minhashLshSql,
     "q_dedup_minhash_delta" -> DedupQueries.minhashLshSql,
+    "q_dedup_minhash_compact" -> DedupQueries.minhashLshSql,
     "q_dedup_minhash_cluster_indexed" -> CurationQueries.minhashClusterSql)
 }

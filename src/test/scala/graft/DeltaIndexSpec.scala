@@ -95,6 +95,121 @@ class DeltaIndexSpec extends SparkSpec {
     assert(builds(2)._2 == a.count() + b.count() && !builds(2)._3)
   }
 
+  test("compact rebases live batches into one; sync treats it as the new initial batch") {
+    val src = freshSource("graft_delta_compact")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    val root = pipeline.DeltaIndex.root(src, "documents", "graft_spec_compact")
+    var builds = Vector.empty[(Seq[String], Boolean)]
+    def sync() = pipeline.DeltaIndex.sync(spark, src, "documents", root) {
+      (delta, staging, initial) =>
+        builds :+= ((rootPaths(delta), initial.isDefined))
+        Files.createDirectories(Paths.get(staging))
+        delta.select(col("doc_id")).write.parquet(s"$staging/ids.parquet")
+    }
+    ingest(src, "documents", a); sync()
+    ingest(src, "documents", b)
+    val live2 = sync()
+    assert(live2.size == 2 && builds.size == 2)
+    val keysBefore = live2.flatMap(p =>
+      Files.readAllLines(p.resolve("_covered.txt")).toArray.map(_.toString)
+        .filter(_.nonEmpty)).toSet
+
+    var rewrites = 0
+    def compact() = pipeline.DeltaIndex.compact(spark, root) { (batches, staging) =>
+      rewrites += 1
+      Files.createDirectories(Paths.get(staging))
+      spark.read.parquet(batches.map(p => s"$p/ids.parquet"): _*)
+        .write.parquet(s"$staging/ids.parquet")
+    }
+    val compacted = compact()
+    assert(compacted.size == 1 && rewrites == 1)
+    assert(compacted.head.getFileName.toString.startsWith("batch_000000_"))
+    assert(!live2.contains(compacted.head), "replacement must be a NEW batch dir")
+    // covered set of the replacement == union of the rebased batches'
+    val keysAfter = Files.readAllLines(compacted.head.resolve("_covered.txt"))
+      .toArray.map(_.toString).filter(_.nonEmpty).toSet
+    assert(keysAfter == keysBefore)
+    // payload is the union (nothing lost, nothing doubled)
+    assert(spark.read.parquet(s"${compacted.head}/ids.parquet").count()
+      == a.count() + b.count())
+
+    // compaction of a single batch is a no-op
+    assert(compact() == compacted && rewrites == 1)
+    // unchanged source: sync sees full coverage, builds nothing
+    assert(sync() == compacted && builds.size == 2)
+    // append after compaction: one delta build over only the new file,
+    // with the compacted batch as the initial
+    ingest(src, "documents", c)
+    val live3 = sync()
+    assert(live3.size == 2 && live3.head == compacted.head)
+    assert(builds.size == 3 && builds(2)._2, "delta build must see the compacted initial")
+    assert(builds(2)._1.forall(_.endsWith("part-2.parquet")),
+      s"post-compact delta must scan only the appended part: ${builds(2)._1}")
+  }
+
+  test("minhash compaction: probe-identical, and runs with the source corpus DELETED") {
+    import spark.implicits._
+    val src = freshSource("graft_delta_mh_compact")
+    ingest(src, "documents", docs.filter(col("doc_id") % 3 === 0))
+    pipeline.MinhashIndex.ensureIncremental(spark, src)
+    ingest(src, "documents", docs.filter(col("doc_id") % 3 === 1))
+    val dirs2 = pipeline.MinhashIndex.ensureIncremental(spark, src)
+    assert(dirs2.size == 2)
+    val pre = pipeline.MinhashIndex.pairsIndexedMulti(spark, dirs2)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+
+    val compacted = pipeline.MinhashIndex.compactIncremental(spark, src)
+    assert(compacted.size == 1)
+    val post = pipeline.MinhashIndex.pairsIndexedMulti(spark, compacted)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(post == pre && pre.nonEmpty)
+
+    // append after compaction, then compact again with the SOURCE TABLE
+    // GONE — the O(artifact) claim: the rebase reads only batch payloads
+    ingest(src, "documents", docs.filter(col("doc_id") % 3 === 2))
+    val dirs3 = pipeline.MinhashIndex.ensureIncremental(spark, src)
+    assert(dirs3.size == 2 && dirs3.head == compacted.head)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      Paths.get(src, "documents.parquet").toFile)
+    val recompacted = pipeline.MinhashIndex.compactIncremental(spark, src)
+    assert(recompacted.size == 1)
+    val finalPairs = pipeline.MinhashIndex.pairsIndexedMulti(spark, recompacted)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val inline = pipeline.DedupQueries.minhashPairs(docs)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(finalPairs == inline)
+  }
+
+  test("IVF compaction: centroids carried forward, probe-identical, source-free") {
+    import spark.implicits._
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val src = freshSource("graft_delta_ivf_compact", "embeddings")
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 < 2))
+    pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 === 2))
+    val (c2, i2) = pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    assert(i2.size == 2)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pre = pipeline.IvfAnn.searchIndexedMulti(spark, c2, i2, queries, 3, 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val preCentroids = spark.read.parquet(c2)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(r => (r._1, r._2.toSeq)).toSeq
+
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      Paths.get(src, "embeddings.parquet").toFile)
+    val (c3, i3) = pipeline.IvfAnn.compactIncremental(spark, src, "embeddings")
+    assert(i3.size == 1 && c3 != c2)
+    val postCentroids = spark.read.parquet(c3)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(r => (r._1, r._2.toSeq)).toSeq
+    assert(postCentroids == preCentroids, "centroids are standing state — byte-carried")
+    val post = pipeline.IvfAnn.searchIndexedMulti(spark, c3, i3, queries, 3, 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(post == pre && pre.nonEmpty)
+  }
+
   test("incremental minhash artifact answers exactly like the inline sweep") {
     import spark.implicits._
     val src = freshSource("graft_delta_mh")
