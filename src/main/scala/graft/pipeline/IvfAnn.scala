@@ -241,6 +241,62 @@ object IvfAnn {
     (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
   }
 
+  /** Sampled recall@k of a standing (centroids, index batches) artifact,
+    * measured FROM THE ARTIFACT ITSELF: the `sampleN` lowest-vec_id
+    * indexed vectors probe as queries, exact brute-force top-k over the
+    * index relation is the truth, and recall is the hit fraction. One
+    * O(n·sampleN) map-side scoring pass over the artifact (queries
+    * broadcast, top-k through the bounded-heap operator) — the corpus
+    * text/embedding source is never read, so the measurement runs at
+    * OPTIMIZE cadence cost, not ingest cost. This is the measured-recall
+    * retrain policy of BASELINE.md round 14 ("append freely, re-measure
+    * recall per tranche, rebuild when it crosses the floor") as an
+    * engine-owned primitive. */
+  def recallOfIndex(spark: org.apache.spark.sql.SparkSession,
+                    centroidsPath: String, indexPaths: Seq[String],
+                    k: Int, nprobe: Int, sampleN: Int): Double = {
+    val index = indexPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val qs = index.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = index.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cosine"))
+    val brute = graft.plans.TopKPerGroup.topK(scored, Seq(col("query_id")),
+        struct(col("cosine"), (-col("vec_id")).as("tb")), k)
+      .select(col("query_id"), col("vec_id"))
+    val nTruth = brute.count()
+    if (nTruth == 0) return 1.0
+    val got = searchIndexedMulti(spark, centroidsPath, indexPaths, qs, k, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    got.join(brute, Seq("query_id", "vec_id")).count().toDouble / nTruth
+  }
+
+  /** [[ensureIncremental]] with the retrain decision ENGINE-OWNED: after
+    * reconciling, measure sampled recall from the artifact
+    * ([[recallOfIndex]]); if it has drifted below `recallFloor`, fire the
+    * INVALIDATE path once — delete the artifact root and re-sync, which
+    * retrains centroids over the full corpus into a single batch — and
+    * re-measure. A single-batch artifact short-circuits (it already IS
+    * the full-trained form; retraining cannot improve it), so an
+    * unreachable floor degrades to one measurement, never a rebuild loop.
+    * Returns (centroids path, index paths, measured recall). */
+  def ensureIncrementalGuarded(spark: org.apache.spark.sql.SparkSession,
+                               sourceDir: String, table: String = "embeddings",
+                               nlist: Int = 16, k: Int = 5, nprobe: Int = 4,
+                               recallFloor: Double = 0.95, sampleN: Int = 32)
+      : (String, Seq[String], Double) = {
+    val (c1, i1) = ensureIncremental(spark, sourceDir, table, nlist)
+    val r1 = recallOfIndex(spark, c1, i1, k, nprobe, sampleN)
+    if (r1 >= recallFloor || i1.size <= 1) (c1, i1, r1)
+    else {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1").toFile)
+      val (c2, i2) = ensureIncremental(spark, sourceDir, table, nlist)
+      (c2, i2, recallOfIndex(spark, c2, i2, k, nprobe, sampleN))
+    }
+  }
+
   /** OPTIMIZE pass for the incremental IVF artifact ([[DeltaIndex.compact]]):
     * rebase the live batches into one — centroids (the INITIAL batch's
     * corpus-global standing state) copied forward, cell assignments
@@ -351,9 +407,46 @@ object IvfAnn {
       queries, k = 5, nprobe = 4)
   }
 
+  /** The MEASURED-RECALL RETRAIN GUARD end-to-end on the gate corpus:
+    * same two-append layout as [[annIvfDelta]] (centroids never saw the
+    * delta third), then [[recallOfIndex]] prices the drift — at sf0.01
+    * the delta artifact measures ~0.74, below the 0.95 floor, so the
+    * guard retrains over the full corpus and the probe answers from the
+    * retrained index. The driver's `ivf_recall_min` gate then scores THIS
+    * entry at the full-trained recall (~0.90), not the delta's 0.74 —
+    * i.e. the gate observes the guard actually firing. The decision and
+    * measured recall are recorded in the artifact (`_guard.txt`) for
+    * post-hoc audit. */
+  val annIvfGuarded: QueryFn = (s, dir) => {
+    val idxDir = StandingIndex.artifactDir(dir, "embeddings", "graft_ivf_guard_v1")
+    StandingIndex.ensure(idxDir) { staging =>
+      val emb = t(s, dir, "embeddings")
+      val standing = col("vec_id") % 3 < 2
+      buildIndex(emb.filter(standing), nlist = 16, s"$staging/batch_0")
+      buildDeltaIndex(emb.filter(!standing),
+        s"$staging/batch_0/centroids.parquet", s"$staging/batch_1")
+      val r = recallOfIndex(s, s"$staging/batch_0/centroids.parquet",
+        Seq(s"$staging/batch_0/index.parquet", s"$staging/batch_1/index.parquet"),
+        k = 5, nprobe = 4, sampleN = 10)
+      val retrain = r < 0.95
+      if (retrain) buildIndex(emb, nlist = 16, s"$staging/retrained")
+      java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_guard.txt"),
+        f"recall=$r%.4f retrain=$retrain%n".getBytes("UTF-8"))
+    }
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(idxDir.toString, "retrained")))
+      searchIndexed(s, s"$idxDir/retrained", queries, k = 5, nprobe = 4)
+    else searchIndexedMulti(s, s"$idxDir/batch_0/centroids.parquet",
+      Seq(s"$idxDir/batch_0/index.parquet", s"$idxDir/batch_1/index.parquet"),
+      queries, k = 5, nprobe = 4)
+  }
+
   val all: Map[String, QueryFn] = Map(
     "q_ann_ivf" -> annIvf,
     "q_ann_ivf_indexed" -> annIvfIndexed,
-    "q_ann_ivf_delta" -> annIvfDelta)
+    "q_ann_ivf_delta" -> annIvfDelta,
+    "q_ann_ivf_guarded" -> annIvfGuarded)
   val oracle: Map[String, String] = Map.empty
 }

@@ -210,6 +210,35 @@ class DeltaIndexSpec extends SparkSpec {
     assert(post == pre && pre.nonEmpty)
   }
 
+  test("guarded IVF sync: measured-recall floor decides retrain, single batch short-circuits") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val src = freshSource("graft_delta_ivf_guard", "embeddings")
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 < 2))
+    pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 === 2))
+
+    // floor 0: whatever the measured recall, no retrain — the delta
+    // lifecycle's two batches survive and the recall comes back sane
+    val (c1, i1, r1) = pipeline.IvfAnn.ensureIncrementalGuarded(
+      spark, src, "embeddings", nlist = 8, recallFloor = 0.0, sampleN = 8)
+    assert(i1.size == 2)
+    assert(r1 >= 0.0 && r1 <= 1.0, s"recall out of range: $r1")
+
+    // unreachable floor: the guard fires the INVALIDATE path once —
+    // the artifact rebases to ONE batch retrained over the full corpus
+    val (c2, i2, r2) = pipeline.IvfAnn.ensureIncrementalGuarded(
+      spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8)
+    assert(i2.size == 1, "retrain must rebuild into a single full-trained batch")
+    assert(c2 != c1, "retrained centroids live in the new initial batch")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+
+    // idempotence: a single-batch artifact short-circuits — the
+    // unreachable floor measures once but can never rebuild-loop
+    val (c3, i3, r3) = pipeline.IvfAnn.ensureIncrementalGuarded(
+      spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8)
+    assert(c3 == c2 && i3 == i2 && r3 == r2)
+  }
+
   test("incremental minhash artifact answers exactly like the inline sweep") {
     import spark.implicits._
     val src = freshSource("graft_delta_mh")

@@ -239,6 +239,11 @@ def tolerance_bounds(out_dir, only):
                           # the standing 2/3 only, so this gate also covers
                           # the harder never-saw-the-delta case
                           ("q_ann_ivf_delta", "ivf_recall_min"),
+                          # guarded = the measured-recall retrain guard:
+                          # at sf0.01 the delta artifact's ~0.74 trips the
+                          # 0.95 floor, so this entry scores the RETRAINED
+                          # index — the gate observes the guard firing
+                          ("q_ann_ivf_guarded", "ivf_recall_min"),
                           ("q_ann_lsh", "lsh_recall_min")):
             got_rows = load(name)
             if got_rows is None or (only is not None and name not in only):
