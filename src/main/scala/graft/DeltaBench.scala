@@ -109,6 +109,20 @@ object DeltaBench {
       (k, k * docsPerCopy, mh, ivf)
     }
 
+    // ---- the GUARD's measurement cost ------------------------------------
+    // recallOfIndex is what ensureIncrementalGuarded pays per sync: one
+    // O(n·sampleN) map-side pass over the artifact (brute truth for the
+    // sampled queries) + one probe. Timed on the realistic post-append
+    // moment — the full 4-batch layout.
+    val (gc, gi) = pipeline.IvfAnn.ensureIncremental(spark, workDir, nlist = 64)
+    var guardRecall = 0.0
+    val guardSec = timeSec {
+      guardRecall = pipeline.IvfAnn.recallOfIndex(spark, gc, gi,
+        k = 5, nprobe = 8, sampleN = 32)
+    }
+    System.err.println(
+      f"[delta-bench] guard measurement: $guardSec%.1fs recall $guardRecall%.3f")
+
     // ---- the OPTIMIZE path: artifact-level compaction -------------------
     // Rebase the (1 + |deltas|) live batches into one, reading only the
     // artifact's own payloads — the periodic pass that bounds probe-side
@@ -140,7 +154,7 @@ object DeltaBench {
       s"""{"factor":$k,"docs":$n,"minhash_sec":${f2(mh)},"ivf_sec":${f2(ivf)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"compact_batches":$nBatchesPre,"compact_minhash_sec":${f2(mhCompact)},"compact_ivf_sec":${f2(ivfCompact)},"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
+      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"guard_sec":${f2(guardSec)},"guard_recall":${f2(guardRecall)},"compact_batches":$nBatchesPre,"compact_minhash_sec":${f2(mhCompact)},"compact_ivf_sec":${f2(ivfCompact)},"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
     if (sys.env.contains("GRAFT_RECORD"))
       Files.write(Paths.get(sys.props("user.dir"), "BENCH_DELTA.json"),
         (json + "\n").getBytes("UTF-8"))

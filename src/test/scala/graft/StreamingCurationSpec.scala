@@ -239,6 +239,25 @@ class StreamingCurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(gotStream == want,
       s"streaming run over the incremental artifact diverged: got=$gotStream want=$want")
+
+    // COMPACTION under the shared lifecycle: rebase the two batches into
+    // one (artifact-only — no corpus scan) and the stream probe over the
+    // re-listed single batch answers identically, cross-batch duplicate
+    // representatives included.
+    val compacted = pipeline.MinhashIndex.compactIncremental(spark, srcDir)
+    assert(compacted.size == 1)
+    val input2 = MemoryStream[SDoc]
+    val q2 = DocumentsStreaming
+      .nearDupCandidatesIndexedMulti(input2.toDF(), compacted)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cand_cmp_out").start()
+    input2.addData(probes: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotCompacted = spark.table("cand_cmp_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(gotCompacted == want,
+      s"stream probe over the COMPACTED artifact diverged: got=$gotCompacted want=$want")
   }
 
   test("stream-static centroid assignment routes vectors to their batch cluster") {
