@@ -46,12 +46,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * initial batch, deltas assign against them — the documented
   * append-then-retrain-on-drift contract of `appendToIndex`).
   *
-  * Caveats (documented, not hidden): invalidation deletes batch dirs that
-  * a concurrent reader of a REGENERATED corpus might still be probing —
-  * same single-host caveat as ensure()'s debris self-heal; sync assumes
-  * one logical writer per corpus generation (concurrent syncs of the SAME
-  * state are safe by idempotence, concurrent syncs racing a source
-  * mutation are not a supported mode); and the live batch COUNT grows
+  * Readers resolve the live batch set through `_manifest.txt` — an
+  * atomically-replaced SNAPSHOT POINTER (the log-structured-table
+  * pattern): append, invalidation and [[compact]] all publish their new
+  * state as one manifest swap, so a probe sees the previous snapshot or
+  * the next, never a half-applied transition. Caveats (documented, not
+  * hidden): a reader that resolved an old snapshot and still holds open
+  * scans can race the GC of unreferenced batch dirs — the standard
+  * snapshot-GC contract (defer deletes for a retention window if longer
+  * reader leases are needed); sync assumes one logical writer per corpus
+  * generation (concurrent syncs of the SAME state are safe by
+  * idempotence — content-keyed batch names, byte-identical manifests —
+  * while syncs racing a source mutation are not a supported mode); and
+  * the live batch COUNT grows
   * with ingest cadence (a year of daily appends = 365 partitions on the
   * probe's union read — mostly harmless, each is a columnar scan root,
   * but file-listing overhead accretes). [[compact]] bounds that growth
@@ -95,18 +102,49 @@ object DeltaIndex {
 
   private def coveredFile(batch: Path): Path = batch.resolve("_covered.txt")
 
-  /** Live (published) batch dirs under `root`, oldest-first by the seq
-    * prefix baked into the batch name at build time. */
+  private def manifestFile(root: Path): Path = root.resolve("_manifest.txt")
+
+  /** Atomically replace the root's manifest — the SNAPSHOT POINTER of the
+    * artifact (the log-structured-table pattern: Iceberg/Delta readers
+    * resolve the current snapshot through one atomically-swapped file).
+    * Written tmp-then-ATOMIC_MOVE, so a reader sees the old batch list or
+    * the new one, never a partial state. Racing writers of the SAME
+    * ingest state produce byte-identical manifests (batch names are
+    * content-keyed), so the last rename is a no-op overwrite. */
+  private def writeManifest(root: Path, batchNames: Seq[String]): Unit = {
+    Files.createDirectories(root)
+    val tmp = root.resolve(
+      s"_manifest_tmp_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+    Files.write(tmp, batchNames.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Live (published) batch dirs under `root`, oldest-first (the head is
+    * the initial batch). Resolution is MANIFEST-FIRST: if `_manifest.txt`
+    * exists its snapshot is authoritative (entries whose dirs lost their
+    * marker — a crashed invalidation — are dropped defensively; the next
+    * sync's coverage check rebuilds whatever they covered). A root
+    * without a manifest (pre-manifest artifact, or a crash before the
+    * very first manifest write) falls back to the directory listing, and
+    * the next sync writes the manifest — forward-compatible healing. */
   def liveBatches(root: Path): Seq[Path] = {
     if (!Files.isDirectory(root)) return Seq.empty
-    val s = Files.list(root)
-    val dirs =
-      try s.iterator().asScala.toSeq
-        .filter(p => p.getFileName.toString.startsWith("batch_") &&
-          Files.exists(StandingIndex.readyMarker(p)) &&
-          Files.exists(coveredFile(p)))
-      finally s.close()
-    dirs.sortBy(_.getFileName.toString)
+    val ok = (p: Path) => Files.exists(StandingIndex.readyMarker(p)) &&
+      Files.exists(coveredFile(p))
+    val mf = manifestFile(root)
+    if (Files.exists(mf)) {
+      Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty)
+        .map(root.resolve).filter(ok)
+    } else {
+      val s = Files.list(root)
+      val dirs =
+        try s.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("batch_") && ok(p))
+        finally s.close()
+      dirs.sortBy(_.getFileName.toString)
+    }
   }
 
   private def coveredKeys(batch: Path): Set[String] =
@@ -131,6 +169,10 @@ object DeltaIndex {
     if (!covered.subsetOf(currentKeys)) {
       // A covered file vanished or was rewritten in place: the corpus was
       // regenerated, every batch is stale — INVALIDATE (full rebuild).
+      // The manifest swaps to empty FIRST, so a concurrent probe snapshots
+      // "no artifact" (the honest state for a regenerated corpus) instead
+      // of a half-deleted batch set.
+      writeManifest(root, Seq.empty)
       live.foreach(p =>
         org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
       live = Seq.empty
@@ -154,7 +196,13 @@ object DeltaIndex {
         Files.write(Paths.get(staging, "_covered.txt"),
           fresh.map(_._2).mkString("\n").getBytes("UTF-8"))
       }
+      // Publish the new snapshot: old batches + the new one, in order.
+      writeManifest(root, (live :+ target).map(_.getFileName.toString))
       live = liveBatches(root)
+    } else if (live.nonEmpty && !Files.exists(manifestFile(root))) {
+      // Pre-manifest artifact (or crash before the first manifest write):
+      // heal by snapshotting the directory listing we just resolved.
+      writeManifest(root, live.map(_.getFileName.toString))
     }
     live
   }
@@ -172,17 +220,20 @@ object DeltaIndex {
     * batch; `rewrite` is handed the batches oldest-first and must carry
     * that state into the replacement, which becomes the new initial batch.
     *
-    * Crash safety (same single-writer contract as [[sync]]): the
-    * replacement is fully built and marker-stamped in staging BEFORE the
-    * swap. The swap itself is delete-old-then-rename — a crash inside that
-    * window leaves the covered sets a strict subset of the source files,
-    * which the next [[sync]] self-heals by delta-building exactly the
-    * uncovered files. Concurrent PROBES of the same root during the swap
-    * can observe the shrunken union — the documented single-host caveat
-    * shared with invalidation. The replacement batch name is a pure
-    * function of the union covered set, so re-running compaction on the
-    * same ingest state is idempotent and a later compaction (after more
-    * appends) can never collide with this one. */
+    * Crash/concurrency safety (the snapshot-pointer discipline): the
+    * replacement is fully built and marker-stamped at its content-keyed
+    * name FIRST (invisible — the manifest still lists the old batches),
+    * then the manifest ATOMIC_MOVEs to the one-batch snapshot, then the
+    * rebased dirs are GC'd. A probe therefore resolves either the old
+    * snapshot or the new one, never a partial swap. A crash before the
+    * manifest swap leaves an orphan replacement dir that the re-run
+    * adopts (same content-keyed name — idempotent resume); a crash after
+    * the swap leaves unreferenced old dirs that the re-run's GC sweeps.
+    * The one residual race is a reader that resolved the OLD manifest and
+    * still holds open scans when GC deletes those dirs — the standard
+    * snapshot-GC contract of log-structured tables; a deployment that
+    * needs longer reader leases defers the deletes (retention window)
+    * without changing the swap. */
   def compact(spark: SparkSession, root: Path)
              (rewrite: (Seq[Path], String) => Unit): Seq[Path] = {
     val live = liveBatches(root)
@@ -191,21 +242,25 @@ object DeltaIndex {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(unionKeys.mkString("\n").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    val staging = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_compact_${key}_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
-    try {
-      rewrite(live, staging.toString)
-      Files.write(staging.resolve("_covered.txt"),
-        unionKeys.mkString("\n").getBytes("UTF-8"))
-      Files.write(StandingIndex.readyMarker(staging), Array.emptyByteArray)
-      live.foreach(p =>
-        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-      Files.move(staging, root.resolve(s"batch_000000_$key"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally {
-      if (Files.exists(staging))
-        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    val target = root.resolve(s"batch_000000_$key")
+    if (!Files.exists(StandingIndex.readyMarker(target))) {
+      val staging = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_compact_${key}_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      try {
+        rewrite(live, staging.toString)
+        Files.write(staging.resolve("_covered.txt"),
+          unionKeys.mkString("\n").getBytes("UTF-8"))
+        Files.write(StandingIndex.readyMarker(staging), Array.emptyByteArray)
+        Files.move(staging, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally {
+        if (Files.exists(staging))
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
     }
+    writeManifest(root, Seq(target.getFileName.toString))
+    live.filterNot(_ == target).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
     liveBatches(root)
   }
 }

@@ -149,6 +149,56 @@ class DeltaIndexSpec extends SparkSpec {
       s"post-compact delta must scan only the appended part: ${builds(2)._1}")
   }
 
+  test("manifest is the snapshot pointer: authoritative over listings, swapped by sync/compact, legacy roots heal") {
+    val src = freshSource("graft_delta_manifest")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val root = pipeline.DeltaIndex.root(src, "documents", "graft_spec_manifest")
+    def sync() = pipeline.DeltaIndex.sync(spark, src, "documents", root) {
+      (delta, staging, _) =>
+        Files.createDirectories(Paths.get(staging))
+        delta.select(col("doc_id")).write.parquet(s"$staging/ids.parquet")
+    }
+    def manifest(): Seq[String] =
+      Files.readAllLines(root.resolve("_manifest.txt")).toArray
+        .map(_.toString).filter(_.nonEmpty).toSeq
+
+    ingest(src, "documents", a); sync()
+    ingest(src, "documents", b)
+    val live = sync()
+    assert(manifest() == live.map(_.getFileName.toString),
+      "manifest must list the live batches, initial first")
+
+    // manifest-authoritative: a published-looking dir NOT in the snapshot
+    // (a crashed compaction's orphan) is INVISIBLE to probes
+    val orphan = root.resolve("batch_999999_dead")
+    Files.createDirectories(orphan)
+    Files.copy(live.head.resolve("_covered.txt"), orphan.resolve("_covered.txt"))
+    Files.write(graft.pipeline.StandingIndex.readyMarker(orphan), Array.emptyByteArray)
+    assert(pipeline.DeltaIndex.liveBatches(root) == live,
+      "a dir outside the manifest snapshot must not be probed")
+    org.apache.commons.io.FileUtils.deleteDirectory(orphan.toFile)
+
+    // legacy root (no manifest yet): listing fallback still resolves, and
+    // the next sync heals the manifest without building anything
+    Files.delete(root.resolve("_manifest.txt"))
+    assert(pipeline.DeltaIndex.liveBatches(root) == live)
+    assert(sync() == live)
+    assert(manifest() == live.map(_.getFileName.toString),
+      "a no-op sync must restore the missing manifest")
+
+    // compact: the snapshot swaps to exactly the replacement batch and the
+    // rebased dirs are GC'd from disk
+    val compacted = pipeline.DeltaIndex.compact(spark, root) { (batches, staging) =>
+      Files.createDirectories(Paths.get(staging))
+      spark.read.parquet(batches.map(p => s"$p/ids.parquet"): _*)
+        .write.parquet(s"$staging/ids.parquet")
+    }
+    assert(compacted.size == 1)
+    assert(manifest() == Seq(compacted.head.getFileName.toString))
+    assert(live.forall(p => !Files.exists(p)), "rebased dirs must be GC'd")
+  }
+
   test("minhash compaction: probe-identical, and runs with the source corpus DELETED") {
     import spark.implicits._
     val src = freshSource("graft_delta_mh_compact")
