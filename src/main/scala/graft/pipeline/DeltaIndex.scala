@@ -28,7 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    pins the scan's root paths); a vanished or rewritten covered file →
   *    the corpus was regenerated, full invalidation (delete every batch,
   *    rebuild from scratch); no change → no build at all.
-  *  - Probe = UNION of batch partitions: readers list the live batch dirs
+  *  - Probe = UNION of batch partitions: readers resolve the live batch
+  *    dirs through the `_manifest.txt` snapshot pointer ([[liveBatches]])
   *    and read `spark.read.parquet(batches.map(_ + "/payload.parquet"))`.
   *    Batch publication reuses [[StandingIndex.ensure]] (staging + marker +
   *    ATOMIC_MOVE + debris self-heal), and the batch NAME is a pure
@@ -203,6 +204,22 @@ object DeltaIndex {
       // Pre-manifest artifact (or crash before the first manifest write):
       // heal by snapshotting the directory listing we just resolved.
       writeManifest(root, live.map(_.getFileName.toString))
+    }
+    // GC batch dirs the snapshot no longer references — debris from a
+    // crashed invalidation (manifest swapped to empty, deletes lost) or a
+    // crashed compaction GC phase. Safe under the single-logical-writer
+    // contract (sync and compact run serially from the writer; a racing
+    // same-state sync computes the same manifest, so it never considers a
+    // referenced dir unreferenced).
+    if (Files.exists(manifestFile(root))) {
+      val referenced = live.map(_.getFileName.toString).toSet
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("batch_") &&
+          !referenced.contains(p.getFileName.toString))
+        .foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      finally s.close()
     }
     live
   }
