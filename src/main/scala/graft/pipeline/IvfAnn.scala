@@ -81,13 +81,25 @@ object IvfAnn {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell_id"))
 
+    // STATIC cell pruning: Spark's dynamic partition pruning does NOT
+    // fire through this join shape — the executed plan carries
+    // `dynamicpruningexpression(true)` and the cell_id-partitioned index
+    // scan reads ALL nlist partitions (IvfPruneProbeSpec pins the fixed
+    // behavior). The probed cell set is bounded by nlist values no matter
+    // how many queries probe (distinct cells ≤ min(nlist, K·nprobe)), so
+    // one tiny distinct-collect turns it into a LITERAL partition filter —
+    // the scan that actually delivers the nprobe/nlist-fraction read the
+    // partitioned layout exists for at 100 TB.
+    val probedCells = probed.select(col("cell_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val prunedIndex = index.filter(col("cell_id").isin(probedCells: _*))
     // Final per-query top-k through the bounded-heap operator
     // (plans/TopKPerGroup), NOT a row_number window: the window variant
     // funnels each query's whole candidate set (∝ corpus·nprobe/nlist)
     // into one task for a full sort. The heap pass reduces map-side, so
     // the shuffle carries ≤ k rows per query; the rank is then a window
     // over that already-k-bounded result (k·|queries| rows total).
-    val scored = probed.join(index, Seq("cell_id"))
+    val scored = probed.join(prunedIndex, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cosine"))
@@ -131,8 +143,10 @@ object IvfAnn {
     * `centroids.parquet` (cell_id, centroid — kilobytes) and
     * `index.parquet`, the corpus PARTITIONED BY cell_id on disk. The
     * partitioned layout is the point at 100 TB: a probe touches only its
-    * nprobe cells' directories — dynamic partition pruning turns the
-    * probe join into an nprobe/nlist-fraction scan, and the O(n·nlist)
+    * nprobe cells' directories — probeTopK's LITERAL cell filter (Spark's
+    * dynamic partition pruning does not fire through the probe join;
+    * IvfPruneProbeSpec) turns the probe into an nprobe/nlist-fraction
+    * scan, and the O(n·nlist)
     * training/assignment cost is paid once, amortized over every
     * subsequent [[searchIndexed]] call (AnnScale measured the per-call
     * build at ~2 min for 1.5 M×612 vs seconds per probe batch). */

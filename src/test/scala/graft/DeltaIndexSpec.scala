@@ -197,6 +197,25 @@ class DeltaIndexSpec extends SparkSpec {
     assert(compacted.size == 1)
     assert(manifest() == Seq(compacted.head.getFileName.toString))
     assert(live.forall(p => !Files.exists(p)), "rebased dirs must be GC'd")
+
+    // crashed-swap debris, part 1 — content-keyed ADOPTION: rewind the
+    // manifest to an empty snapshot while the compacted dir still sits on
+    // disk. The re-derived covering build targets the SAME content-keyed
+    // name, finds the ready dir, and adopts it instead of rebuilding.
+    Files.write(root.resolve("_manifest.txt"), Array.emptyByteArray)
+    assert(sync() == compacted,
+      "ready debris with the matching content key must be adopted")
+    assert(manifest() == Seq(compacted.head.getFileName.toString))
+    assert(spark.read.parquet(s"${compacted.head}/ids.parquet").count()
+      == a.count() + b.count())
+
+    // part 2 — GC: a batch dir the snapshot doesn't reference (an older
+    // generation's leftover) is swept by the next sync.
+    val stale = root.resolve("batch_000001_stale")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      compacted.head.toFile, stale.toFile)
+    assert(sync() == compacted)
+    assert(!Files.exists(stale), "sync must GC unreferenced batch dirs")
   }
 
   test("minhash compaction: probe-identical, and runs with the source corpus DELETED") {
