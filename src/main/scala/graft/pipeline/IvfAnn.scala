@@ -74,11 +74,28 @@ object IvfAnn {
                         queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id"))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("cell_id"),
+    // The (query_id → probed cell_id) assignment is collected ONCE and
+    // feeds BOTH the literal partition filter and the candidate join below
+    // (ADVICE r19): a single evaluation of the queries×centroids scoring,
+    // and no silent dependency on the probe ranking being deterministic
+    // across two evaluations. The collect is |queries|·nprobe id pairs —
+    // probe batches are request-sized by contract (see [[searchIndexed]]:
+    // the corpus side is never the query side), and the local relation is
+    // re-broadcast to executors for the join, so nothing corpus-sized ever
+    // lands on the driver.
+    val assignment = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell_id"),
         cosine(col("q_emb"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell_id"))
+    val assignedRows = assignment.collect()
+    val spark = queries.sparkSession
+    val assignedLocal = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(assignedRows: _*)),
+      assignment.schema)
+    val probed = queries.join(broadcast(assignedLocal), Seq("query_id"))
       .select(col("query_id"), col("q_emb"), col("cell_id"))
 
     // STATIC cell pruning: Spark's dynamic partition pruning does NOT
@@ -87,11 +104,10 @@ object IvfAnn {
     // scan reads ALL nlist partitions (IvfPruneProbeSpec pins the fixed
     // behavior). The probed cell set is bounded by nlist values no matter
     // how many queries probe (distinct cells ≤ min(nlist, K·nprobe)), so
-    // one tiny distinct-collect turns it into a LITERAL partition filter —
+    // the collected assignment becomes a LITERAL partition filter —
     // the scan that actually delivers the nprobe/nlist-fraction read the
     // partitioned layout exists for at 100 TB.
-    val probedCells = probed.select(col("cell_id")).distinct()
-      .collect().map(_.get(0)).toSeq
+    val probedCells = assignedRows.map(_.get(1)).distinct.toSeq
     val prunedIndex = index.filter(col("cell_id").isin(probedCells: _*))
     // Final per-query top-k through the bounded-heap operator
     // (plans/TopKPerGroup), NOT a row_number window: the window variant
@@ -234,17 +250,32 @@ object IvfAnn {
     probeTopK(index, centroids, queries, k, nprobe)
   }
 
+  /** Prefix of the incremental artifact root. v2 = carries `_trained.txt`
+    * (the coverage the centroids were trained on) through compaction, the
+    * state the post-compaction retrain guard depends on. */
+  private[graft] val IncPrefix = "graft_ivf_inc_v2"
+
   /** PRODUCTION incremental maintenance ([[DeltaIndex]]): the initial
     * batch trains centroids and indexes its vectors; every later ingest
     * batch is one [[buildDeltaIndex]] pass over ONLY the new part files
     * (O(delta·nlist), vs the fingerprint-keyed artifact's O(corpus·nlist)
     * rebuild). Returns (centroids path, index paths) for
-    * [[searchIndexedMulti]]. */
+    * [[searchIndexedMulti]].
+    *
+    * `maxLiveBatches` > 0 makes the compaction cadence ENGINE-OWNED
+    * (VERDICT r19 task 5): when a sync leaves more than that many live
+    * batches, one [[compactIncremental]] rebase fires — the OPTIMIZE
+    * analogue of the retrain guard's engine-owned decision, keeping the
+    * probe's union fan-in (and its file-listing cost) bounded at
+    * steady state instead of growing one batch per ingest forever.
+    * `retainMillis` is the snapshot-GC retention window (see
+    * [[DeltaIndex.sync]]). */
   def ensureIncremental(spark: org.apache.spark.sql.SparkSession,
                         sourceDir: String, table: String = "embeddings",
-                        nlist: Int = 16): (String, Seq[String]) = {
-    val root = DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1")
-    val batches = DeltaIndex.sync(spark, sourceDir, table, root) {
+                        nlist: Int = 16, maxLiveBatches: Int = 0,
+                        retainMillis: Long = 0L): (String, Seq[String]) = {
+    val root = DeltaIndex.root(sourceDir, table, IncPrefix)
+    var batches = DeltaIndex.sync(spark, sourceDir, table, root, retainMillis) {
       (delta, staging, initial) =>
         initial match {
           case None      => buildIndex(delta, nlist, staging)
@@ -252,6 +283,8 @@ object IvfAnn {
             buildDeltaIndex(delta, s"$ini/centroids.parquet", staging)
         }
     }.map(_.toString)
+    if (maxLiveBatches > 0 && batches.size > maxLiveBatches)
+      batches = compactBatches(spark, root, retainMillis)
     (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
   }
 
@@ -266,12 +299,39 @@ object IvfAnn {
     * retrain policy of BASELINE.md round 14 ("append freely, re-measure
     * recall per tranche, rebuild when it crosses the floor") as an
     * engine-owned primitive. */
+  /** Deterministic, ingest-order-INDEPENDENT recall-sample queries
+    * (VERDICT r19 task 2): a hash-mod filter over vec_id, thinned to
+    * ~sampleN by stride n/sampleN, ordered by the hash for a reproducible
+    * final cut. The previous `orderBy(vec_id).limit(sampleN)` took the
+    * LOWEST ids — in production appends carry increasing ids, so that
+    * sample over-represented the initial batch (exactly the vectors the
+    * centroids fit best) and overestimated the drifted corpus's recall,
+    * firing the retrain guard late or never. Hash-uniform selection reads
+    * each batch in proportion to its size no matter the id order
+    * (IvfGuardSpec pins the composition). */
+  private[graft] def sampleRecallQueries(index: DataFrame,
+                                         sampleN: Int): DataFrame = {
+    val n = index.count()
+    val stride = math.max(1L, n / math.max(1, sampleN))
+    val h = abs(xxhash64(col("vec_id")))
+    index.filter(pmod(h, lit(stride)) === 0)
+      .orderBy(h, col("vec_id")).limit(sampleN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  }
+
   def recallOfIndex(spark: org.apache.spark.sql.SparkSession,
                     centroidsPath: String, indexPaths: Seq[String],
                     k: Int, nprobe: Int, sampleN: Int): Double = {
     val index = indexPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    val qs = index.orderBy(col("vec_id")).limit(sampleN)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Materialize the sampled queries as a LOCAL relation: the frame is
+    // referenced twice (brute truth + artifact probe) and collapsing it to
+    // sampleN in-memory rows makes both consumers read the identical set
+    // by construction instead of by determinism of re-evaluation.
+    val sampled = sampleRecallQueries(index, sampleN)
+    val qs = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(sampled.collect(): _*)),
+      sampled.schema)
     val scored = index.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -291,22 +351,36 @@ object IvfAnn {
     * ([[recallOfIndex]]); if it has drifted below `recallFloor`, fire the
     * INVALIDATE path once — delete the artifact root and re-sync, which
     * retrains centroids over the full corpus into a single batch — and
-    * re-measure. A single-batch artifact short-circuits (it already IS
-    * the full-trained form; retraining cannot improve it), so an
-    * unreachable floor degrades to one measurement, never a rebuild loop.
+    * re-measure. A FULL-TRAINED artifact short-circuits: retraining can
+    * only change the outcome when the centroids' training coverage
+    * ([[DeltaIndex.trainedKeysOf]] of the initial batch) differs from what
+    * the artifact currently covers. Comparing COVERAGE, not batch count,
+    * is load-bearing (VERDICT r19 lead finding): [[compactIncremental]]
+    * rebases N drifted batches into ONE that still carries the original
+    * centroids, so a batch-count test would read the compacted artifact
+    * as full-trained and freeze its drift below the floor forever. An
+    * unreachable floor still degrades to one measurement per sync once the
+    * artifact is full-trained — never a rebuild loop.
     * Returns (centroids path, index paths, measured recall). */
   def ensureIncrementalGuarded(spark: org.apache.spark.sql.SparkSession,
                                sourceDir: String, table: String = "embeddings",
                                nlist: Int = 16, k: Int = 5, nprobe: Int = 4,
-                               recallFloor: Double = 0.95, sampleN: Int = 32)
+                               recallFloor: Double = 0.95, sampleN: Int = 32,
+                               maxLiveBatches: Int = 0, retainMillis: Long = 0L)
       : (String, Seq[String], Double) = {
-    val (c1, i1) = ensureIncremental(spark, sourceDir, table, nlist)
+    val (c1, i1) = ensureIncremental(spark, sourceDir, table, nlist,
+      maxLiveBatches, retainMillis)
+    val root = DeltaIndex.root(sourceDir, table, IncPrefix)
+    val live = DeltaIndex.liveBatches(root)
+    val fullTrained = live.nonEmpty &&
+      DeltaIndex.trainedKeysOf(live.head) ==
+        live.flatMap(DeltaIndex.coveredKeysOf).toSet
     val r1 = recallOfIndex(spark, c1, i1, k, nprobe, sampleN)
-    if (r1 >= recallFloor || i1.size <= 1) (c1, i1, r1)
+    if (r1 >= recallFloor || fullTrained) (c1, i1, r1)
     else {
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1").toFile)
-      val (c2, i2) = ensureIncremental(spark, sourceDir, table, nlist)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      val (c2, i2) = ensureIncremental(spark, sourceDir, table, nlist,
+        maxLiveBatches, retainMillis)
       (c2, i2, recallOfIndex(spark, c2, i2, k, nprobe, sampleN))
     }
   }
@@ -323,21 +397,33 @@ object IvfAnn {
     * untouched: compaction is a layout pass, retrain remains the
     * measured-recall-floor policy (BASELINE.md round 14). */
   def compactIncremental(spark: org.apache.spark.sql.SparkSession,
-                         sourceDir: String, table: String = "embeddings")
+                         sourceDir: String, table: String = "embeddings",
+                         retainMillis: Long = 0L)
       : (String, Seq[String]) = {
-    val root = DeltaIndex.root(sourceDir, table, "graft_ivf_inc_v1")
-    val batches = DeltaIndex.compact(spark, root) { (bs, staging) =>
+    val root = DeltaIndex.root(sourceDir, table, IncPrefix)
+    val batches = compactBatches(spark, root, retainMillis)
+    (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
+  }
+
+  private def compactBatches(spark: org.apache.spark.sql.SparkSession,
+                             root: java.nio.file.Path,
+                             retainMillis: Long): Seq[String] =
+    DeltaIndex.compact(spark, root, retainMillis) { (bs, staging) =>
       val centroids = spark.read.parquet(s"${bs.head}/centroids.parquet")
       val nlist = centroids.count().toInt
       centroids.write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+      // The replacement batch COVERS the rebased union but its centroids
+      // were TRAINED on whatever the old initial batch trained on — carry
+      // that training coverage forward, or the retrain guard would read
+      // the compacted batch as full-trained and freeze post-compaction
+      // drift forever (the VERDICT r19 lead finding).
+      DeltaIndex.writeTrained(staging, DeltaIndex.trainedKeysOf(bs.head))
       bs.map(b => spark.read.parquet(s"$b/index.parquet"))
         .reduce(_ unionByName _)
         .repartition(math.min(nlist, 1024), col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$staging/index.parquet")
     }.map(_.toString)
-    (s"${batches.head}/centroids.parquet", batches.map(b => s"$b/index.parquet"))
-  }
 
   /** Probe a standing [[buildIndex]] artifact with an external query frame
     * `(query_id, q_emb)`: same output, row-for-row, as [[search]] with the

@@ -128,12 +128,21 @@ object MinhashIndex {
     * for [[pairsIndexedMulti]]. A daily append costs O(delta) signature
     * work instead of the fingerprint-keyed artifact's O(corpus) rebuild;
     * a rewritten corpus still invalidates fully. */
+  /** `maxLiveBatches` > 0 makes the compaction cadence ENGINE-OWNED
+    * (VERDICT r19 task 5): when a sync leaves more than that many live
+    * batches, one [[compactIncremental]] rebase fires inline — steady-state
+    * probe fan-in stays bounded without the caller scheduling OPTIMIZE.
+    * `retainMillis` defers GC of retired batch dirs ([[DeltaIndex.sync]]). */
   def ensureIncremental(spark: SparkSession, sourceDir: String,
-                        table: String = "documents"): Seq[String] = {
+                        table: String = "documents", maxLiveBatches: Int = 0,
+                        retainMillis: Long = 0L): Seq[String] = {
     val root = DeltaIndex.root(sourceDir, table, "graft_minhash_inc_v1")
-    DeltaIndex.sync(spark, sourceDir, table, root) { (delta, staging, _) =>
-      buildSignatures(delta, staging)
-    }.map(_.toString)
+    val live = DeltaIndex.sync(spark, sourceDir, table, root, retainMillis) {
+      (delta, staging, _) => buildSignatures(delta, staging)
+    }
+    if (maxLiveBatches > 0 && live.size > maxLiveBatches)
+      compactIncremental(spark, sourceDir, table, retainMillis)
+    else live.map(_.toString)
   }
 
   /** OPTIMIZE pass for the incremental artifact ([[DeltaIndex.compact]]):
@@ -150,9 +159,10 @@ object MinhashIndex {
     * is the union, not a from-scratch single build); probe output is
     * identical either way. */
   def compactIncremental(spark: SparkSession, sourceDir: String,
-                         table: String = "documents"): Seq[String] = {
+                         table: String = "documents",
+                         retainMillis: Long = 0L): Seq[String] = {
     val root = DeltaIndex.root(sourceDir, table, "graft_minhash_inc_v1")
-    DeltaIndex.compact(spark, root) { (batches, staging) =>
+    DeltaIndex.compact(spark, root, retainMillis) { (batches, staging) =>
       spark.read.parquet(batches.map(b => s"$b/signatures.parquet"): _*)
         .write.mode("overwrite").parquet(s"$staging/signatures.parquet")
       spark.read.parquet(batches.map(b => s"$b/members.parquet"): _*)

@@ -218,6 +218,51 @@ class DeltaIndexSpec extends SparkSpec {
     assert(!Files.exists(stale), "sync must GC unreferenced batch dirs")
   }
 
+  test("snapshot-GC retention window: retired dirs survive inside the window, swept after") {
+    val src = freshSource("graft_delta_retain")
+    val root = pipeline.DeltaIndex.root(src, "documents", "graft_spec_retain")
+    val hour = 3600L * 1000
+    def sync(retain: Long) =
+      pipeline.DeltaIndex.sync(spark, src, "documents", root, retain) {
+        (delta, staging, _) =>
+          Files.createDirectories(Paths.get(staging))
+          delta.select(col("doc_id")).write.parquet(s"$staging/ids.parquet")
+      }
+    ingest(src, "documents", docs.filter(col("doc_id") % 2 === 0)); sync(hour)
+    ingest(src, "documents", docs.filter(col("doc_id") % 2 === 1))
+    val live = sync(hour)
+    assert(live.size == 2)
+
+    val compacted = pipeline.DeltaIndex.compact(spark, root, hour) {
+      (batches, staging) =>
+        Files.createDirectories(Paths.get(staging))
+        spark.read.parquet(batches.map(p => s"$p/ids.parquet"): _*)
+          .write.parquet(s"$staging/ids.parquet")
+    }
+    assert(compacted.size == 1)
+    // inside the window: the rebased dirs SURVIVE (a reader holding the
+    // pre-swap snapshot keeps its files), tombstoned with their retirement
+    assert(live.forall(Files.exists(_)),
+      "retired dirs must not be deleted inside the retention window")
+    assert(live.forall(p => Files.exists(p.resolve("_retired_at.txt"))))
+    // ... but they are NOT live: not via the manifest, and not via the
+    // lost-manifest listing fallback either (a resurrected retired dir
+    // would double-cover the corpus next to its replacement)
+    assert(pipeline.DeltaIndex.liveBatches(root) == compacted)
+    Files.delete(root.resolve("_manifest.txt"))
+    assert(pipeline.DeltaIndex.liveBatches(root) == compacted,
+      "listing fallback must exclude tombstoned dirs")
+    assert(sync(hour) == compacted, "heal the manifest, adopt nothing")
+
+    // age the tombstones past the window: the next sync sweeps the dirs
+    for (p <- live if Files.exists(p))
+      Files.write(p.resolve("_retired_at.txt"),
+        (System.currentTimeMillis - 2 * hour).toString.getBytes("UTF-8"))
+    assert(sync(hour) == compacted)
+    assert(live.forall(p => !Files.exists(p)),
+      "retired dirs must be swept once the window has elapsed")
+  }
+
   test("minhash compaction: probe-identical, and runs with the source corpus DELETED") {
     import spark.implicits._
     val src = freshSource("graft_delta_mh_compact")
