@@ -7,6 +7,12 @@ rows sorted, values compared exactly (floats bit-compared, with a reported
 max-abs-diff fallback so near-misses are visible).
 
 Usage: python3 tools/check.py [sfDir] [outDir] [--skip-run] [--only q1,q2]
+                              [--json[=PATH]]
+
+--json writes a per-query verdict file in the driver's CORRECTNESS_r{N}
+format (default PATH: CORRECTNESS_LOCAL.json in the repo root, full-registry
+runs only) so the round's hard correctness signal is committed with the code
+and never depends on a single driver-side artifact (VERDICT r19 task 3).
 """
 import json
 import math
@@ -104,9 +110,14 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = None
+    json_path = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--json":
+            json_path = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
     if "--skip-run" not in sys.argv:
         print(f"[check] running graft.Verify {sf_dir} -> {out_dir}")
         run_verify(sf_dir, out_dir)
@@ -116,6 +127,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_noracle = 0
+    verdicts = {}
     # A query that dies inside graft.Verify leaves NO output dir — without
     # this check it would silently vanish from the report (bitten once: a
     # testdata regeneration broke one query's analysis and the gate still
@@ -130,11 +142,29 @@ def main():
         if (only is None or name in only) and \
                 not os.path.isdir(os.path.join(out_dir, name)):
             n_bad += 1
+            verdicts[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": 0,
+                              "oracle_rows": None, "err": "no_verify_output"}
             print(f"  [FAIL] {name}: no Verify output (query errored — see run log)")
-    for name in sorted(os.listdir(out_dir)):
+    found = [name for name in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, name))]
+    # SMOKE ASSERTION (VERDICT r19 task 7): an empty or partial dump dir
+    # must read as a loud failure, never as a quietly-green zero-query gate
+    # (the driver's r19 CORRECTNESS artifact was literally `{}`).
+    if only is None:
+        if not registered:
+            n_bad += 1
+            print("[check] FATAL: empty query registry — refusing to "
+                  "report a zero-query gate as green")
+        elif set(found) != set(registered):
+            n_bad += 1
+            missing = sorted(set(registered) - set(found))[:5]
+            extra = sorted(set(found) - set(registered))[:5]
+            print(f"[check] FATAL: dump dir has {len(found)} query outputs "
+                  f"but the registry lists {len(registered)} "
+                  f"(missing≈{missing} extra≈{extra})")
+    for name in found:
         path = os.path.join(out_dir, name)
-        if not os.path.isdir(path):
-            continue
         if only and name not in only:
             continue
         tbl = pq.read_table(path)
@@ -142,6 +172,9 @@ def main():
         spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
         if name not in oracle:
             n_noracle += 1
+            verdicts[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": len(spark_rows),
+                              "oracle_rows": None, "err": "no_oracle"}
             print(f"  [rows-only] {name}: {len(spark_rows)} rows")
             continue
         try:
@@ -150,9 +183,21 @@ def main():
             duck_rows = res.fetchall()
         except Exception as e:
             n_bad += 1
+            verdicts[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": len(spark_rows),
+                              "oracle_rows": None,
+                              "err": f"oracle_sql_error: {e}"}
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             continue
         err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        verdicts[name] = {
+            "rows_match": len(spark_rows) == len(duck_rows),
+            "schema_match": sorted(spark_cols) == sorted(duck_cols),
+            "hash_match": err is None,
+            "spark_rows": len(spark_rows),
+            "oracle_rows": len(duck_rows),
+            "err": err,
+        }
         if err:
             n_bad += 1
             print(f"  [FAIL] {name}: {err}")
@@ -161,6 +206,15 @@ def main():
             print(f"  [ok] {name} ({len(spark_rows)} rows)")
     tol_bad = tolerance_bounds(out_dir, only)
     n_bad += tol_bad
+    if json_path:
+        if only is not None:
+            print(f"[check] --json skipped: partial --only run must not "
+                  f"overwrite the full-registry record at {json_path}")
+        else:
+            with open(json_path, "w") as f:
+                json.dump(verdicts, f, indent=1, sort_keys=True)
+            print(f"[check] per-query verdicts -> {json_path} "
+                  f"({len(verdicts)} queries)")
     print(f"[check] ok={n_ok} fail={n_bad} rows-only={n_noracle}")
     sys.exit(1 if n_bad else 0)
 
@@ -183,6 +237,11 @@ TOLERANCE = {
                                 # (pcsa) at sf0.01 — 2.5x headroom (r15)
     "ivf_recall_min": 0.50,     # nprobe=4 of nlist=16; measured 0.90 at
                                 # sf0.01 — catches a partial probe regression
+    "ivf_guarded_recall_min": 0.80,  # q_ann_ivf_guarded only: set ABOVE the
+                                # un-retrained delta artifact's measured
+                                # ~0.74 so a retrain guard that fails to
+                                # fire FAILS the gate (ADVICE r19) — the
+                                # retrained index measures 0.90
     "lsh_recall_min": 0.50,     # hamming-2 multi-probe (tables=4,
                                 # probes=25) is the pinned operating point
                                 # since r19 — the knee of graft.LshCurve's
@@ -242,8 +301,11 @@ def tolerance_bounds(out_dir, only):
                           # guarded = the measured-recall retrain guard:
                           # at sf0.01 the delta artifact's ~0.74 trips the
                           # 0.95 floor, so this entry scores the RETRAINED
-                          # index — the gate observes the guard firing
-                          ("q_ann_ivf_guarded", "ivf_recall_min"),
+                          # index (0.90). Its bound sits ABOVE the
+                          # un-retrained 0.74, so the gate doesn't just
+                          # observe the guard firing — it FAILS if the
+                          # guard doesn't.
+                          ("q_ann_ivf_guarded", "ivf_guarded_recall_min"),
                           ("q_ann_lsh", "lsh_recall_min")):
             got_rows = load(name)
             if got_rows is None or (only is not None and name not in only):
