@@ -134,12 +134,31 @@ object DeltaBench {
     System.err.println(
       f"[delta-bench] compact ($nBatchesPre batches -> 1): minhash $mhCompact%.1fs ivf $ivfCompact%.1fs")
 
+    // ---- engine-owned compaction cadence: steady-state probe cost -------
+    // maxLiveBatches=3 with 6 one-copy appends (2× the threshold's worth,
+    // VERDICT r19 task 5): the live batch set oscillates in [1, 4] instead
+    // of growing one batch per ingest, and the probe — what a serving
+    // deployment pays per request — stays flat across the window.
+    val probeQ = emb0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cadence = (0 until 6).map { j =>
+      addBatch("embeddings", embCopy(nextCopy), s"cad$j"); nextCopy += 1
+      val (cc, ci) = pipeline.IvfAnn.ensureIncremental(
+        spark, workDir, nlist = 64, maxLiveBatches = 3)
+      val t = timeSec {
+        pipeline.IvfAnn.searchIndexedMulti(spark, cc, ci, probeQ, 5, 8).count()
+      }
+      System.err.println(
+        f"[delta-bench] cadence append $j: ${ci.size} live batches, probe $t%.2fs")
+      (ci.size, t)
+    }
+
     // ---- the INVALIDATE path: full rebuild over everything --------------
     def deleteTree(p: Path): Unit =
       if (Files.exists(p))
         org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
     deleteTree(pipeline.DeltaIndex.root(workDir, "documents", "graft_minhash_inc_v1"))
-    deleteTree(pipeline.DeltaIndex.root(workDir, "embeddings", "graft_ivf_inc_v1"))
+    deleteTree(pipeline.DeltaIndex.root(workDir, "embeddings", pipeline.IvfAnn.IncPrefix))
     val nDocsAll = spark.read.parquet(s"$workDir/documents.parquet").count()
     val mhFull = timeSec(pipeline.MinhashIndex.ensureIncremental(spark, workDir))
     val ivfFull = timeSec(
@@ -153,8 +172,11 @@ object DeltaBench {
     val deltasJson = deltaResults.map { case (k, n, mh, ivf) =>
       s"""{"factor":$k,"docs":$n,"minhash_sec":${f2(mh)},"ivf_sec":${f2(ivf)}}"""
     }.mkString("[", ",", "]")
+    val cadenceJson = cadence.map { case (nb, t) =>
+      s"""{"batches":$nb,"probe_sec":${f2(t)}}"""
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"guard_sec":${f2(guardSec)},"guard_recall":${f2(guardRecall)},"compact_batches":$nBatchesPre,"compact_minhash_sec":${f2(mhCompact)},"compact_ivf_sec":${f2(ivfCompact)},"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
+      s"""{"metric":"delta_build","initial_docs":$nDocsInit,"initial_minhash_sec":${f2(mhInit)},"initial_ivf_sec":${f2(ivfInit)},"deltas":$deltasJson,"guard_sec":${f2(guardSec)},"guard_recall":${f2(guardRecall)},"compact_batches":$nBatchesPre,"compact_minhash_sec":${f2(mhCompact)},"compact_ivf_sec":${f2(ivfCompact)},"cadence_max_live":3,"cadence":$cadenceJson,"full_docs":$nDocsAll,"full_minhash_sec":${f2(mhFull)},"full_ivf_sec":${f2(ivfFull)},"src":"$srcDir"}"""
     if (sys.env.contains("GRAFT_RECORD"))
       Files.write(Paths.get(sys.props("user.dir"), "BENCH_DELTA.json"),
         (json + "\n").getBytes("UTF-8"))

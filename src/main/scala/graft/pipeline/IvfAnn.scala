@@ -510,11 +510,14 @@ object IvfAnn {
   /** The MEASURED-RECALL RETRAIN GUARD end-to-end on the gate corpus:
     * same two-append layout as [[annIvfDelta]] (centroids never saw the
     * delta third), then [[recallOfIndex]] prices the drift — at sf0.01
-    * the delta artifact measures ~0.74, below the 0.95 floor, so the
-    * guard retrains over the full corpus and the probe answers from the
-    * retrained index. The driver's `ivf_recall_min` gate then scores THIS
-    * entry at the full-trained recall (~0.90), not the delta's 0.74 —
-    * i.e. the gate observes the guard actually firing. The decision and
+    * the delta artifact measures ~0.54 with the hash-uniform sample
+    * (the pre-r20 lowest-id sample read ~0.74 — it over-weighted the
+    * trained batch), below the 0.95 floor, so the guard retrains over
+    * the full corpus and the probe answers from the retrained index.
+    * The driver's gate then scores THIS entry at the full-trained
+    * recall (~0.90) against a 0.80 bound set ABOVE the un-retrained
+    * artifact's 0.74 gate recall — the gate doesn't just observe the
+    * guard firing, it FAILS if the guard doesn't. The decision and
     * measured recall are recorded in the artifact (`_guard.txt`) for
     * post-hoc audit. */
   val annIvfGuarded: QueryFn = (s, dir) => {
