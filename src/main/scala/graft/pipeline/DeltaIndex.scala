@@ -354,18 +354,84 @@ object DeltaIndex {
           org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }
     }
+    publishSingle(root, target, live, retainMillis, "compact")
+  }
+
+  /** Swap the manifest to the single batch `target`, retire the other
+    * live dirs under the retention window, clear any stale retirement
+    * tombstone on `target` (a retained dir re-adopted by its content key
+    * must be live to the lost-manifest listing fallback too), and fail
+    * LOUDLY if the published snapshot doesn't resolve to the replacement —
+    * the signature of a sync racing this writer in violation of the
+    * single-writer contract (its GC can delete the marker-stamped
+    * replacement before our manifest swap). Without that check probes
+    * would silently answer from an empty artifact until the next sync
+    * (ADVICE r19). Shared publish tail of [[compact]] and [[retrain]]. */
+  private def publishSingle(root: Path, target: Path, live: Seq[Path],
+                            retainMillis: Long, what: String): Seq[Path] = {
     writeManifest(root, Seq(target.getFileName.toString))
+    Files.deleteIfExists(retiredFile(target))
     live.filterNot(_ == target).foreach(gcRetired(_, retainMillis))
     val after = liveBatches(root)
-    // Fail LOUDLY if the published snapshot doesn't resolve to the
-    // replacement — the signature of a sync racing this compact in
-    // violation of the single-writer contract (its GC can delete the
-    // marker-stamped replacement before our manifest swap). Without this
-    // check probes would silently answer from an empty artifact until the
-    // next sync (ADVICE r19).
     require(after == Seq(target),
-      s"compact published $target but the snapshot resolves to $after — " +
+      s"$what published $target but the snapshot resolves to $after — " +
         "a concurrent writer violated the single-writer contract")
     after
+  }
+
+  /** REBUILD the artifact from the current source corpus and publish it as
+    * ONE full-trained batch through the same snapshot-swap discipline as
+    * [[compact]] — the ZERO-DOWNTIME RETRAIN path. Deleting the root and
+    * re-syncing (the pre-r20 guard) leaves a window where probes resolve
+    * an EMPTY snapshot; that is the honest state for a REGENERATED corpus
+    * (sync's INVALIDATE), but wrong for a retrain, where the standing
+    * artifact is still serviceable at reduced recall while the replacement
+    * builds. Here the replacement is fully built and marker-stamped first
+    * (invisible), the manifest swaps atomically, and the old batches are
+    * GC'd under the retention window — a probe sees the drifted snapshot
+    * or the retrained one, never nothing.
+    *
+    * The batch name hashes the covered keys TAGGED as full-trained:
+    * a [[compact]]ed batch can cover the SAME key union while carrying the
+    * OLD initial batch's centroids, and with a retention window that stale
+    * rebase can still be on disk — an equal-coverage name would let the
+    * marker-adoption check mistake it for the retrained artifact and skip
+    * the rebuild (IvfGuardSpec pins the divergence).
+    *
+    * `build(fullCorpus, stagingDir)` derives the replacement from a frame
+    * over ALL current part files — retrain is O(corpus) by contract (it
+    * exists to re-fit corpus-global state); `_covered.txt` and
+    * `_trained.txt` are both stamped with the full key set, so the guard's
+    * coverage test short-circuits until the next append. */
+  def retrain(spark: SparkSession, sourceDir: String, table: String,
+              root: Path, retainMillis: Long = 0L)
+             (build: (DataFrame, String) => Unit): Seq[Path] = {
+    val current = sourceFiles(sourceDir, table)
+    val keys = current.map(_._2)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(("trained-full\n" + keys.mkString("\n")).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val target = root.resolve(s"batch_000000_$key")
+    Files.createDirectories(root)
+    if (!Files.exists(StandingIndex.readyMarker(target))) {
+      // Same-parent staging for a guaranteed same-filesystem ATOMIC_MOVE,
+      // invisible to liveBatches, swept by sync's GC on a crash (the
+      // compact conventions).
+      val staging = root.resolve(
+        s"_staging_${key}_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      try {
+        build(spark.read.parquet(current.map(_._1.toString): _*), staging.toString)
+        Files.write(staging.resolve("_covered.txt"),
+          keys.mkString("\n").getBytes("UTF-8"))
+        writeTrained(staging.toString, keys.toSet)
+        Files.write(StandingIndex.readyMarker(staging), Array.emptyByteArray)
+        Files.move(staging, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally {
+        if (Files.exists(staging))
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
+    }
+    publishSingle(root, target, liveBatches(root), retainMillis, "retrain")
   }
 }

@@ -348,19 +348,22 @@ object IvfAnn {
 
   /** [[ensureIncremental]] with the retrain decision ENGINE-OWNED: after
     * reconciling, measure sampled recall from the artifact
-    * ([[recallOfIndex]]); if it has drifted below `recallFloor`, fire the
-    * INVALIDATE path once — delete the artifact root and re-sync, which
-    * retrains centroids over the full corpus into a single batch — and
-    * re-measure. A FULL-TRAINED artifact short-circuits: retraining can
-    * only change the outcome when the centroids' training coverage
-    * ([[DeltaIndex.trainedKeysOf]] of the initial batch) differs from what
-    * the artifact currently covers. Comparing COVERAGE, not batch count,
-    * is load-bearing (VERDICT r19 lead finding): [[compactIncremental]]
-    * rebases N drifted batches into ONE that still carries the original
-    * centroids, so a batch-count test would read the compacted artifact
-    * as full-trained and freeze its drift below the floor forever. An
-    * unreachable floor still degrades to one measurement per sync once the
-    * artifact is full-trained — never a rebuild loop.
+    * ([[recallOfIndex]]); if it has drifted below `recallFloor`, fire ONE
+    * [[DeltaIndex.retrain]] — centroids re-trained over the full corpus
+    * into a single full-trained batch, published as an atomic snapshot
+    * swap (zero-downtime: a concurrent probe resolves the drifted snapshot
+    * or the retrained one, never an empty artifact — the pre-r20
+    * delete-root-and-re-sync path had a window where probes answered
+    * empty) — and re-measure. A FULL-TRAINED artifact short-circuits:
+    * retraining can only change the outcome when the centroids' training
+    * coverage ([[DeltaIndex.trainedKeysOf]] of the initial batch) differs
+    * from what the artifact currently covers. Comparing COVERAGE, not
+    * batch count, is load-bearing (VERDICT r19 lead finding):
+    * [[compactIncremental]] rebases N drifted batches into ONE that still
+    * carries the original centroids, so a batch-count test would read the
+    * compacted artifact as full-trained and freeze its drift below the
+    * floor forever. An unreachable floor still degrades to one measurement
+    * per sync once the artifact is full-trained — never a rebuild loop.
     * Returns (centroids path, index paths, measured recall). */
   def ensureIncrementalGuarded(spark: org.apache.spark.sql.SparkSession,
                                sourceDir: String, table: String = "embeddings",
@@ -378,9 +381,11 @@ object IvfAnn {
     val r1 = recallOfIndex(spark, c1, i1, k, nprobe, sampleN)
     if (r1 >= recallFloor || fullTrained) (c1, i1, r1)
     else {
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-      val (c2, i2) = ensureIncremental(spark, sourceDir, table, nlist,
-        maxLiveBatches, retainMillis)
+      val batches = DeltaIndex.retrain(spark, sourceDir, table, root,
+        retainMillis) { (full, staging) => buildIndex(full, nlist, staging) }
+        .map(_.toString)
+      val c2 = s"${batches.head}/centroids.parquet"
+      val i2 = batches.map(b => s"$b/index.parquet")
       (c2, i2, recallOfIndex(spark, c2, i2, k, nprobe, sampleN))
     }
   }

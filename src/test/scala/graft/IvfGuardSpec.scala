@@ -86,9 +86,11 @@ class IvfGuardSpec extends SparkSpec {
 
     // Unreachable floor against the compacted single batch: the pre-fix
     // batch-count short-circuit (i1.size <= 1) provably could not retrain
-    // here; the coverage-based guard MUST. Note the retrained batch lands
-    // at the SAME content-keyed path (it covers the same union), so the
-    // observable change is the centroid CONTENT, not the path.
+    // here; the coverage-based guard MUST. The retrained batch lands at a
+    // TRAINED-TAGGED name (it covers the same union as the compacted
+    // batch, whose dir can survive under a retention window — an
+    // equal-coverage name would let marker adoption mistake the stale
+    // rebase for the retrained artifact; see the zero-downtime test).
     val (c2, i2, r2) = pipeline.IvfAnn.ensureIncrementalGuarded(
       spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8)
     assert(i2.size == 1, "retrain rebuilds into a single full-trained batch")
@@ -106,6 +108,61 @@ class IvfGuardSpec extends SparkSpec {
     val (c3, i3, r3) = pipeline.IvfAnn.ensureIncrementalGuarded(
       spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8)
     assert(c3 == c2 && i3 == i2 && r3 == r2)
+  }
+
+  test("retrain is zero-downtime: snapshot swap, retained old dirs, no equal-coverage adoption") {
+    import spark.implicits._
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val src = freshSource("graft_ivf_zdt", "embeddings")
+    val hour = 3600L * 1000
+
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 < 2))
+    pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    ingest(src, "embeddings", emb.filter(col("vec_id") % 3 === 2))
+    pipeline.IvfAnn.ensureIncremental(spark, src, "embeddings", nlist = 8)
+    // Compact under a retention window: the rebased single batch covers the
+    // FULL key union but carries the initial-trained centroids — exactly
+    // the dir an equal-coverage retrain name would wrongly adopt.
+    val (cCompact, _) = pipeline.IvfAnn.compactIncremental(
+      spark, src, "embeddings", retainMillis = hour)
+    val root = pipeline.DeltaIndex.root(src, "embeddings", pipeline.IvfAnn.IncPrefix)
+    val preRetrain = pipeline.DeltaIndex.liveBatches(root)
+    assert(preRetrain.size == 1)
+
+    def centroidsOf(path: String): Seq[(Long, Seq[Float])] =
+      spark.read.parquet(path).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(r => (r._1, r._2.toSeq)).toSeq
+    val drifted = centroidsOf(cCompact)
+
+    val (c2, i2, _) = pipeline.IvfAnn.ensureIncrementalGuarded(
+      spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8,
+      retainMillis = hour)
+    val live2 = pipeline.DeltaIndex.liveBatches(root)
+    assert(live2.size == 1 && i2.size == 1)
+    // different dir than the compacted batch (trained-tagged name), new
+    // full-corpus centroids — the stale equal-coverage rebase was NOT
+    // adopted despite its ready marker
+    assert(live2.head != preRetrain.head,
+      "retrain must publish a distinct trained-tagged batch, not adopt " +
+        "the retained equal-coverage compacted dir")
+    assert(centroidsOf(c2) != drifted)
+    // zero-downtime: the pre-retrain snapshot's files SURVIVE inside the
+    // retention window (tombstoned, not live), so a reader that resolved
+    // the old manifest keeps its open scans
+    assert(preRetrain.forall(java.nio.file.Files.exists(_)),
+      "retired pre-retrain dirs must survive inside the retention window")
+    assert(spark.read.parquet(s"${preRetrain.head}/index.parquet").count() > 0,
+      "the old snapshot must remain readable after the swap")
+    // ... and the artifact is never empty at any resolvable point: the
+    // published snapshot is the retrained batch, full-trained
+    assert(pipeline.DeltaIndex.trainedKeysOf(live2.head) ==
+             pipeline.DeltaIndex.coveredKeysOf(live2.head))
+    // idempotent: a second guarded call measures and short-circuits on the
+    // same snapshot
+    val (c3, i3, _) = pipeline.IvfAnn.ensureIncrementalGuarded(
+      spark, src, "embeddings", nlist = 8, recallFloor = 1.01, sampleN = 8,
+      retainMillis = hour)
+    assert(c3 == c2 && i3 == i2)
   }
 
   test("maxLiveBatches: the Nth append auto-compacts; assignment and probe unchanged") {
