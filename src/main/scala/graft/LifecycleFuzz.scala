@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   *
   * Reconciles randomly run with `maxLiveBatches` ∈ {0, 2}, so the
   * engine-owned auto-compaction cadence is crossed by the same random
-  * states as the explicit events.
+  * states as the explicit events; each case also draws a snapshot-GC
+  * retention window from {0, 1 h}, so retired-batch tombstones, the
+  * listing-fallback exclusion of retired dirs, and the trained-tagged
+  * retrain name (a retained equal-coverage compacted dir must never be
+  * adopted as the retrained artifact) are crossed by the same sequences —
+  * with retention on, retired generations coexist on disk with their
+  * replacements, and any resurrection into the live set would double-count
+  * rows in the probe-vs-inline equality below.
   *
   * After EVERY minhash reconcile the artifact probe (`pairsIndexedMulti`
   * over the live snapshot) must equal the inline sweep
@@ -102,6 +109,7 @@ object LifecycleFuzz {
     Files.createDirectories(table)
     val root = pipeline.DeltaIndex.root(dir, "documents", "graft_minhash_inc_v1")
     deleteTree(root)
+    val retain = if (rng.nextBoolean()) 3600L * 1000 else 0L
 
     val vocab = Array.fill(40 + rng.nextInt(60))(s"w${rng.nextInt(400)}")
     def mkText(n: Int) =
@@ -139,7 +147,7 @@ object LifecycleFuzz {
       // cross the engine-owned auto-compaction cadence at random
       val maxLive = if (rng.nextInt(3) == 0) 2 else 0
       val dirs = pipeline.MinhashIndex.ensureIncremental(
-        spark, dir, maxLiveBatches = maxLive)
+        spark, dir, maxLiveBatches = maxLive, retainMillis = retain)
       if (maxLive > 0)
         check(dirs.size <= maxLive, seed,
           s"$tag: maxLiveBatches=$maxLive left ${dirs.size} live batches")
@@ -161,7 +169,11 @@ object LifecycleFuzz {
         case 0 | 1 => // append + reconcile
           append(); reconcileAndCheck("append")
         case 2 => // compact, then probe through a plain reconcile
-          pipeline.MinhashIndex.compactIncremental(spark, dir)
+          val preCompact = pipeline.DeltaIndex.liveBatches(root)
+          pipeline.MinhashIndex.compactIncremental(spark, dir, retainMillis = retain)
+          if (retain > 0)
+            check(preCompact.forall(Files.exists(_)), seed,
+              "compact(retain): rebased dirs must survive inside the window")
           reconcileAndCheck("compact")
         case 3 => // regenerate a covered part in place -> invalidation
           val which = rng.nextInt(nParts)
@@ -210,6 +222,7 @@ object LifecycleFuzz {
     Files.createDirectories(table)
     val root = pipeline.DeltaIndex.root(dir, "embeddings", pipeline.IvfAnn.IncPrefix)
     deleteTree(root)
+    val retain = if (rng.nextBoolean()) 3600L * 1000 else 0L
 
     val dim = 6
     var nextId = 0L
@@ -278,7 +291,8 @@ object LifecycleFuzz {
     def reconcileAndCheck(tag: String): Unit = {
       val maxLive = if (rng.nextInt(3) == 0) 2 else 0
       val (c, i) = pipeline.IvfAnn.ensureIncremental(
-        spark, dir, "embeddings", nlist = 4, maxLiveBatches = maxLive)
+        spark, dir, "embeddings", nlist = 4, maxLiveBatches = maxLive,
+        retainMillis = retain)
       if (maxLive > 0)
         check(i.size <= maxLive, seed,
           s"$tag: maxLiveBatches=$maxLive left ${i.size} live batches")
@@ -293,9 +307,12 @@ object LifecycleFuzz {
         case 0 | 1 =>
           append(); reconcileAndCheck("append")
         case 2 =>
-          val (_, trainedBefore) = liveState()
-          pipeline.IvfAnn.compactIncremental(spark, dir, "embeddings")
+          val (liveBefore, trainedBefore) = liveState()
+          pipeline.IvfAnn.compactIncremental(spark, dir, "embeddings", retain)
           val (liveAfter, trainedAfter) = liveState()
+          if (retain > 0)
+            check(liveBefore.forall(Files.exists(_)), seed,
+              "compact(retain): rebased dirs must survive inside the window")
           // compaction is a layout pass: it must never LAUNDER training
           // coverage — a drifted artifact stays drifted in the guard's eyes
           check(liveAfter.size <= 1 && trainedAfter == trainedBefore, seed,
@@ -337,19 +354,27 @@ object LifecycleFuzz {
           val (liveBefore, trainedBefore) = liveState()
           val (c1, i1, r1) = pipeline.IvfAnn.ensureIncrementalGuarded(
             spark, dir, "embeddings", nlist = 4, k = 3, nprobe = 2,
-            recallFloor = floor, sampleN = 8)
+            recallFloor = floor, sampleN = 8, retainMillis = retain)
           check(r1 >= 0.0 && r1 <= 1.0, seed, s"guard: recall $r1 out of range")
           val (_, trainedAfter) = liveState()
-          if (floor > 1.0)
+          if (floor > 1.0) {
             check(trainedAfter, seed,
               s"guard(1.01): artifact must end full-trained " +
                 s"(was $trainedBefore, ${liveBefore.size} batches)")
-          else
+            // zero-downtime retrain: with retention on, the pre-retrain
+            // snapshot's dirs survive (a reader holding the old manifest
+            // keeps its files); they are retired, not resurrected — the
+            // checkArtifact equality below would double-count any
+            // resurrection
+            if (retain > 0 && !trainedBefore)
+              check(liveBefore.forall(Files.exists(_)), seed,
+                "guard(1.01,retain): pre-retrain dirs must survive the swap")
+          } else
             check(pipeline.DeltaIndex.liveBatches(root) == liveBefore, seed,
               "guard(0.0): a passing floor must not touch the batch set")
           val (c2, i2, r2) = pipeline.IvfAnn.ensureIncrementalGuarded(
             spark, dir, "embeddings", nlist = 4, k = 3, nprobe = 2,
-            recallFloor = floor, sampleN = 8)
+            recallFloor = floor, sampleN = 8, retainMillis = retain)
           check(c2 == c1 && i2 == i1 && r2 == r1, seed,
             s"guard: second call must be a no-op measurement " +
               s"($r1 -> $r2, ${i1.size} -> ${i2.size} batches)")
