@@ -23,14 +23,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.registered(spark)
-    if (name == "events") events(spark, dir)
-    else {
-      val path = s"$dir/$name.parquet"
-      if (new java.io.File(path, BucketMarker).isFile)
-        bucketedTable(spark, path, name)
-      else spark.read.parquet(path)
-    }
+    // Memoized per (session, dir, name) — a PLAN handle, not data: every
+    // action still scans the parquet. `spark.read.parquet` pays schema
+    // inference (footer read) + a fresh InMemoryFileIndex listing on every
+    // call, and the registry's 175 queries × 3 bench passes re-derive the
+    // same ten immutable corpus tables hundreds of times per run — pure
+    // fixed overhead, same rationale as the registerViews cache below.
+    // Correctness note: the cached frame freezes the FILE LISTING, which is
+    // exactly right for the driver-contract corpora (immutable per sfDir);
+    // everything that mutates and re-reads its own parquet in one session
+    // (DeltaIndex batches, fuzzers, staging dirs) goes through
+    // spark.read.parquet directly, never through here.
+    tableCache.computeIfAbsent((spark, dir, name), _ =>
+      if (name == "events") events(spark, dir)
+      else {
+        val path = s"$dir/$name.parquet"
+        if (new java.io.File(path, BucketMarker).isFile)
+          bucketedTable(spark, path, name)
+        else spark.read.parquet(path)
+      })
   }
+
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** Marker file a bucketed-layout generator (ScaleData `bucketed`) drops
     * inside a table directory: Spark's bucket spec lives in the CATALOG,

@@ -311,15 +311,29 @@ object ExprQueries {
       |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
 
   /** Probabilistic distinct estimators (rows-only; accuracy bounds pinned
-    * in FunctionsSpec, exact counts ride along for sanity). */
+    * in FunctionsSpec, exact counts ride along for sanity).
+    *
+    * Aggregated over `SELECT DISTINCT (flag, partkey)`, not the raw rows
+    * (round 20): mixing the sketches with `count(DISTINCT ...)` in one
+    * aggregate makes Spark's single-distinct rewrite key the FIRST
+    * aggregate on (l_returnflag, l_partkey) — every distinct key then owns
+    * its own 2×256-byte FM buffer + HLL words, built, serialized and
+    * shuffled per key (a 56-column exchange), which defeats the whole point
+    * of a fixed-size sketch. FM bitmaps (bit-OR), PCSA and HLL (register
+    * max) are all idempotent under duplicate values, and `count(partkey)`
+    * over the distinct pairs IS `count(DISTINCT partkey)` — so aggregating
+    * the deduplicated pairs is value-identical while the plan becomes:
+    * narrow 2-column distinct exchange, then 3 sketch buffers total
+    * (one per returnflag) with map-side partials (guide §2.3). */
   val distinctPc: QueryFn = (s, dir) => {
     graft.Tables.registerViews(s, dir)
     s.sql("""SELECT l_returnflag,
             |  distinctpc(l_partkey) AS pc,
             |  distinctpcsa(l_partkey) AS pcsa,
             |  ndv(l_partkey) AS ndv_est,
-            |  count(DISTINCT l_partkey) AS exact
-            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+            |  count(l_partkey) AS exact
+            |FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
   val all: Map[String, QueryFn] = Map(

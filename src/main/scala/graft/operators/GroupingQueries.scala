@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * Spark's native `Expand` + hash-aggregate and `WindowExec` operators.
   *
   * Scale notes:
-  *  - ROLLUP/CUBE plan as a single `Expand` that replicates each input row
-  *    once per grouping set *after* partial aggregation's map-side combine —
-  *    one shuffle total, no per-level rescan of the 100 TB fact table.
+  *  - ROLLUP/CUBE plan as a single `Expand` — but Spark places Expand BELOW
+  *    the partial aggregate, replicating every INPUT row once per grouping
+  *    set; the queries here therefore pre-aggregate to the finest grouping
+  *    set first and expand the partial frame (one fact pass + one shuffle,
+  *    no per-level rescan and no N× row replication — see rollupQ).
   *  - Window queries here partition by HIGH-cardinality keys (o_custkey,
   *    l_orderkey): millions of small partitions spread evenly, never a
   *    3-partition skew. (q_window_rank intentionally covers the coarse-key
@@ -34,14 +36,30 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   */
 object GroupingQueries {
 
-  /** ROLLUP over (returnflag, linestatus): detail + per-flag + grand total. */
+  /** ROLLUP over (returnflag, linestatus): detail + per-flag + grand total.
+    *
+    * Pre-aggregated to the finest grouping set first (round 20): Spark
+    * plans ROLLUP as Expand BELOW the partial aggregate, so the raw form
+    * replicates every fact row once per grouping level (3× the row mass
+    * through Expand + partial agg — at 100 TB, 3 copies of the fact table
+    * through the first stage). count/sum are decomposable, so rolling up
+    * the per-(flag, status) partial frame (a handful of rows) is
+    * value-identical: detail rows re-aggregate singleton groups, upper
+    * levels sum the partial sums (exact decimal — reassociation-safe),
+    * and data NULLs vs rollup NULL-markers are distinguished by
+    * grouping_id exactly as before. Guide §2.3 "aggregate before you
+    * shuffle", applied to Expand. */
   val rollupQ: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
-    l.rollup(col("l_returnflag"), col("l_linestatus"))
+    val base = l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"),
+           sum(dec2(col("l_quantity"))).as("q0"),
+           sum(dec2(col("l_extendedprice"))).as("p0"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().cast("int").as("gid"),
-           count(lit(1)).as("n"),
-           sumd(col("l_quantity")).as("sum_qty"),
-           sumd(col("l_extendedprice")).as("sum_price"))
+           sum(col("n0")).as("n"),
+           sum(col("q0")).cast(DoubleType).as("sum_qty"),
+           sum(col("p0")).cast(DoubleType).as("sum_price"))
   }
   val rollupSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -52,13 +70,18 @@ object GroupingQueries {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
-  /** CUBE over (status, priority): all four grouping levels in one pass. */
+  /** CUBE over (status, priority): all four grouping levels in one pass.
+    * Same pre-aggregate-then-expand shape as [[rollupQ]] — CUBE replicates
+    * 4×, so the raw form pushes 4 copies of every order row through Expand;
+    * the rewritten form cubes the per-(status, priority) partial frame. */
   val cubeQ: QueryFn = (s, dir) => {
     val o = t(s, dir, "orders")
-    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+    val base = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n0"), sum(dec2(col("o_totalprice"))).as("p0"))
+    base.cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("int").as("gid"),
-           count(lit(1)).as("n"),
-           sumd(col("o_totalprice")).as("total_price"))
+           sum(col("n0")).as("n"),
+           sum(col("p0")).cast(DoubleType).as("total_price"))
   }
   val cubeSql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -72,11 +95,17 @@ object GroupingQueries {
     * to; exercised through the SQL front-end. */
   val groupingSetsQ: QueryFn = (s, dir) => {
     graft.Tables.registerViews(s, dir)
+    // Same pre-aggregate-then-expand shape as rollupQ, through the SQL
+    // front-end: the inner GROUP BY collapses the fact table to the finest
+    // grouping set before Expand replicates anything (value-identical —
+    // decomposable count/sum over exact decimal).
     s.sql("""SELECT l_returnflag, l_linestatus,
             |  CAST(grouping_id() AS INT) AS gid,
-            |  count(*) AS n,
-            |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
-            |FROM lineitem
+            |  SUM(n0) AS n,
+            |  CAST(SUM(d0) AS DOUBLE) AS sum_disc
+            |FROM (SELECT l_returnflag, l_linestatus, count(*) AS n0,
+            |        SUM(CAST(l_discount AS DECIMAL(12,2))) AS d0
+            |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
             |                        (l_returnflag), ())""".stripMargin)
   }

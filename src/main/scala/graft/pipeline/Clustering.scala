@@ -56,18 +56,43 @@ object Clustering {
     round(VectorOps.dotDouble(emb, centroid) / (norm * cnorm), 6)
 
   /** Argmax-cosine assignment against a (small) centroid frame; carries the
-    * vector through for the update step. */
-  private[graft] def assign(embD: DataFrame, centroids: DataFrame): DataFrame =
-    embD.crossJoin(broadcast(centroids))
+    * vector through for the update step.
+    *
+    * Map-side-only shape (round 20): the centroid frame is folded into ONE
+    * row (`collect_list` of K structs), broadcast, and the argmax runs as a
+    * per-row `array_max(transform(...))` projection — the exact stateless
+    * construction the streaming tier has always used
+    * ([[graft.streaming.DocumentsStreaming.clusterAssign]]), so batch and
+    * stream provably share semantics. The previous form scored K rows per
+    * vector and folded them back with a `groupBy(vec_id).agg(max_by(...))`;
+    * because the max_by value struct carries `emb` (an array), hash
+    * aggregation is unavailable and the plan ran Sort → SortAggregate →
+    * Exchange → Sort → SortAggregate — a full corpus sort plus an exchange
+    * carrying every embedding, per assignment pass (two passes per k-means
+    * query). Now the assignment is one WholeStageCodegen projection with
+    * ZERO exchange: at 100 TB nothing corpus-sized is sorted or shuffled to
+    * decide cluster membership (guide §2.4 "remove shuffles outright").
+    *
+    * Equivalence: `array_max` over struct(sim, −cluster_id, cluster_id) is
+    * lexicographic — highest rounded cosine first, ties to the lowest
+    * cluster_id — identical to the old max_by ordering struct; a null sim
+    * (zero-norm centroid) sorts below every non-null sim in both forms. The
+    * oracle gate hash-checks all four k-means queries against DuckDB and
+    * KmeansSpec pins the semantics. */
+  private[graft] def assign(embD: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.agg(collect_list(
+      struct(col("cluster_id"), col("centroid"), col("cnorm"))).as("cents"))
+    embD.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("emb"),
-        col("cluster_id"),
-        cosSim(col("emb"), col("norm"), col("centroid"), col("cnorm")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cluster_id"), col("sim"), col("emb")),
-        struct(col("sim"), (-col("cluster_id")).as("tie"))).as("best"))
+        array_max(transform(col("cents"), c =>
+          struct(
+            cosSim(col("emb"), col("norm"),
+                   c.getField("centroid"), c.getField("cnorm")).as("sim"),
+            (-c.getField("cluster_id")).as("tie"),
+            c.getField("cluster_id").as("cluster_id")))).as("best"))
       .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
-              col("best.sim").as("cosine"), col("best.emb").as("emb"))
+              col("best.sim").as("cosine"), col("emb"))
+  }
 
   /** (vec_id, embedding) frame → double vectors with norms, zero-norm
     * excluded (a zero-norm vector has no direction: NaN cosine) — the same
@@ -285,7 +310,15 @@ object Clustering {
     * q_sample_threshold is the scale path, validated against this exact
     * form). */
   val clusterSample: QueryFn = (s, dir) => {
-    val assigned = kmeans(s, dir).select(col("vec_id"), col("cluster_id"))
+    // The assignment directly, NOT kmeans(s, dir): the registered kmeans
+    // query ends with a presentation ORDER BY vec_id whose range exchange +
+    // sort the per-cluster window would immediately destroy by
+    // repartitioning on cluster_id (EliminateSorts does not see through
+    // the intervening projection). Rows are identical — this query's own
+    // ORDER BY (cluster_id, sample_rank) is the output contract.
+    val raw = t(s, dir, "embeddings")
+    val assigned = assign(prep(raw), trainedCentroids(raw))
+      .select(col("vec_id"), col("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id")).orderBy(col("skey"))
     assigned

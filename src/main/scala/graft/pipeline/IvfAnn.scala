@@ -49,22 +49,36 @@ object IvfAnn {
         transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
   }
 
-  /** Nearest-centroid cell id for every vector (broadcast k×n scoring).
-    * argmax via `max_by` aggregation, NOT a window: the partial aggregate
-    * collapses each vector's nlist scored rows map-side, so the shuffle
-    * carries one row per vector instead of nlist — at 100 TB the window
-    * variant would sort-shuffle nlist× the corpus. Ties break toward the
-    * lowest cell_id (negated in the ordering struct) for determinism. */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cell_id"), col("embedding")),
-        struct(col("sim"), (-col("cell_id")).as("tie"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
+  /** Nearest-centroid cell id for every vector — a pure per-row projection:
+    * the centroid set is folded into ONE broadcast row (`collect_list` of
+    * nlist structs) and the argmax runs as `array_max(transform(...))`
+    * inside whole-stage codegen. Ties break toward the lowest cell_id (the
+    * negated tie field) for determinism.
+    *
+    * Round-20 shape change (guide §2.4): the previous form scored nlist
+    * rows per vector and folded them back with
+    * `groupBy(vec_id).agg(max_by(...))`; the max_by value struct carries
+    * `embedding` (an array), so hash aggregation is unavailable and the
+    * plan ran Sort → SortAggregate → Exchange → Sort → SortAggregate — a
+    * full corpus sort plus an exchange carrying every embedding, on every
+    * index build / delta assignment. Now assignment shuffles NOTHING: at
+    * 100 TB the index pass is scan → argmax projection → partitioned write.
+    * Same lexicographic ordering (sim desc, cell_id asc) as the old max_by
+    * ordering struct; DeltaIndexSpec/IvfAnnSpec/LifecycleFuzz pin
+    * batch-vs-one-shot assignment equality. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.agg(collect_list(
+      struct(col("cell_id"), col("centroid"))).as("cents"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("cents"), c =>
+          struct(
+            cosine(col("embedding"), c.getField("centroid")).as("sim"),
+            (-c.getField("cell_id")).as("tie"),
+            c.getField("cell_id").as("cell_id")))).as("best"))
+      .select(col("vec_id"), col("embedding"),
               col("best.cell_id").as("cell_id"))
+  }
 
   /** Probe `nprobe` cells per query against an already-built (index,
     * centroids) pair and return exact-cosine top-k within them — the
