@@ -131,10 +131,17 @@ object AggQueries {
     * rows-only check. */
   val ndv: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
-    l.groupBy(col("l_returnflag"))
+    // Aggregated over the distinct (flag, partkey) pairs (round 20, same
+    // rationale as q_distinctpc): mixing the HLL sketch with
+    // count(DISTINCT) keys the first aggregate on (flag, partkey), giving
+    // every distinct key its own 52-word HLL buffer; HLL is idempotent
+    // under duplicates and count over the distinct pairs IS the distinct
+    // count, so this is value-identical with 3 sketch buffers total.
+    l.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("ndv_part"),
-        countDistinct(col("l_partkey")).as("exact_part"))
+        count(col("l_partkey")).as("exact_part"))
       .orderBy(col("l_returnflag"))
   }
 

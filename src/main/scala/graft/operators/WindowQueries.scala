@@ -19,16 +19,38 @@ import org.apache.spark.sql.types.DoubleType
   */
 object WindowQueries {
 
-  /** row_number / rank / dense_rank per group, deterministic ordering. */
+  /** row_number / rank / dense_rank per group, deterministic ordering.
+    *
+    * Round 20: the top-5 cut runs through the bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]]) BEFORE the ranking window. Spark's
+    * native rewrite (WindowGroupLimit) still SORTS every input partition
+    * locally to find each group's top rows — with a 3-value partition key
+    * that is a full local sort of the fact table per scan task; the heap
+    * pass keeps ≤ 5 rows per group per partition with no sort at all, and
+    * the window then ranks 15 rows. Value-identical: the heap keeps the
+    * exact top-5 of the same total order (price desc, orderkey, linenumber
+    * — ties beyond it are full duplicates in every output column), and
+    * rank/dense_rank of a kept row only count predecessors, all of which
+    * are kept, so ranking the top-5 subset equals ranking within the full
+    * partition. */
   val rankQ: QueryFn = (s, dir) => {
     val l = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"))
+    val top = graft.plans.TopKPerGroup.topK(
+      l, Seq(col("l_returnflag")),
+      // descending heap order ≡ ORDER BY price DESC, orderkey ASC,
+      // linenumber ASC (keys negated for the flip; TPC-H keys are positive)
+      struct(col("l_extendedprice"),
+             (-col("l_orderkey")).as("k1"),
+             (-col("l_linenumber")).as("k2")), 5)
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    l.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-             col("l_extendedprice"),
-             row_number().over(w).as("rn"),
-             rank().over(w).as("rnk"),
-             dense_rank().over(w).as("drnk"))
+    top.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+               col("l_extendedprice"),
+               row_number().over(w).as("rn"),
+               rank().over(w).as("rnk"),
+               dense_rank().over(w).as("drnk"))
       .filter(col("rn") <= 5)
       .orderBy(col("l_returnflag"), col("rn"))
   }

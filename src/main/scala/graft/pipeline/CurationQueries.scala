@@ -254,6 +254,13 @@ object CurationQueries {
         .join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
+      // Neighbor step + pointer jump in ONE materialized plan per round
+      // (round 20; previously `stepped` was its own eager cut — two
+      // checkpoint jobs per round). The self-join references the stepped
+      // subtree twice, but both copies are identical up to column renames,
+      // so their exchanges deduplicate (ReuseExchange / AQE stage reuse)
+      // and the round costs one job, not two. Lineage still truncates
+      // every round through jumped's cut.
       val stepped = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
@@ -261,25 +268,22 @@ object CurationQueries {
                       coalesce(col("nbr_label"), col("label"))).as("label"),
                 (coalesce(col("nbr_label"), col("label")) < col("label"))
                   .as("changed"))
-        .transform(graft.Engine.materialize) // referenced twice by the self-join below
       // Pointer jump: label := label(label). Labels are themselves node
       // ids, so the lookup is a self-join; a missing row (label already
       // canonical) keeps its value.
       val tbl = stepped.select(col("doc_id").as("l_id"), col("label").as("l_lbl"))
-      val jumped = stepped
-        .join(tbl, stepped("label") === tbl("l_id"), "left")
-        .select(stepped("doc_id"),
-                coalesce(col("l_lbl"), stepped("label")).as("label"),
-                (stepped("changed") ||
-                  coalesce(col("l_lbl"), stepped("label")) < stepped("label"))
+      val jumped = stepped.as("st")
+        .join(tbl, col("st.label") === tbl("l_id"), "left")
+        .select(col("st.doc_id"),
+                coalesce(col("l_lbl"), col("st.label")).as("label"),
+                (col("st.changed") ||
+                  coalesce(col("l_lbl"), col("st.label")) < col("st.label"))
                   .as("changed"))
         .transform(graft.Engine.materialize)
       converged = jumped.filter(col("changed")).limit(1).isEmpty
-      // Round N is safely on stable storage — drop round N−1's cuts now
-      // (stepped fed only jumped; prev labels fed only this round).
+      // Round N is safely on stable storage — drop round N−1's cut now.
       // Without this, rounds × cuts checkpoint files accumulate for the
       // whole session (Engine.releaseMaterialized scaladoc).
-      graft.Engine.releaseMaterialized(stepped)
       graft.Engine.releaseMaterialized(labelsCut)
       labelsCut = jumped
       labels = jumped.select(col("doc_id"), col("label"))

@@ -302,24 +302,16 @@ object TextQueries {
   def repetitionFrame(d: DataFrame): DataFrame = {
     def grams(toks: Column, n: Int): Column =
       wordNgrams(toks, n, distinct = false)
-    // Top-frequency via longest equal-run in the SORTED gram array —
-    // O(L log L) + one linear fold, vs the naive distinct×total nested
-    // filter (O(L²) lambda evals/row: measured 3.1 s vs ~0.6 s at sf0.1).
-    def topFrac(g: Column): Column = {
-      val best = aggregate(
-        array_sort(g),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val newRun =
-            when(acc.getField("prev") === x, acc.getField("run") + 1L)
-              .otherwise(lit(1L))
-          struct(x.as("prev"), newRun.as("run"),
-                 greatest(acc.getField("best"), newRun).as("best"))
-        },
-        acc => acc.getField("best"))
-      when(size(g) === 0, lit(0.0))
-        .otherwise(best.cast(DoubleType) / size(g))
-    }
+    // Top-frequency as max multiplicity via the codegen'd hash-count
+    // kernel (graft.functions.TopRunFrac; round 20). History: the naive
+    // distinct×total nested filter ran O(L²) interpreted lambdas per row
+    // (3.1 s at sf0.1); the sorted longest-equal-run fold cut that to
+    // O(L log L) (~0.6 s) but still walked L higher-order-function lambda
+    // steps per gram window through the interpreted evaluator. The kernel
+    // computes the identical value (longest equal run of any total order
+    // IS the max multiplicity; same empty/null semantics — see its
+    // scaladoc) in one static-call pass inside whole-stage codegen.
+    def topFrac(g: Column): Column = graft.functions.TopRunFrac(g)
     def dupFrac(g: Column): Column =
       when(size(g) === 0, lit(0.0))
         .otherwise((size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
