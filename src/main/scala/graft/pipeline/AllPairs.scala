@@ -57,17 +57,62 @@ object AllPairs {
     // two sets with Jaccard >= t must both keep at least one shared element
     // inside their prefixes (dropping the last ceil(t*n)-1 elements removes
     // fewer than the guaranteed overlap).
-    val n = size(col("sh_sorted"))
-    val prefLen = (n - ceil(n * lit(threshold)) + lit(1)).cast("int")
-    val pref = sh.select(col("doc_id"), col("lang"), col("n_toks"),
-      explode(slice(col("sh_sorted"), lit(1), prefLen)).as("shingle"))
+    // nsh materializes in its OWN projection below the generator: aliased
+    // next to posexplode, the optimizer inlines size(sh_sorted) ABOVE the
+    // Generate, which then must carry the whole shingle array on every
+    // exploded row — O(prefix × set) bytes per document (measured 4× the
+    // query). Two-step select keeps the generate's output scalar-only.
+    // coalesce makes nsh NON-NULLABLE (sh_sorted is never null for rows
+    // that survive shingled()'s floor, so the branch is dead — values are
+    // identical). Without it, the position filter's join condition makes
+    // InferFiltersFromConstraints derive isnotnull(nsh) and push it to the
+    // scan with nsh's DEFINITION inlined — the entire split/n-gram/
+    // fnv/sort_array shingling pipeline re-evaluated per row inside the
+    // scan filter (measured 4× this query). Non-nullable ⇒ no isnotnull
+    // constraint ⇒ no pushed duplicate.
+    val withNsh = sh.select(col("doc_id"), col("lang"), col("n_toks"),
+      coalesce(size(col("sh_sorted")), lit(0)).as("nsh"), col("sh_sorted"))
+    val prefLen = (col("nsh") - ceil(col("nsh") * lit(threshold)) + lit(1))
+      .cast("int")
+    val pref = withNsh.select(col("doc_id"), col("lang"), col("n_toks"),
+      col("nsh"),
+      posexplode(slice(col("sh_sorted"), lit(1), prefLen)))
+      .withColumnRenamed("col", "shingle")
     val a = pref.select(col("lang"), col("shingle"),
-      col("doc_id").as("doc_a"), col("n_toks").as("na"))
+      col("doc_id").as("doc_a"), col("n_toks").as("na"),
+      col("nsh").as("nsha"), col("pos").as("pa"))
     val b = pref.select(col("lang"), col("shingle"),
-      col("doc_id").as("doc_b"), col("n_toks").as("nb"))
+      col("doc_id").as("doc_b"), col("n_toks").as("nb"),
+      col("nsh").as("nshb"), col("pos").as("pb"))
+    // PPJoin position filter (Xiao et al., "Efficient Similarity Joins for
+    // Near Duplicate Detection", WWW'08), round 20 — exact-recall candidate
+    // pruning BEFORE the distinct + verify joins. j(a,b) >= t requires
+    // overlap o >= t/(1+t)·(|a|+|b|); a shared prefix element at 0-based
+    // sorted positions (pa, pb) bounds o <= 1 + min(|a|-pa-1, |b|-pb-1)
+    // (every other common element sorts after it in both sets). For a TRUE
+    // pair the FIRST common element is a prefix collision (it is the
+    // smallest common value, and prefixes hold the smallest values), and at
+    // that witness the bound >= o — so keeping pairs where ANY witness
+    // passes loses nothing, while candidates that cannot reach t die here
+    // as id rows instead of riding the distinct and two array-fetch joins.
+    // Threshold arithmetic: verification admits round6(j) >= t, i.e. true
+    // j >= t − 5e-7, so the bound tests against that effective threshold,
+    // minus a 1e-9 slack for double rounding — both relaxations only ADMIT
+    // extra candidates (recall-safe; the exact merge-intersection decides).
+    // The bound lives in ONE opaque codegen expression
+    // ([[graft.functions.PpjoinPositionOk]]), not spelled out in column
+    // arithmetic: as a raw `cast(least(...)+1)+ε >= t·(na+nb)/(1+t)`
+    // comparison inside the join condition, Catalyst's constraint
+    // propagation / canonicalization over the big expression tree added
+    // ~4 s of PLANNING time per build of this query (measured; the
+    // execution was unchanged). The opaque predicate contributes a single
+    // small constraint and generates one static call.
+    val posOk = graft.functions.PpjoinPositionOk(
+      col("nsha"), col("pa"), col("nshb"), col("pb"), threshold)
     val cand = a.join(b, Seq("lang", "shingle"))
       .filter(col("doc_a") < col("doc_b") &&
-              abs(col("na") - col("nb")) <= lenWindow)
+              abs(col("na") - col("nb")) <= lenWindow &&
+              posOk)
       .select("doc_a", "doc_b")
       .distinct()
     cand
